@@ -1,0 +1,143 @@
+"""Text-analysis column functions for the large-scale training-data pipeline.
+
+Everything here is a pure JVM-side column expression (split / higher-order
+array functions / regexp) — no Python UDFs, so the whole stage stays inside
+whole-stage codegen and scales linearly with executors. The reference's
+text surface (langdetect + spam-word match, utils/datagouv.py:21-72,
+dgv/monitoring/activites/task_functions.py:35-51) is generalized into
+deterministic heuristics suitable for 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+ROLLING_HASH_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*131+c within int64
+ROLLING_HASH_BASE = 131
+
+# Tiny per-language stopword marker sets for the n-gram language heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "que", "de", "y"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased text; empty string -> empty array."""
+    c = F.lower(F.trim(_col(col)))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, "\\s+")
+    )
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("int")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.size(F.regexp_extract_all(_col(col), F.lit(TOKEN_RE), F.lit(0))).cast("int")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space chars."""
+    c = _col(col)
+    n_punct = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    return (n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double"))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are in the stopword list."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    tk = tokens(col)
+    n_sw = F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.greatest(F.size(tk), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] doc-quality score: length band + low punctuation +
+    healthy stopword rate. Deterministic; thresholds follow common
+    web-corpus filtering practice (C4-style)."""
+    c = _col(col)
+    len_ok = F.when((F.length(c) >= 50) & (F.length(c) <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), 1.0).otherwise(0.0)
+    return ((len_ok + punct_ok + sw_ok) / F.lit(3.0)).alias("quality")
+
+
+def lang_marker_score(col: Column | str, lang_code: str) -> Column:
+    """Count of tokens matching the marker set of ``lang_code``."""
+    arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang_code]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Deterministic marker-word language heuristic.
+
+    Counts per-language marker tokens and picks the argmax ('und' when no
+    marker matches; ties broken by language-code order). A stand-in for the
+    reference's langdetect call (activites:45-49) that needs no Python lib
+    and is exactly reproducible in ANSI SQL.
+    """
+    codes = sorted(LANG_MARKERS)
+    scores = {lang_code: lang_marker_score(col, lang_code) for lang_code in codes}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang_code in reversed(codes):
+        out = F.when(scores[lang_code] == best, F.lit(lang_code)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def fingerprint_sha(col: Column | str) -> Column:
+    """Normalized-content fingerprint: sha256 of lowercased collapsed text."""
+    c = F.lower(F.trim(F.regexp_replace(_col(col), "\\s+", " ")))
+    return F.sha2(c, 256)
+
+
+def fingerprint_rolling(col: Column | str) -> Column:
+    """Polynomial rolling hash over codepoints, mod 2^31-1.
+
+    Oracle-reproducible (plain arithmetic fold) unlike xxhash64; used for
+    cheap grouping fingerprints where crypto strength is wasted.
+    """
+    chars = F.split(_col(col), "")
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)),
+    )
+
+
+def char_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text (array<string>)."""
+    c = F.lower(F.regexp_replace(_col(col), "\\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>); short docs -> whole text."""
+    tk = tokens(col)
+    joined = F.when(
+        F.size(tk) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tk)))
+    return joined

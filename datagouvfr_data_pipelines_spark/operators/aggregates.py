@@ -1,0 +1,148 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Design for oracle parity AND 100 TB scale:
+
+- Money/measure sums are computed over ``DECIMAL(18,2)`` casts: decimal
+  addition is exact and associative, so the result is identical regardless of
+  partial-aggregation order across 1000 executors — and identical to the
+  DuckDB oracle. Final outputs are cast back to DOUBLE so schemas stay stable.
+  (Float sums are order-dependent; at 100 TB the shuffle-combine order is
+  nondeterministic, so decimal aggregation is the only way to get
+  reproducible results. Ref behavior: DECIMAL columns in
+  dvf/explore/sql/create_dvf_table.sql:14,30-44.)
+- Averages are ``exact_decimal_sum / count`` — one double division on two
+  deterministic inputs, so deterministic.
+- Medians use exact ``percentile`` (ref computes pandas exact interpolated
+  medians, dvf/explore/task_functions.py:562-588). At 100 TB swap to
+  ``percentile_approx(col, 0.5, 10000)`` — see module note in plans/catalog.
+- Conditional-count aggregation (A4, dgv/metrics/task_functions.py:226-262)
+  is one pass of N ``sum(when(...))`` columns — a single shuffle with map-side
+  partial aggregation, never N separate filtered counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MONEY = "decimal(18,2)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Deterministic (decimal-exact) sum of a double measure, output DOUBLE.
+
+    Only RAW stored columns should be cast to decimal here: casting a
+    double-computed product to decimal is engine-dependent at rounding
+    boundaries (DuckDB rounds in scaled-double space, Spark converts the
+    exact binary value). For derived measures use ``dsum_product``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(MONEY)).cast("double").alias(alias)
+
+
+def dsum_product(a: Column | str, b: Column | str, alias: str) -> Column:
+    """Deterministic sum of a product: cast FACTORS to decimal, multiply in
+    decimal (exact), sum, output DOUBLE. Oracle equivalent:
+    ``SUM(CAST(a AS DECIMAL(18,2)) * CAST(b AS DECIMAL(18,2)))``."""
+    ca = (F.col(a) if isinstance(a, str) else a).cast(MONEY)
+    cb = (F.col(b) if isinstance(b, str) else b).cast(MONEY)
+    return F.sum(ca * cb).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Deterministic average: exact decimal sum / count, output DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(MONEY)).cast("double") / F.count(c)).alias(alias)
+
+
+def dmedian(col: Column | str, alias: str) -> Column:
+    """Exact interpolated median (pandas/DuckDB-compatible)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.lit(0.5)).alias(alias)
+
+
+def conditional_count_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    conditions: Mapping[str, Column],
+    total_alias: str | None = "nb_total",
+) -> DataFrame:
+    """A4: one-pass named multi-agg with conditional counts.
+
+    ``conditions`` maps output column name -> boolean Column; each becomes
+    ``sum(when(cond, 1).otherwise(0))``. Mirrors the per-(date, object)
+    segment counting of dgv/metrics/task_functions.py:226-262 in a single
+    shuffle.
+    """
+    aggs = [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(name)
+        for name, cond in conditions.items()
+    ]
+    if total_alias:
+        aggs.append(F.count(F.lit(1)).alias(total_alias))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def zero_fill_combinations(
+    aggregated: DataFrame,
+    dims: DataFrame,
+    keys: list[str],
+    fill: Mapping[str, float],
+) -> DataFrame:
+    """A12: ensure every dim combination exists, filling absent measures.
+
+    ``dims`` is the (small) universe of key combinations — typically built by
+    cross-joining distinct dimension values; it is broadcast. Mirrors
+    carburants/scripts/generate_kpis_rupture.py:137-159.
+    """
+    out = F.broadcast(dims).join(aggregated, on=keys, how="left")
+    return out.na.fill(dict(fill))
+
+
+def grouped_with_total(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list[Column],
+    grouping_id_alias: str = "grouping_level",
+) -> DataFrame:
+    """A13/A14: grouped aggregates plus higher-level totals in ONE pass.
+
+    Uses ROLLUP instead of the reference's manual compute-then-union of a
+    "nation" row (dvf/explore/task_functions.py:632-676,
+    carburants/scripts/generate_kpis_rupture.py:163-177). One shuffle instead
+    of two jobs; partial aggregation handles the total rows map-side.
+    """
+    return (
+        df.rollup(*group_cols)
+        .agg(*aggs, F.grouping_id().cast("int").alias(grouping_id_alias))
+    )
+
+
+def monthly_rollup(df: DataFrame, ts_col: str, group_cols: list[str], aggs: list[Column],
+                   month_alias: str = "month") -> DataFrame:
+    """A16: month-grain time rollup (create_tables.sql:209-263)."""
+    month = F.date_format(F.date_trunc("month", F.col(ts_col)), "yyyy-MM").alias(month_alias)
+    return df.groupBy(month, *group_cols).agg(*aggs)
+
+
+def quantile_bins(df: DataFrame, col: str, probs: list[float], group_cols: list[str] | None = None,
+                  alias: str = "bins") -> DataFrame:
+    """A8: exact quantile bin edges per group (dvf/explore:839-896).
+
+    Returns one row per group with an array of exact interpolated quantiles.
+    The reference's rounding-collision fixups operate on this tiny array
+    driver-side; at 100 TB switch the inner call to percentile_approx.
+    """
+    pb = F.array(*[F.lit(p) for p in probs])
+    agg = F.percentile(F.col(col), pb).alias(alias)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def top_k_by(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
+    """A9: top-K by metric — global sort-limit (Spark runs TakeOrdered, no full sort)."""
+    key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    return df.orderBy(key).limit(k)

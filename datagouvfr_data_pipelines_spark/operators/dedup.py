@@ -1,0 +1,160 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four tiers, all Spark-first:
+
+- exact:   sha256 content hash -> groupBy -> keep min id. One shuffle on the
+           hash; at 100 TB this is the cheapest full-corpus dedup.
+- minhash: word-shingle MinHash signatures (K permutations) computed with
+           higher-order array functions (NO Python UDF), LSH banding ->
+           candidate pairs via band-key self-join -> exact Jaccard verify on
+           the shingle sets. Shuffles: one on band keys (bounded by B x docs),
+           one to verify. This is the scalable near-dup path: cost is
+           O(docs x K) map-side + candidate-pair verify, never O(docs^2).
+- simhash: 64-bit sign-aggregated token-hash fingerprint via explode +
+           conditional bit sums; near-dups = equal fingerprint (or banded
+           Hamming at scale).
+- ngram-jaccard: exact pairwise verify kernel used by the LSH candidates (and
+           usable on its own for small candidate sets).
+
+MinHash math: h_k(s) = (a_k * (xxhash64(s) mod M) + b_k) mod M with
+M = 2^31 - 1; a_k, b_k from a fixed seeded PRNG so signatures are stable
+across runs/partitions.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from datagouvfr_data_pipelines_spark.functions.text import word_shingles
+
+MERSENNE31 = 2_147_483_647
+
+
+def content_hash(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(F.lower(F.trim(F.regexp_replace(c, "\\s+", " "))), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per normalized-content hash."""
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31)) for _ in range(k)]
+
+
+def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+    """K-permutation MinHash signature (array<long>) over a shingle array."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)))
+        )
+        for a, b in _minhash_params(k, seed)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding (id_a < id_b, distinct).
+
+    Two docs are candidates iff at least one of their ``bands`` band-hashes
+    collide. Band keys are hashed signature slices; the self-join is an
+    equi-join on (band_idx, band_hash) so it shuffles only on band keys.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(word_shingles(text_col, shingle_n), k).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.hash(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs; keep >= threshold."""
+    sh = df.select(
+        F.col(id_col).alias("__sid"), word_shingles(text_col, shingle_n).alias("__sh")
+    )
+    a = sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bits.
+
+    Implemented as explode(tokens) -> 64 conditional sums -> bit reassembly:
+    one shuffle on the doc id with map-side partial aggregation. At corpus
+    scale prefer this over per-row 64-element arrays — the agg combiner keeps
+    the shuffle small.
+    """
+    from datagouvfr_data_pipelines_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tk")
+    ).withColumn("h", F.xxhash64("tk"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(0)
+    return agg.select("doc", fp.alias("simhash"))

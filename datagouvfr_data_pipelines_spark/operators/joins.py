@@ -1,0 +1,125 @@
+"""Join operators (SURVEY §2.3).
+
+Scale posture: dimension tables (region/nation/part/supplier — and in the
+reference epci, deps_regs, nature maps, dvf/explore/task_functions.py:426-431)
+are broadcast explicitly; fact-fact joins shuffle on their keys and rely on
+AQE for skew splitting. The reference's manual prefix-batched joins
+(dvf/geoloc/task_functions.py:111-154) are deliberately NOT ported — a plain
+shuffled equi-join with parquet min/max pruning subsumes them (SURVEY §2.3
+J-note).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def broadcast_enrich(fact: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """J1/J12: left-enrich a fact table with a small dimension, broadcast side.
+
+    Ref: sales <- EPCI on code_commune (dvf/explore/task_functions.py:469-471).
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J7: rows of ``left`` with no match in ``right``.
+
+    Ref: deaths minus opposition list (insee/deces/task_functions.py:179-187).
+    """
+    return left.join(right, on=on, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J8: rows of ``left`` having a match in ``right`` (no duplication).
+
+    Ref: keep sales whose id is in the mono-sale list
+    (dvf/explore/task_functions.py:507-511).
+    """
+    return left.join(right, on=on, how="left_semi")
+
+
+def full_outer_coalesce(
+    left: DataFrame, right: DataFrame, keys: list[str], coalesced_prefix: str = ""
+) -> DataFrame:
+    """J4: FULL OUTER JOIN on ``keys`` with coalesced key columns.
+
+    Ref: visits ⟗ matomo on (id, date) with COALESCE(a.id, b.id)
+    (dgv/metrics/sql/create_tables.sql:127-145). Using the list-form ``on``
+    makes Spark emit a single coalesced key column natively.
+    """
+    return left.join(right, on=keys, how="full")
+
+
+def join_aggregated(
+    fact: DataFrame,
+    detail: DataFrame,
+    keys: list[str],
+    aggs,
+    how: str = "left",
+) -> DataFrame:
+    """J5: left join against a grouped subquery (create_tables.sql:139-144).
+
+    The aggregation happens BEFORE the join, so the join input is already
+    reduced — at 100 TB this is the difference between shuffling the detail
+    table once (small post-agg) vs joining then aggregating.
+    """
+    sub = detail.groupBy(*keys).agg(*aggs)
+    return fact.join(sub, on=keys, how=how)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """J14: as-of join — for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``partition_key``.
+
+    Ref: mutation date -> latest parcel snapshot <= date
+    (dvf/geoloc/task_functions.py:271-303), which the reference implements as
+    a retry loop over snapshot batches.
+
+    Spark-first implementation: union left probes and right states into one
+    stream, sort within each key partition by (ts, is_right_first), and carry
+    the right values forward with ``last(ignorenulls=True)`` over an
+    unbounded-preceding window. One shuffle on the key; no loop, no
+    per-snapshot retry. Scales as a single window over the co-partitioned
+    union — the standard large-scale as-of strategy.
+    """
+    lcols = left.columns
+    probe = left.select(
+        F.col(partition_key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    state = right.select(
+        F.col(partition_key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(probe.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = state.unionByName(probe)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_cols
+        ],
+    ).where(F.col("__is_probe") == 1)
+    return carried.select(
+        *[F.col("__left")[c].alias(c) for c in lcols],
+        *[F.col(f"__rv_{c}").alias(c) for c in right_cols],
+    )

@@ -1,0 +1,73 @@
+"""Registry backing ``__spark_entry__.py``.
+
+Each catalog entry is a named query: a Spark callable ``(spark, sf_dir) ->
+DataFrame`` plus (when SQL-expressible) the equivalent DuckDB oracle SQL. The
+driver hash-compares both at sf0.01 — column names are aliased identically on
+both sides, aggregate determinism follows the decimal-sum policy in
+``operators/aggregates.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: list[str] = field(default_factory=list)
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: list[str] | None = None):
+    def deco(fn):
+        CATALOG[name] = QueryDef(fn=fn, oracle=oracle, tags=tags or [])
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table; normalizes TIMESTAMP(NANOS) columns.
+
+    The driver's synthetic ``events`` table is written with parquet
+    nanosecond timestamps (pandas default), which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL). We read nanos as long and rebuild a proper
+    TimestampType column — values carry only microsecond precision, so
+    ``div 1000`` is lossless and matches DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    coercion exactly.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _load_all() -> None:
+    # import for registration side effects
+    from datagouvfr_data_pipelines_spark.plans import relational  # noqa: F401
+    from datagouvfr_data_pipelines_spark.plans import text_pipeline  # noqa: F401
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: q.fn for name, q in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in CATALOG.items() if q.oracle is not None}

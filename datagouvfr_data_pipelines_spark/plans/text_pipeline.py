@@ -1,0 +1,278 @@
+"""Training-data-pipeline query catalog: text analysis, dedup tiers,
+embedding similarity (BASELINE.json north-star operators).
+
+Oracle notes: DuckDB lambdas (`list_filter`, `list_reduce`, `list_transform`)
+mirror Spark's higher-order functions exactly (left-to-right folds, same
+interpolation), so even the rolling-hash fingerprint and cosine top-k are
+hash-checkable. MinHash/SimHash rely on ``xxhash64`` which DuckDB lacks —
+those entries are declared without oracles (driver records rows-only checks).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.functions.similarity import cosine, ivf_cell
+from datagouvfr_data_pipelines_spark.functions.text import (
+    TOKEN_RE,
+    char_shingles,
+    fingerprint_rolling,
+    fingerprint_sha,
+    lang_id,
+    lang_marker_score,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+)
+from datagouvfr_data_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    simhash64,
+)
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+
+_STOPWORDS_SQL = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'on', 'for']"
+_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "t_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len({_TOKENS_SQL}) END AS INTEGER) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INTEGER) AS n_tokens_bpe,
+           CAST(length(text) AS INTEGER) AS n_chars_actual
+    FROM documents
+    """,
+    tags=["text", "token-count"],
+)
+def t_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenizer — pure JVM
+    regexp, no Python (generalizes activites text handling)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "t_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)
+             / greatest(len({_TOKENS_SQL}), 1) AS stopword_ratio,
+           (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)
+                        / greatest(len({_TOKENS_SQL}), 1) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+           ) / 3.0 AS quality
+    FROM documents
+    """,
+    tags=["text", "quality"],
+)
+def t_quality_scores(spark, sf_dir):
+    """Doc quality scoring: punctuation ratio, stopword ratio, composite
+    C4-style score — all column expressions."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _marker_sql(code: str, markers: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter({_TOKENS_SQL}, t -> list_contains({arr}, t)))"
+
+
+@register(
+    "t_lang_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {de} AS s_de, {en} AS s_en, {es} AS s_es, {fr} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """.format(
+        de=_marker_sql("de", ["der", "die", "und", "das", "ist"]),
+        en=_marker_sql("en", ["the", "and", "of", "to", "is"]),
+        es=_marker_sql("es", ["el", "los", "que", "de", "y"]),
+        fr=_marker_sql("fr", ["le", "la", "les", "et", "des"]),
+    ),
+    tags=["text", "lang-id"],
+)
+def t_lang_id(spark, sf_dir):
+    """Deterministic n-gram/marker language heuristic (stand-in for
+    langdetect, activites:45-49), reproducible in ANSI SQL."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "d_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_sha,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 2147483647
+           ) AS rolling_fp
+    FROM documents
+    """,
+    tags=["text", "fingerprint"],
+)
+def d_fingerprints(spark, sf_dir):
+    """Document fingerprinting: sha256 content hash + polynomial rolling
+    hash (checksum family, utils/filesystem.py:106-114, engine-side)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_sha("text").alias("content_sha"),
+        fingerprint_rolling("text").alias("rolling_fp"),
+    )
+
+
+@register(
+    "d_exact_dedup",
+    oracle="""
+    SELECT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_sha,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags=["dedup-exact"],
+)
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash groupBy — one shuffle on the sha."""
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "d_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 2, 1)),
+               i -> substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), CAST(i AS INTEGER), 3)
+             )) AS sh
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+    tags=["dedup-ngram"],
+)
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    """Character-3-gram Jaccard similarity on a bounded pair set — the exact
+    verify kernel used downstream of LSH candidates. (Pairwise only on a
+    restricted id range: all-pairs is never the scale path.)"""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    sh = docs.select("doc_id", char_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+@register("d_minhash_neardups", oracle=None, tags=["dedup-minhash", "no-oracle"])
+def d_minhash_neardups(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline: shingle -> 64-perm signature -> 16-band
+    LSH candidates -> exact Jaccard verify (threshold 0.2). No DuckDB oracle
+    (xxhash64); driver records a rows-only check."""
+    docs = table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", k=64, bands=16, shingle_n=2)
+    return jaccard_verify(cands, docs, "doc_id", "text", shingle_n=2, threshold=0.2)
+
+
+@register("d_simhash", oracle=None, tags=["dedup-simhash", "no-oracle"])
+def d_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (explode + conditional bit sums). No
+    oracle (xxhash64); rows-only check — one row per document."""
+    return simhash64(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_DOT_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(e.embedding)),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.p[i] AS DOUBLE))),
+      (acc, x) -> acc + x)"""
+_NORM_E_SQL = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(e.embedding)),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+      (acc, x) -> acc + x))"""
+_NORM_P_SQL = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, len(p.p)),
+        i -> CAST(p.p[i] AS DOUBLE) * CAST(p.p[i] AS DOUBLE))),
+      (acc, x) -> acc + x))"""
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_P_SQL}), 6) AS sim
+    FROM embeddings e, p
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=["similarity", "ann"],
+)
+def sim_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k against a probe vector — the ANN baseline.
+    Map + TakeOrdered: no shuffle; scale path is ivf/LSH cells below."""
+    emb = table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
+    out = emb.crossJoin(F.broadcast(probe)).select(
+        "vec_id", "label", F.round(cosine("embedding", "p"), 6).alias("sim")
+    )
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "sim_ivf_cells",
+    oracle="""
+    SELECT CAST(32 * (embedding[1] >= 0)::INT + 16 * (embedding[2] >= 0)::INT
+         + 8 * (embedding[3] >= 0)::INT + 4 * (embedding[4] >= 0)::INT
+         + 2 * (embedding[5] >= 0)::INT + (embedding[6] >= 0)::INT AS INTEGER) AS cell,
+           COUNT(*) AS nb_vectors
+    FROM embeddings GROUP BY 1
+    """,
+    tags=["similarity", "ivf"],
+)
+def sim_ivf_cells(spark, sf_dir):
+    """IVF-style cell assignment histogram: sign-bit bucketing of leading
+    dims — the partition key that bounds ANN search to one cell at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.groupBy(ivf_cell("embedding", 64).alias("cell")).agg(
+        F.count(F.lit(1)).alias("nb_vectors")
+    )
