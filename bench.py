@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() forces the full plan, sinks
+included) after a warm-up of the session. Timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent)
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Headline set: one per operator family, weighted toward shuffle-heavy ops.
+HEADLINE = [
+    "q1_pricing_summary",     # scan + filter + groupBy agg
+    "j1_brand_revenue",       # broadcast join + agg
+    "a13_rollup_totals",      # rollup, two broadcast joins
+    "a16_monthly_rollup",     # date_trunc rollup
+    "j5_customer_totals",     # join vs aggregated subquery
+    "w2_latest_order_per_customer",  # window dedup
+    "w1_event_sessions",      # sessionization window
+    "u2_cdc_diff",            # exceptAll both ways
+    "j14_asof_last_order",    # as-of join (union + carry-forward window)
+    "d_exact_dedup",          # sha256 groupBy
+    "t_quality_scores",       # text heuristics (higher-order fns)
+    "d_minhash_neardups",     # minhash LSH + verify
+    "sim_topk_cosine",        # embedding brute-force top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from datagouvfr_data_pipelines_spark.session import get_spark
+    from datagouvfr_data_pipelines_spark import plans
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = plans.queries()
+
+    # warm up JVM + parquet footer caches with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

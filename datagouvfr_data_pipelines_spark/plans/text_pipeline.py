@@ -207,12 +207,12 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 
 @register("d_minhash_neardups", oracle=None, tags=["dedup-minhash", "no-oracle"])
 def d_minhash_neardups(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline: shingle -> 64-perm signature -> 16-band
-    LSH candidates -> exact Jaccard verify (threshold 0.2). No DuckDB oracle
-    (xxhash64); driver records a rows-only check."""
+    """MinHash+LSH near-dup pipeline: shingle -> 64-perm signature -> 8-band
+    LSH candidates (capped buckets) -> exact Jaccard verify (threshold 0.5).
+    No DuckDB oracle (xxhash64); driver records a rows-only check."""
     docs = table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, "doc_id", "text", k=64, bands=16, shingle_n=2)
-    return jaccard_verify(cands, docs, "doc_id", "text", shingle_n=2, threshold=0.2)
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", k=64, bands=8, shingle_n=3)
+    return jaccard_verify(cands, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
 @register("d_simhash", oracle=None, tags=["dedup-simhash", "no-oracle"])
