@@ -1,0 +1,104 @@
+"""Geospatial column functions (SURVEY §2.8 geospatial row).
+
+The reference's geo surface is point-level: point-in-France tests, reversed
+coordinate repair, bbox assembly, Hilbert-ordered GeoParquet
+(schema/irve/geo_utils/geo.py:25-55; utils/conversions.py:65-142). All of it
+is lon/lat arithmetic — pure column expressions here; a Sedona dependency is
+deliberately avoided (not in the container).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# metropolitan France + DROM bounding boxes (lon_min, lat_min, lon_max, lat_max),
+# the same envelope logic the reference implements with shapely polygons
+# (schema/irve/geo_utils/geo.py:17-29).
+FRANCE_BBOXES = [
+    (-5.5, 41.2, 9.9, 51.3),      # métropole
+    (-63.2, 17.8, -60.8, 18.2),   # Saint-Martin/Saint-Barthélemy
+    (-61.9, 15.8, -60.9, 16.6),   # Guadeloupe
+    (-61.3, 14.3, -60.7, 14.9),   # Martinique
+    (-54.7, 2.1, -51.5, 5.9),     # Guyane
+    (55.1, -21.5, 55.9, -20.8),   # Réunion
+    (44.9, -13.1, 45.4, -12.6),   # Mayotte
+]
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def within_france(lon: Column | str, lat: Column | str) -> Column:
+    """Point-in-France test (bbox union) — geo.py:25-29."""
+    lo, la = _c(lon), _c(lat)
+    cond = F.lit(False)
+    for x0, y0, x1, y1 in FRANCE_BBOXES:
+        cond = cond | (lo.between(x0, x1) & la.between(y0, y1))
+    return cond
+
+
+def fix_reversed_coords(df: DataFrame, lon_col: str, lat_col: str) -> DataFrame:
+    """Coordinate-order repair: if (lon,lat) is outside France but (lat,lon)
+    is inside, swap (geo.py:32-55)."""
+    ok = within_france(lon_col, lat_col)
+    swapped_ok = within_france(lat_col, lon_col)
+    swap = ~ok & swapped_ok
+    return df.withColumns(
+        {
+            lon_col: F.when(swap, _c(lat_col)).otherwise(_c(lon_col)),
+            lat_col: F.when(swap, _c(lon_col)).otherwise(_c(lat_col)),
+        }
+    )
+
+
+def bbox_struct(lon: Column | str, lat: Column | str) -> Column:
+    """Per-row GeoParquet bbox struct for points (conversions.py:84-89
+    STRUCT_PACK(xmin,ymin,xmax,ymax))."""
+    lo, la = _c(lon), _c(lat)
+    return F.struct(
+        lo.alias("xmin"), la.alias("ymin"), lo.alias("xmax"), la.alias("ymax")
+    )
+
+
+def bbox_aggregate(df: DataFrame, lon_col: str, lat_col: str) -> DataFrame:
+    """Global bbox (ST_Extent_Agg equivalent, conversions.py:96-100)."""
+    return df.agg(
+        F.min(lon_col).alias("xmin"),
+        F.min(lat_col).alias("ymin"),
+        F.max(lon_col).alias("xmax"),
+        F.max(lat_col).alias("ymax"),
+    )
+
+
+def morton_key(
+    lon: Column | str, lat: Column | str,
+    lon_range: tuple[float, float] = (-180.0, 180.0),
+    lat_range: tuple[float, float] = (-90.0, 90.0),
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) spatial sort key — the engine's stand-in for the
+    reference's ST_Hilbert GeoParquet ordering (conversions.py:105). Both
+    are space-filling curves giving row-group locality; Morton interleaving
+    is expressible as pure column bit-ops (no UDF, no Sedona).
+
+    Quantizes lon/lat to ``bits`` each and interleaves: x0y0x1y1…
+    """
+    lo = (_c(lon) - lon_range[0]) / (lon_range[1] - lon_range[0])
+    la = (_c(lat) - lat_range[0]) / (lat_range[1] - lat_range[0])
+    scale = (1 << bits) - 1
+    xi = F.least(F.greatest((lo * scale).cast("long"), F.lit(0)), F.lit(scale))
+    yi = F.least(F.greatest((la * scale).cast("long"), F.lit(0)), F.lit(scale))
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        key = key * 4 + F.shiftright(xi, b).bitwiseAND(F.lit(1)) * 2 + F.shiftright(
+            yi, b
+        ).bitwiseAND(F.lit(1))
+    return key
+
+
+def spatially_ordered(df: DataFrame, lon_col: str, lat_col: str) -> DataFrame:
+    """O6: order rows along the space-filling curve before a GeoParquet-style
+    write, so parquet row-group min/max stats prune spatial queries."""
+    return df.orderBy(morton_key(lon_col, lat_col))

@@ -1,0 +1,129 @@
+"""Source readers (SURVEY §2.1 S1-S14).
+
+Posture: always explicit ``StructType`` — never ``inferSchema`` (the
+reference is defensively stringly-typed at ingest, SURVEY §1.2; we type at
+the boundary instead). All readers return plain DataFrames so Catalyst keeps
+pushdown/pruning; file listing is the cluster's job (globs), not a driver
+loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = ",",
+    encoding: str = "UTF-8",
+    header: bool = True,
+    null_values: list[str] | None = None,
+    keep_default_na: bool = True,
+) -> DataFrame:
+    """S1/S2: typed CSV scan (gzip transparent via codec detection).
+
+    Mirrors the reference's read_csv contract (dvf/explore/task_functions.py
+    :455-465: dtype/sep/encoding/na_values) — including the Namibia guard:
+    ``keep_default_na=False`` stops "NA" from becoming NULL
+    (geozones/task_functions.py:336-345).
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+    )
+    if null_values:
+        # Spark CSV has a single nullValue; emptyValue covers ''. Multiple
+        # markers are normalized post-read (column expression, still pushed
+        # into the same stage).
+        reader = reader.option("nullValue", null_values[0])
+    if not keep_default_na:
+        reader = reader.option("nullValue", "\x00")  # never matches
+    df = reader.csv(path)
+    for marker in (null_values or [])[1:]:
+        for c, dt in [(f.name, f.dataType) for f in df.schema.fields]:
+            if dt.typeName() == "string":
+                df = df.withColumn(
+                    c, F.when(F.col(c) == marker, None).otherwise(F.col(c))
+                )
+    return df
+
+
+@dataclass
+class FixedWidthField:
+    name: str
+    start: int  # 1-based, inclusive
+    length: int
+    type: str = "string"
+    trim: bool = True
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, fields: list[FixedWidthField]
+) -> DataFrame:
+    """S5: fixed-width scan — byte-offset slicing as column expressions over
+    ``spark.read.text`` (insee/deces/task_functions.py:71-90). No UDF: every
+    field is a substring projection inside one codegen stage."""
+    raw = spark.read.text(path)
+    cols = []
+    for f in fields:
+        c = F.substring(F.col("value"), f.start, f.length)
+        if f.trim:
+            c = F.trim(c)
+        cols.append(c.cast(f.type).alias(f.name))
+    return raw.select(*cols)
+
+
+def read_multi_section(
+    spark: SparkSession, path: str, prefix_len: int
+) -> DataFrame:
+    """S6: multi-section file split — one physical file holding N
+    concatenated CSVs, sections detected where the leading key prefix
+    changes (sante/finess/task_functions.py:51-101).
+
+    Returns (section_id, line_no, value). Needs a global line ordering: uses
+    a single-partition window, correct for the reference's bounded files;
+    huge inputs should carry an explicit line-number column instead.
+    """
+    from datagouvfr_data_pipelines_spark.operators.windows import section_ids
+
+    raw = (
+        spark.read.text(path)
+        .withColumn("line_no", F.monotonically_increasing_id())
+        .withColumn("prefix", F.substring("value", 1, prefix_len))
+    )
+    return section_ids(raw, "line_no", "prefix").select(
+        "section_id", "line_no", "value"
+    )
+
+
+def read_json_records(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """S7: JSON records scan (API snapshot landed to storage). Explicit
+    schema preferred; multiline for payload dumps."""
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def flatten_json_column(df: DataFrame, col: str, schema: str) -> DataFrame:
+    """S7/§2.8 JSON: parse a JSON string column into typed fields
+    (consolidation.py:226-286 parse_api flattening)."""
+    return df.withColumn(col, F.from_json(F.col(col), schema))
+
+
+def read_binary_archives(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S10: archive scan stage 1 — binaryFile read of zip/7z/tar.gz objects;
+    unpack happens in a mapInPandas stage downstream (rna/task_functions.py
+    :49-84). Returns (path, modificationTime, length, content)."""
+    return spark.read.format("binaryFile").load(path_glob)

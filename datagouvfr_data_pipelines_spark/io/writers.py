@@ -1,0 +1,142 @@
+"""Sink writers (SURVEY §2.1 S15-S22 + §2.9 ST2/ST3 idempotence).
+
+Scale posture: parquet+zstd partitioned tables are the engine's native sink;
+CSV/JSON "publish" sinks are deliberate single-file coalesce steps at the end
+of a pipeline (small outputs), mirroring the reference's dual CSV+Parquet
+publication (rna/task_functions.py:96-112).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """S16: parquet sink, zstd (utils/conversions.py:8-36)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def overwrite_date_partition(
+    df: DataFrame, path: str, partition_col: str, compression: str = "zstd"
+) -> None:
+    """ST2: idempotent date-partition rewrite — replace ONLY the partitions
+    present in ``df`` (dynamic partition overwrite), the Spark equivalent of
+    the reference's delete-dates-then-insert reprocessing safety
+    (dgv/metrics/task.py:200-221, remove_visit_metrics.sql).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", compression)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def merge_upsert_accumulate(
+    spark,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    accumulate_cols: list[str],
+) -> None:
+    """ST3: upsert-accumulate — ``INSERT ... ON CONFLICT DO UPDATE SET
+    x = old.x + new.x`` (dgv/tabular_metrics/task_functions.py:167-172),
+    without Delta: read current state, full-outer join on keys, sum the
+    accumulate columns, atomically swap the table directory.
+
+    At 100 TB this is a partition-scoped operation (only touched partitions
+    are rewritten); with a Delta/Iceberg catalog it becomes a single MERGE.
+    """
+    exists = bool(glob.glob(os.path.join(path, "*.parquet"))) or bool(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if not exists:
+        write_parquet(updates, path)
+        return
+    current = spark.read.parquet(path)
+    merged = current.alias("c").join(updates.alias("u"), on=keys, how="full")
+    out_cols = [F.col(k) for k in keys]
+    for c in accumulate_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"c.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"u.{c}"), F.lit(0))
+            ).alias(c)
+        )
+    passthrough = [
+        c for c in current.columns if c not in keys and c not in accumulate_cols
+    ]
+    for c in passthrough:
+        out_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"c.{c}")).alias(c))
+    result = merged.select(*out_cols)
+    tmp = path.rstrip("/") + "__tmp_swap"
+    write_parquet(result, tmp)
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def publish_single_csv(
+    df: DataFrame, path: str, sep: str = ",", compression: str | None = None
+) -> str:
+    """S15/S18: single-file CSV publish (header once) — the export step that
+    the reference does with incremental ``to_csv(mode="a")``
+    (insee/deces/task_functions.py:188-194). coalesce(1) is intentional:
+    publish outputs are small end products, never intermediate data.
+    Returns the final file path."""
+    tmp = path + "__spark_tmp"
+    w = df.coalesce(1).write.mode("overwrite").option("header", "true").option("sep", sep)
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+    return path
+
+
+def write_json_records(df: DataFrame, path: str) -> None:
+    """S20: JSON-records sink (to_json(orient="records") equivalent)."""
+    df.write.mode("overwrite").json(path)
+
+
+def geojson_feature_collection(
+    df: DataFrame, lon_col: str, lat_col: str, property_cols: list[str]
+) -> str:
+    """S20: GeoJSON FeatureCollection assembly
+    (schema/irve/geo_utils/geo.py:69-96): build features as structs
+    JVM-side, aggregate to one JSON document. Driver only sees the final
+    string — property structs and to_json run distributed."""
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col(lon_col), F.col(lat_col)).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(*[F.col(c) for c in property_cols]).alias("properties"),
+    )
+    collected = df.select(F.to_json(feature).alias("fj")).agg(
+        F.concat_ws(",", F.collect_list("fj")).alias("features")
+    )
+    row = collected.collect()[0]
+    return '{"type": "FeatureCollection", "features": [' + row["features"] + "]}"

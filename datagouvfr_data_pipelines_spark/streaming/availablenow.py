@@ -1,0 +1,72 @@
+"""File-arrival micro-batch processing (SURVEY §2.9 ST1/ST2/ST5).
+
+The reference's streaming story is scheduled micro-batch: new log archives
+land under ``new/``, get moved to ``ongoing/``, processed, then ``processed/``
+(dgv/metrics/task.py:59-72,242-251), with a processed-file ledger preventing
+reprocessing (tabular_metrics:177-203). Spark-first this is a file-source
+stream with ``Trigger.AvailableNow``: the checkpoint IS the ledger, each
+run drains whatever arrived since the last one, and ``foreachBatch`` applies
+the batch transformation with idempotent partition overwrite (ST2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def process_available_files(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    path_glob: str | None = None,
+) -> None:
+    """Drain all currently-available files through ``transform`` into
+    ``sink_fn(batch_df, batch_id)`` exactly once per file.
+
+    - ST1: file-source triggering — new files only, tracked in the
+      checkpoint's file log (no manual new/ongoing/processed moves).
+    - ST5: the checkpoint is the processed-file ledger; a second run with the
+      same checkpoint sees zero new files.
+    - ST2: sink_fn should be idempotent per batch (partition overwrite /
+      merge) so retried batches are safe.
+    """
+    reader = spark.readStream.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.format(fmt).load(source_dir)
+
+    # transform runs INSIDE foreachBatch on the bounded batch — the
+    # reference's model (aggregate each arrival batch, then idempotent
+    # date overwrite). Keeping the stream itself transformation-free avoids
+    # cross-run aggregation state (which would need watermarks and would
+    # accumulate across reprocessing, breaking ST2 semantics).
+    def apply_and_sink(batch_df: DataFrame, batch_id: int) -> None:
+        sink_fn(transform(batch_df), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_and_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def tumbling_window_counts(
+    df: DataFrame, ts_col: str, window: str = "1 day"
+) -> DataFrame:
+    """ST4: tumbling event-time windows (daily grain from log timestamps,
+    create_tables.sql:209-263). Works on both batch and streaming frames;
+    add ``withWatermark`` upstream for late-data bounds on true streams."""
+    import pyspark.sql.functions as F
+
+    return df.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
+        F.count(F.lit(1)).alias("nb")
+    ).select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "nb")

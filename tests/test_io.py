@@ -1,0 +1,120 @@
+"""IO layer: readers (S1/S5/S6/S7) and writers (S15/S16/S20, ST2/ST3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from datagouvfr_data_pipelines_spark.io.readers import (
+    FixedWidthField,
+    flatten_json_column,
+    read_csv_typed,
+    read_fixed_width,
+    read_multi_section,
+)
+from datagouvfr_data_pipelines_spark.io.writers import (
+    geojson_feature_collection,
+    merge_upsert_accumulate,
+    overwrite_date_partition,
+    publish_single_csv,
+    write_parquet,
+)
+
+
+def test_read_csv_typed(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("code;val;name\n01;3.5;alpha\nNA;1.0;namibia\n;2.0;blank\n")
+    df = read_csv_typed(
+        spark, str(p), "code string, val double, name string", sep=";",
+        keep_default_na=False,
+    )
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alpha"]["val"] == 3.5
+    # Namibia guard: "NA" stays a string, not NULL
+    assert rows["namibia"]["code"] == "NA"
+
+
+def test_read_fixed_width(spark, tmp_path):
+    p = tmp_path / "fw.txt"
+    p.write_text("DUPONT    19420301PARIS     \nMARTIN    19511115LYON      \n")
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [
+            FixedWidthField("nom", 1, 10),
+            FixedWidthField("date_naissance", 11, 8),
+            FixedWidthField("ville", 19, 10),
+        ],
+    )
+    rows = sorted([tuple(r) for r in df.collect()])
+    assert rows == [
+        ("DUPONT", "19420301", "PARIS"),
+        ("MARTIN", "19511115", "LYON"),
+    ]
+
+
+def test_read_multi_section(spark, tmp_path):
+    p = tmp_path / "multi.csv"
+    p.write_text("AA;1\nAA;2\nBB;x\nBB;y\nCC;9\n")
+    df = read_multi_section(spark, str(p), prefix_len=2)
+    sections = {r["value"]: r["section_id"] for r in df.collect()}
+    assert sections["AA;1"] == sections["AA;2"]
+    assert sections["BB;x"] == sections["BB;y"]
+    assert len({sections["AA;1"], sections["BB;x"], sections["CC;9"]}) == 3
+
+
+def test_flatten_json_column(spark):
+    df = spark.createDataFrame([(1, '{"a": 5, "b": "x"}')], "id int, payload string")
+    out = flatten_json_column(df, "payload", "a int, b string")
+    row = out.collect()[0]
+    assert row["payload"]["a"] == 5 and row["payload"]["b"] == "x"
+
+
+def test_write_parquet_and_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "d string, v int"
+    )
+    overwrite_date_partition(df, path, "d")
+    # reprocess day 2 with new value: only that partition replaced (ST2)
+    df2 = spark.createDataFrame([("2024-01-02", 99)], "d string, v int")
+    overwrite_date_partition(df2, path, "d")
+    # partition-column values come back type-inferred (date), hence str()
+    out = {str(r["d"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {"2024-01-01": 1, "2024-01-02": 99}
+
+
+def test_merge_upsert_accumulate(spark, tmp_path):
+    path = str(tmp_path / "acc")
+    day1 = spark.createDataFrame([("r1", 5), ("r2", 3)], "resource_id string, nb_calls int")
+    merge_upsert_accumulate(spark, day1, path, ["resource_id"], ["nb_calls"])
+    day2 = spark.createDataFrame([("r2", 4), ("r3", 7)], "resource_id string, nb_calls int")
+    merge_upsert_accumulate(spark, day2, path, ["resource_id"], ["nb_calls"])
+    out = {r["resource_id"]: r["nb_calls"] for r in spark.read.parquet(path).collect()}
+    # ON CONFLICT DO UPDATE SET nb = old + new semantics
+    assert out == {"r1": 5, "r2": 7, "r3": 7}
+
+
+def test_publish_single_csv(spark, tmp_path):
+    path = str(tmp_path / "out.csv")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    publish_single_csv(df.orderBy("id"), path)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0] == "id,s"
+    assert sorted(lines[1:]) == ["1,a", "2,b"]
+
+
+def test_geojson_feature_collection(spark):
+    df = spark.createDataFrame(
+        [(2.35, 48.85, "paris"), (5.37, 43.30, "marseille")],
+        "lon double, lat double, name string",
+    )
+    doc = json.loads(geojson_feature_collection(df, "lon", "lat", ["name"]))
+    assert doc["type"] == "FeatureCollection"
+    names = {f["properties"]["name"] for f in doc["features"]}
+    assert names == {"paris", "marseille"}
+    geom = doc["features"][0]["geometry"]
+    assert geom["type"] == "Point" and len(geom["coordinates"]) == 2
