@@ -1,0 +1,142 @@
+"""Composite pipelines: metrics log job, consolidation engine, rollup
+pyramid, transitive closure — the reference's §3 lifecycles end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.operators.graph import (
+    ancestors_per_node,
+    transitive_closure,
+)
+from datagouvfr_data_pipelines_spark.pipelines.consolidation import (
+    SchemaVersion,
+    conform_file,
+    consolidate,
+)
+from datagouvfr_data_pipelines_spark.pipelines.metrics import run_metrics_job
+from datagouvfr_data_pipelines_spark.pipelines.rollup import RollupPyramid
+
+LOG_LINES = """\
+2024-01-01T10:00:00 1.2.3.4 "GET /datasets/budget-2024/" 200 fr
+2024-01-01T10:01:00 1.2.3.5 "GET /datasets/budget-2024/" 200 api
+2024-01-01T10:02:00 1.2.3.6 "GET /datasets/population/" 200 en
+2024-01-01T10:03:00 1.2.3.7 "GET /datasets/budget-2024/" 404 fr
+2024-01-02T09:00:00 1.2.3.8 "GET /datasets/population/" 200 bot
+2024-01-02T09:01:00 1.2.3.9 "GET /organizations/insee/" 200 fr
+garbage line that matches nothing
+"""
+
+
+def test_metrics_pipeline_end_to_end(spark, tmp_path):
+    """Golden-style check of parse -> A4 agg -> catalog join -> ST2 write
+    (the dgv/metrics/test/task_functions_test.py pattern)."""
+    log = tmp_path / "access.log"
+    log.write_text(LOG_LINES)
+    sink = str(tmp_path / "visits")
+    catalog = spark.createDataFrame(
+        [
+            ("budget-2024", "d-001", False, "2024-01-01"),
+            ("budget-2024", "d-001-old", True, "2023-01-01"),  # archived dup
+            ("population", "d-002", False, "2024-01-01"),
+        ],
+        "slug string, object_id string, archived boolean, created_at string",
+    )
+    out = run_metrics_job(spark, str(log), catalog, sink, "datasets")
+    rows = {
+        (str(r["date_metric"]), r["slug"]): r
+        for r in spark.read.parquet(sink).collect()
+    }
+    # 404 hit excluded; nb_visit counts web segments, nb_visit_api api ones
+    r = rows[("2024-01-01", "budget-2024")]
+    assert (r["nb_visit"], r["nb_visit_api"], r["nb_hit"]) == (1, 1, 2)
+    assert r["object_id"] == "d-001"  # archived catalog row lost the dedup
+    assert rows[("2024-01-02", "population")]["nb_visit"] == 0  # bot segment
+    # reprocessing the same log is idempotent (ST2 partition overwrite)
+    run_metrics_job(spark, str(log), catalog, sink, "datasets")
+    again = spark.read.parquet(sink).count()
+    assert again == len(rows)
+
+
+def test_consolidation_engine(spark):
+    schema = SchemaVersion(
+        columns=["id_pdc", "puissance", "commune"],
+        types={"puissance": "double"},
+        required=["id_pdc"],
+        primary_key=["id_pdc"],
+        min_files=2,
+    )
+    f1 = spark.createDataFrame(
+        [("A1", "50", "Paris"), (None, "22", "Lyon")],
+        "id_pdc string, puissance string, commune string",
+    )
+    # second file: missing 'commune', extra column, overlapping key A1
+    f2 = spark.createDataFrame(
+        [("A1", "150", "x"), ("B2", "22", "y")],
+        "id_pdc string, puissance string, junk string",
+    )
+    c1 = conform_file(f1, schema, "res-1", "2024-01-01")
+    c2 = conform_file(f2, schema, "res-2", "2024-06-01")
+    out = consolidate([c1, c2], schema)
+    rows = {r["id_pdc"]: r for r in out.collect()}
+    assert set(rows) == {"A1", "B2"}               # required-col gate dropped the None row
+    assert rows["A1"]["puissance"] == 150.0        # most recent file wins the key
+    assert rows["A1"]["resource_id"] == "res-2"
+    assert rows["B2"]["commune"] is None           # aligned missing column
+    assert "junk" not in out.columns               # extras dropped
+    # below the contributing-files floor -> no output
+    assert consolidate([c1], schema) is None
+
+
+def test_rollup_pyramid_atomic_swap(spark, tmp_path):
+    base = str(tmp_path / "pyr")
+    daily = spark.createDataFrame(
+        [("2024-01-01", "d1", 5), ("2024-01-15", "d1", 3), ("2024-01-03", "d2", 7)],
+        "d string, obj string, nb int",
+    )
+    pyr = (
+        RollupPyramid(spark, base)
+        .add("visits_daily", lambda deps: daily)
+        .add(
+            "visits_monthly",
+            lambda deps: deps["visits_daily"]
+            .groupBy(F.substring("d", 1, 7).alias("month"), "obj")
+            .agg(F.sum("nb").alias("nb")),
+        )
+        .add(
+            "visits_total",
+            lambda deps: deps["visits_monthly"].groupBy("obj").agg(
+                F.sum("nb").alias("nb")
+            ),
+        )
+    )
+    tables = pyr.refresh_all()
+    total = {r["obj"]: r["nb"] for r in tables["visits_total"].collect()}
+    assert total == {"d1": 8, "d2": 7}
+    # second refresh (the CONCURRENTLY property): readers see a complete
+    # table before, during and after
+    tables2 = pyr.refresh_all()
+    assert {r["obj"]: r["nb"] for r in tables2["visits_total"].collect()} == total
+
+
+def test_transitive_closure(spark):
+    # commune -> epci -> departement -> region chain + a second branch
+    edges = spark.createDataFrame(
+        [
+            ("paris", "metropole-gp"),
+            ("metropole-gp", "dep-75"),
+            ("dep-75", "idf"),
+            ("lyon", "metropole-lyon"),
+            ("metropole-lyon", "dep-69"),
+            ("dep-69", "ara"),
+        ],
+        "child string, parent string",
+    )
+    closure = transitive_closure(edges)
+    anc = {
+        r["descendant"]: r["ancestors"]
+        for r in ancestors_per_node(closure).collect()
+    }
+    assert anc["paris"] == ["dep-75", "idf", "metropole-gp"]
+    assert anc["lyon"] == ["ara", "dep-69", "metropole-lyon"]
+    assert anc["dep-75"] == ["idf"]
