@@ -122,22 +122,41 @@ def fingerprint_rolling(col: Column | str) -> Column:
 
 
 def char_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams of the normalized text (array<string>)."""
+    """Distinct character n-grams of the normalized text (array<string>).
+
+    Zip-of-shifted-slices form for the same reason as ``word_shingles``:
+    ``substring(c, i, n)`` inside a transform lambda re-normalizes the whole
+    text per gram (O(len²) interpreted work). Texts shorter than ``n``
+    yield the whole text, matching ``substr``'s clipping behavior.
+    """
     c = F.lower(F.regexp_replace(_col(col), "\\s+", " "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+    chars = F.split(c, "")
+    length = F.length(c) - (n - 1)
+    acc = F.slice(chars, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(chars, j + 1, length), lambda a, b: F.concat(a, b)
+        )
+    return F.when(F.length(c) >= n, F.array_distinct(acc)).otherwise(F.array(c))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>); short docs -> whole text."""
+    """Distinct word n-gram shingles (array<string>); short docs -> whole text.
+
+    Built by zipping n shifted slices of the token array rather than indexing
+    ``element_at(tk, i+j)`` inside the per-element lambda: higher-order
+    functions are interpreted (no codegen), so a lambda that references the
+    token array per element re-evaluates the whole split per shingle —
+    measured 10x slower on ~50-shingle docs. The zip form evaluates the
+    token array a constant number of times per row.
+    """
     tk = tokens(col)
-    joined = F.when(
-        F.size(tk) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(tk) - n),
-                lambda i: F.concat_ws(" ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]),
-            )
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", tk)))
-    return joined
+    length = F.size(tk) - (n - 1)
+    acc = F.slice(tk, 1, length)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(tk, j + 1, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(tk) >= n, F.array_distinct(acc)).otherwise(
+        F.array(F.concat_ws(" ", tk))
+    )

@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the properties the 100 TB design depends on.
+
+These tests pin the *plan shape*, not results: broadcast joins on dims,
+parquet filter pushdown + column pruning, map-side partial aggregation,
+TakeOrdered for top-k. A regression here is a scale bug even when results
+stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datagouvfr_data_pipelines_spark import plans
+
+QUERIES = plans.queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(explain_mode)
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["j1_brand_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(QUERIES["p3_filter_derive"](spark, sf_dir))
+    # predicates reach the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # only needed columns are read: lineitem has 11 cols, the query needs 6
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_partial_aggregation(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # map-side partial agg + final agg = two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["a9_top_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_anti_joins_stay_joins(spark, sf_dir):
+    semi = plan_of(QUERIES["j8_parts_with_sales"](spark, sf_dir))
+    anti = plan_of(QUERIES["j7_customers_without_orders"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_no_cartesian_in_catalog_except_intended(spark, sf_dir):
+    """Only queries that intentionally cross-join tiny frames may contain a
+    cartesian/BNL join."""
+    intended = {
+        "j10_region_months", "a8_histogram", "sim_topk_cosine",
+        "d_ngram_jaccard_pairs", "a12_zero_fill",
+    }
+    for name in ["q1_pricing_summary", "j5_customer_totals", "w2_latest_order_per_customer",
+                 "j14_asof_last_order", "a13_rollup_totals"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exact_median_policy(spark, sf_dir):
+    """A2 uses exact percentile (oracle parity, SURVEY §4 rule 1); the plan
+    must show the exact `percentile` aggregate, not approx."""
+    plan = plan_of(QUERIES["a2_median_by_flag"](spark, sf_dir))
+    assert "percentile" in plan
+    assert "approx_percentile" not in plan
