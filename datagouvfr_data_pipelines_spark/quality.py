@@ -1,0 +1,89 @@
+"""Data-quality assertions (SURVEY §5.4 production-as-test contracts).
+
+The reference encodes its invariants as inline asserts: uniqueness sanity
+checks (`assert max(value_counts)==1`, dvf/explore:280,710,735), row-count
+conservation (dvf/geoloc:319), schema expectations (elections/aggregation
+:103), freshness guards (insee/sirene/stock:77-90, ST7). Here they are
+engine-level checks that compute with ONE aggregate each (no collect of
+data), raise a typed error, and can be chained inside a pipeline.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+class DataQualityError(AssertionError):
+    """A pipeline invariant failed; message carries the evidence."""
+
+
+def assert_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Uniqueness on key columns — one groupBy, reports worst offenders."""
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .orderBy(F.col("n").desc())
+        .limit(5)
+    )
+    offenders = dups.collect()
+    if offenders:
+        raise DataQualityError(
+            f"duplicate keys on {keys}: "
+            + ", ".join(f"{tuple(r[k] for k in keys)}x{r['n']}" for r in offenders)
+        )
+    return df
+
+
+def assert_row_conservation(
+    before: DataFrame | int, after: DataFrame, tolerance: float = 0.0
+) -> DataFrame:
+    """Row-count conservation across a transform (dvf/geoloc:319)."""
+    n_before = before if isinstance(before, int) else before.count()
+    n_after = after.count()
+    if abs(n_after - n_before) > tolerance * max(n_before, 1):
+        raise DataQualityError(
+            f"row conservation violated: {n_before} -> {n_after} "
+            f"(tolerance {tolerance:.1%})"
+        )
+    return after
+
+
+def assert_columns(df: DataFrame, required: list[str]) -> DataFrame:
+    """Schema expectation (elections/aggregation:103)."""
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise DataQualityError(f"missing required columns: {missing}")
+    return df
+
+
+def assert_fresh(
+    df: DataFrame,
+    ts_col: str,
+    max_age: _dt.timedelta,
+    now: _dt.datetime | None = None,
+) -> DataFrame:
+    """ST7 freshness guard: newest row must be younger than ``max_age``
+    (sirene/stock:77-90 reject-stale-stock)."""
+    row = df.agg(F.max(ts_col).alias("newest")).collect()[0]
+    newest = row["newest"]
+    if newest is None:
+        raise DataQualityError(f"freshness check on empty frame ({ts_col})")
+    ref = now or _dt.datetime.now(tz=newest.tzinfo if hasattr(newest, "tzinfo") else None)
+    if isinstance(newest, _dt.date) and not isinstance(newest, _dt.datetime):
+        newest = _dt.datetime.combine(newest, _dt.time())
+        ref = _dt.datetime.combine(ref.date() if isinstance(ref, _dt.datetime) else ref, _dt.time())
+    if ref - newest > max_age:
+        raise DataQualityError(
+            f"stale data: newest {ts_col}={newest}, older than {max_age}"
+        )
+    return df
+
+
+def assert_non_empty(df: DataFrame, context: str = "") -> DataFrame:
+    if df.limit(1).count() == 0:
+        raise DataQualityError(f"empty frame{': ' + context if context else ''}")
+    return df
