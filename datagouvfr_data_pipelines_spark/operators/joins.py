@@ -69,6 +69,32 @@ def join_aggregated(
     return fact.join(sub, on=keys, how=how)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the skewed side, replicate the other.
+
+    For hot keys (a handful of values carrying most rows — the reference's
+    meteo prefix-batch growing loop is exactly this problem,
+    meteo/pg_processing/task_functions.py:538-556), AQE's skew splitting
+    handles sort-merge joins; this helper is the explicit form for cases AQE
+    can't split (e.g. skewed aggregate-then-join pipelines): the skewed side
+    gets a deterministic salt from its row content hash, the other side is
+    replicated across all ``salt_buckets``, and the join key becomes
+    (key, salt) — spreading each hot key over ``salt_buckets`` tasks.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    left = skewed.withColumn("__salt", salt.cast("int"))
+    buckets = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    right = other.withColumn("__salt", F.explode(buckets))
+    out = left.join(right, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,

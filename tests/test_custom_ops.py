@@ -1,0 +1,114 @@
+"""Salted join, applyInPandas grouped ops, stateful streaming session op."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.operators.grouped_custom import (
+    distribution_bins_fixed,
+    grouped_normalize,
+)
+from datagouvfr_data_pipelines_spark.operators.joins import salted_join
+from datagouvfr_data_pipelines_spark.streaming.stateful import sessionize_stream
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (9 of 12 rows) + dim table
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(9)] + [("a", 1), ("b", 2), ("c", 3)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("a", "A"), ("b", "B")], "k string, label string"
+    )
+    plain = {(r["k"], r["v"], r["label"]) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["label"])
+        for r in salted_join(fact, dim, "k", salt_buckets=4).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 11  # 9 hot + a + b; c unmatched dropped (inner)
+
+
+def test_distribution_bins_fixed(spark):
+    import random
+
+    random.seed(7)
+    rows = [("paris", float(random.randint(1000, 500000))) for _ in range(500)]
+    rows += [("tinyville", 100.0)] * 5  # below the 100-row floor
+    df = spark.createDataFrame(rows, "commune string, prix double")
+    out = distribution_bins_fixed(df, ["commune"], "prix", min_rows=100)
+    got = {r["commune"]: r for r in out.collect()}
+    assert set(got) == {"paris"}          # floor excluded tinyville
+    r = got["paris"]
+    assert len(r["bins"]) == 11 and len(r["volumes"]) == 10
+    assert sum(r["volumes"]) == 500        # histogram conserves rows
+    assert all(b2 > b1 for b1, b2 in zip(r["bins"], r["bins"][1:]))  # repaired edges
+
+
+def test_grouped_normalize(spark):
+    df = spark.createDataFrame(
+        [("g1", 10.0), ("g1", 20.0), ("g1", 30.0), ("g2", 5.0)],
+        "g string, v double",
+    )
+    out = {(r["g"], r["v"]): r["normalized"] for r in grouped_normalize(df, ["g"], "v").collect()}
+    assert out[("g1", 10.0)] == 0.0 and out[("g1", 30.0)] == 1.0
+    assert out[("g1", 20.0)] == 0.5
+    assert out[("g2", 5.0)] == 0.0  # degenerate single-value group
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps sessions open ACROSS micro-batches."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        stage = str(tmp_path / "stage")
+        spark.createDataFrame(rows, "user_id long, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(glob.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    land([(1, t0), (1, t0 + dt.timedelta(minutes=5))], "b1.parquet")
+
+    schema = "user_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = sessionize_stream(stream, gap_seconds=1800)
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(results) == 1
+    assert (results[0]["session_id"], results[0]["n_events"]) == (1, 2)
+
+    # batch 2: one event 10 min later (same session), one 2 h later (new)
+    land(
+        [(1, t0 + dt.timedelta(minutes=15)), (1, t0 + dt.timedelta(hours=3))],
+        "b2.parquet",
+    )
+    q2 = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    by_session = {r["session_id"]: r for r in results[1:]}
+    # session 1 extended to 3 events (state survived the batch boundary),
+    # session 2 opened with 1 event
+    assert by_session[1]["n_events"] == 3
+    assert by_session[2]["n_events"] == 1
