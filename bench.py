@@ -26,6 +26,8 @@ HEADLINE = [
     "j1_brand_revenue",       # broadcast join + agg
     "a13_rollup_totals",      # rollup, two broadcast joins
     "a16_monthly_rollup",     # date_trunc rollup
+    "a1_pivot_stats",         # pivot with explicit values
+    "a8_histogram",           # two-pass equal-width histogram
     "j5_customer_totals",     # join vs aggregated subquery
     "w2_latest_order_per_customer",  # window dedup
     "w1_event_sessions",      # sessionization window
@@ -35,6 +37,7 @@ HEADLINE = [
     "t_quality_scores",       # text heuristics (higher-order fns)
     "d_minhash_neardups",     # minhash LSH + verify
     "sim_topk_cosine",        # embedding brute-force top-k
+    "emb_neardup_pairs",      # IVF-bucketed cosine pairs
 ]
 
 
@@ -60,6 +63,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Baseline column (BASELINE.md: "the DuckDB oracle timing at sf0.1
+    # serves as the baseline"): time each query's oracle SQL in DuckDB on
+    # the same tables. Disable with SPARK_GRAFT_BENCH_ORACLE=0.
+    oracle_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        import duckdb
+
+        oracles = plans.oracle_sql()
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        for name in HEADLINE:
+            if name in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                oracle_timings[name] = round(time.perf_counter() - t0, 3)
+        con.close()
+
     print(
         json.dumps(
             {
@@ -67,6 +94,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "oracle_duckdb_sec": oracle_timings,
+                "oracle_total_sec": round(sum(oracle_timings.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
