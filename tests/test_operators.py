@@ -1,0 +1,99 @@
+"""Unit coverage for operator-library functions not exercised by the
+oracle catalog: change detection, membership split, CDC heuristics, null
+policy, top-k, conditional counts on empty frames."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from datagouvfr_data_pipelines_spark.operators.aggregates import (
+    conditional_count_agg,
+    top_k_by,
+)
+from datagouvfr_data_pipelines_spark.operators.cleaning import null_policy
+from datagouvfr_data_pipelines_spark.operators.setops import (
+    apply_cdc_full_replace_heuristic,
+    cdc_diff,
+    membership_split,
+)
+from datagouvfr_data_pipelines_spark.operators.windows import (
+    change_detection_ids,
+    keep_best_row,
+)
+
+
+def test_change_detection_ids(spark):
+    """W1 mutation-id shape: new group when (date, price) changes after sort
+    (dvf/geoloc:257-268)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 100.0),
+            (2, "2024-01-01", 100.0),   # same sale -> same id
+            (3, "2024-01-01", 250.0),   # price changed -> new id
+            (4, "2024-02-01", 250.0),   # date changed -> new id
+        ],
+        "row_id int, d string, prix double",
+    )
+    out = change_detection_ids(
+        df, [F.col("d").asc(), F.col("prix").asc(), F.col("row_id").asc()],
+        ["d", "prix"],
+    )
+    ids = {r["row_id"]: r["group_id"] for r in out.collect()}
+    assert ids[1] == ids[2]
+    assert len({ids[1], ids[3], ids[4]}) == 3
+
+
+def test_membership_split(spark):
+    cands = spark.createDataFrame([("f1",), ("f2",), ("f3",)], "name string")
+    ledger = spark.createDataFrame([("f2",)], "name string")
+    todo, done = membership_split(cands, ledger, ["name"])
+    assert sorted(r["name"] for r in todo.collect()) == ["f1", "f3"]
+    assert [r["name"] for r in done.collect()] == ["f2"]
+
+
+def test_cdc_full_replace_heuristic(spark):
+    old = spark.createDataFrame([(i,) for i in range(30)], "k int")
+    new = spark.createDataFrame([(i,) for i in range(25, 40)], "k int")
+    diff = cdc_diff(new, old)
+    assert apply_cdc_full_replace_heuristic(diff, full_replace_threshold=10) == "full_replace"
+    assert apply_cdc_full_replace_heuristic(diff, full_replace_threshold=100) == "merge"
+
+
+def test_null_policy(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (float("inf"), "b"), (None, None)], "v double, s string"
+    )
+    out = null_policy(df, inf_to_null=["v"], fills={"s": "?"})
+    rows = {(r["v"], r["s"]) for r in out.collect()}
+    assert rows == {(1.0, "a"), (None, "b"), (None, "?")}
+    dropped = null_policy(df, inf_to_null=["v"], drop_subset=["v"])
+    assert dropped.count() == 1
+
+
+def test_top_k_by(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(10)], "v int, g int")
+    top = top_k_by(df, "v", 3)
+    assert sorted(r["v"] for r in top.collect()) == [7, 8, 9]
+    bottom = top_k_by(df, "v", 2, ascending=True)
+    assert sorted(r["v"] for r in bottom.collect()) == [0, 1]
+
+
+def test_conditional_count_agg_empty_input(spark):
+    df = spark.createDataFrame([], "d string, seg string")
+    out = conditional_count_agg(df, ["d"], {"nb_x": F.col("seg") == "x"})
+    assert out.count() == 0
+    assert set(out.columns) == {"d", "nb_x", "nb_total"}
+
+
+def test_keep_best_row_deterministic_under_repartition(spark):
+    """The determinism property that bans dropDuplicates-after-sort: the
+    window form returns the same survivor regardless of partitioning."""
+    rows = [("k", i, f"v{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, pri int, payload string")
+    expected = [("k", 49, "v49")]
+    for nparts in (1, 7, 32):
+        out = keep_best_row(
+            df.repartition(nparts), ["k"], [F.col("pri").desc()]
+        ).collect()
+        assert [(r["k"], r["pri"], r["payload"]) for r in out] == expected
