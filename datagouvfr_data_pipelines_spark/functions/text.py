@@ -100,6 +100,24 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
+SPAM_WORDS = [
+    "viagra", "casino", "crypto", "forex", "loan", "bet", "jackpot",
+    "hack", "cheat", "free-money", "xxx",
+]
+
+
+def spam_score(col: Column | str, spam_words: list[str] | None = None) -> Column:
+    """F4: spam detection — fraction of tokens (accent-folded, lowercased)
+    matching the spam word list (utils/datagouv.py:21-72 word list applied
+    at activites:35-51 after unidecode). Pure column expression."""
+    from datagouvfr_data_pipelines_spark.operators.cleaning import fold_accents
+
+    words = F.array(*[F.lit(w) for w in (spam_words or SPAM_WORDS)])
+    tk = tokens(fold_accents(col))
+    n_spam = F.size(F.filter(tk, lambda t: F.array_contains(words, t)))
+    return n_spam.cast("double") / F.greatest(F.size(tk), F.lit(1)).cast("double")
+
+
 def fingerprint_sha(col: Column | str) -> Column:
     """Normalized-content fingerprint: sha256 of lowercased collapsed text."""
     c = F.lower(F.trim(F.regexp_replace(_col(col), "\\s+", " ")))

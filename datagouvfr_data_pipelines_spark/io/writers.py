@@ -120,6 +120,40 @@ def write_json_records(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_geoparquet_points(
+    df: DataFrame,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    compression: str = "zstd",
+    row_group_rows: int = 20_000,
+) -> None:
+    """S17: GeoParquet-style point sink (utils/conversions.py:65-142).
+
+    Reproduces the reference's layout decisions Spark-side, without DuckDB
+    spatial or Sedona:
+    - per-row ``bbox`` struct (xmin/ymin/xmax/ymax — degenerate for points);
+    - rows ordered along a space-filling curve (Morton z-order standing in
+      for ST_Hilbert) so parquet row-group min/max stats prune spatial
+      queries;
+    - zstd compression, bounded row groups (20k, conversions.py:74).
+    Full GeoParquet "geo" file metadata needs a pyarrow rewrite step and is
+    out of engine scope; readers that rely on column stats work as-is.
+    """
+    from datagouvfr_data_pipelines_spark.functions.geo import bbox_struct, morton_key
+
+    ordered = (
+        df.withColumn("bbox", bbox_struct(lon_col, lat_col))
+        .orderBy(morton_key(lon_col, lat_col))
+    )
+    (
+        ordered.write.mode("overwrite")
+        .option("compression", compression)
+        .option("parquet.block.size", str(row_group_rows * 256))
+        .parquet(path)
+    )
+
+
 def geojson_feature_collection(
     df: DataFrame, lon_col: str, lat_col: str, property_cols: list[str]
 ) -> str:
