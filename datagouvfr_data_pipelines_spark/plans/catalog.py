@@ -45,6 +45,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``div 1000`` is lossless and matches DuckDB's TIMESTAMP_NS -> TIMESTAMP
     coercion exactly.
     """
+    # timestamps must collect in UTC to line up with DuckDB's naive
+    # timestamps regardless of the caller session's timezone config
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
