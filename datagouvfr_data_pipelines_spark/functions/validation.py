@@ -1,0 +1,70 @@
+"""F3: per-resource validation with modification-date caching.
+
+Reference: each (resource x schema-version) is validated through the Validata
+HTTP API, skipped when the stored report is newer than the resource's
+last_modified (schema/utils/consolidation.py:292-361). The HTTP service is a
+driver-side connector; the ENGINE part — deciding what to validate and
+merging results back — is the cache-join pattern below, identical in shape
+to the geocode cascade.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+VALIDATION_SCHEMA = "resource_id string, is_valid boolean, n_errors int, validated_at string"
+
+
+def validate_resources(
+    resources: DataFrame,
+    report_cache: DataFrame | None,
+    validator: Callable[[pd.Series], pd.DataFrame] | None = None,
+    id_col: str = "resource_id",
+    modified_col: str = "last_modified",
+) -> DataFrame:
+    """Validate only what changed: rows whose cached report is at least as
+    recent as their ``last_modified`` reuse the cache; the rest go through
+    ``validator`` (mapInPandas batch). Returns one report row per resource.
+
+    ``report_cache`` schema: resource_id, is_valid, n_errors, validated_at.
+    """
+    if validator is None:
+        def validator(ids: pd.Series) -> pd.DataFrame:
+            import zlib
+
+            h = ids.map(lambda s: zlib.crc32(str(s).encode()))
+            return pd.DataFrame(
+                {
+                    "resource_id": ids,
+                    "is_valid": (h % 5 != 0),
+                    "n_errors": (h % 5).astype("int32"),
+                    "validated_at": "fake-run",
+                }
+            )
+
+    base = resources.select(
+        F.col(id_col).alias("resource_id"), F.col(modified_col).alias("__mod")
+    )
+    if report_cache is not None:
+        joined = base.join(report_cache, on="resource_id", how="left")
+        fresh = joined.where(
+            F.col("validated_at").isNotNull() & (F.col("validated_at") >= F.col("__mod"))
+        ).select("resource_id", "is_valid", "n_errors", "validated_at")
+        stale = joined.where(
+            F.col("validated_at").isNull() | (F.col("validated_at") < F.col("__mod"))
+        ).select("resource_id")
+    else:
+        fresh = None
+        stale = base.select("resource_id")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf):
+                yield validator(pdf["resource_id"])
+
+    validated = stale.mapInPandas(run, schema=VALIDATION_SCHEMA)
+    return validated if fresh is None else fresh.unionByName(validated)

@@ -1,0 +1,50 @@
+"""S13 file listing + F3 validation cache pattern."""
+
+from __future__ import annotations
+
+from datagouvfr_data_pipelines_spark.functions.validation import validate_resources
+from datagouvfr_data_pipelines_spark.io.listing import files_as_dataframe, list_files
+
+
+def test_list_files_and_glob(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("x")
+    (tmp_path / "b.csv").write_text("xy")
+    (tmp_path / "c.txt").write_text("z")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "d.csv").write_text("deep")
+
+    flat = list_files(spark, str(tmp_path))
+    names = {e.path.rsplit("/", 1)[-1] for e in flat}
+    assert {"a.csv", "b.csv", "c.txt"} <= names and "d.csv" not in names
+
+    rec = list_files(spark, str(tmp_path), recursive=True)
+    assert "d.csv" in {e.path.rsplit("/", 1)[-1] for e in rec}
+
+    globbed = list_files(spark, str(tmp_path), glob="*.csv")
+    assert {e.path.rsplit("/", 1)[-1] for e in globbed} == {"a.csv", "b.csv"}
+    sizes = {e.path.rsplit("/", 1)[-1]: e.size for e in globbed}
+    assert sizes["b.csv"] == 2
+
+    df = files_as_dataframe(spark, globbed)
+    assert df.count() == 2 and set(df.columns) == {"path", "size", "modification_time"}
+
+
+def test_validate_resources_cache_skip(spark):
+    resources = spark.createDataFrame(
+        [("r1", "2024-01-10"), ("r2", "2024-01-10"), ("r3", "2024-01-10")],
+        "resource_id string, last_modified string",
+    )
+    # r1 has a report newer than its modification -> reused; r2's is stale
+    cache = spark.createDataFrame(
+        [("r1", True, 0, "2024-02-01"), ("r2", False, 3, "2023-12-01")],
+        "resource_id string, is_valid boolean, n_errors int, validated_at string",
+    )
+    out = {r["resource_id"]: r for r in validate_resources(resources, cache).collect()}
+    assert set(out) == {"r1", "r2", "r3"}
+    assert out["r1"]["validated_at"] == "2024-02-01"   # cache hit kept
+    assert out["r2"]["validated_at"] == "fake-run"     # stale -> re-validated
+    assert out["r3"]["validated_at"] == "fake-run"     # never validated
+    # no cache at all: everything validated
+    out2 = validate_resources(resources, None)
+    assert out2.count() == 3
