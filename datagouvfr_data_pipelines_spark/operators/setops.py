@@ -48,6 +48,57 @@ def membership_split(
     return todo, done
 
 
+def ordered_cdc_apply(
+    spark,
+    snapshots: list[tuple[str, DataFrame]],
+    sink_path: str,
+    full_replace_threshold: int = 20_000,
+) -> list[str]:
+    """ST6: apply a series of snapshot diffs in deterministic order.
+
+    The reference processes meteo snapshot files latest -> previous -> rest
+    so renamed files neither duplicate nor lose rows
+    (meteo/pg_processing/task_functions.py:237-260), applying each diff
+    delete+insert transactionally with a full-replace fallback above 20k
+    deletions (:563-576).
+
+    Spark-side: snapshots are applied strictly in the given order and each
+    apply converges the sink to THAT snapshot's content (diff -> merge or
+    full-replace via the deletion-count heuristic, atomic write-new + swap).
+    Because the last-applied snapshot wins, callers pass snapshots in the
+    order they should take effect — oldest first for full-state snapshots;
+    the reference's latest->previous->rest order applies to its
+    period-scoped files where each snapshot covers a disjoint period.
+    Returns the per-snapshot strategy decisions for observability.
+    """
+    import os
+    import shutil
+
+    decisions: list[str] = []
+    for name, snap in snapshots:
+        if not os.path.exists(sink_path):
+            snap.write.mode("overwrite").option("compression", "zstd").parquet(sink_path)
+            decisions.append(f"{name}:initial_load")
+            continue
+        current = spark.read.parquet(sink_path)
+        diff = cdc_diff(snap, current)
+        strategy = apply_cdc_full_replace_heuristic(diff, full_replace_threshold)
+        if strategy == "full_replace":
+            result = snap
+        else:
+            result = current.exceptAll(diff.deletions).unionByName(diff.additions)
+        tmp = sink_path.rstrip("/") + "__tmp"
+        result.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        old = sink_path.rstrip("/") + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(sink_path, old)
+        os.rename(tmp, sink_path)
+        shutil.rmtree(old)
+        decisions.append(f"{name}:{strategy}")
+    return decisions
+
+
 def apply_cdc_full_replace_heuristic(
     diff: CdcDiff, full_replace_threshold: int = 20_000
 ) -> str:

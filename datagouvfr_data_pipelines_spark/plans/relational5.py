@@ -57,6 +57,56 @@ def m4_consolidation(spark, sf_dir):
 
 
 @register(
+    "m3_rollup_chain",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, user_id, COUNT(*) AS nb_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS nb_purchase
+      FROM events GROUP BY 1, 2
+    ), monthly AS (
+      SELECT strftime(date_trunc('month', d), '%Y-%m') AS month, user_id,
+             CAST(SUM(nb_events) AS BIGINT) AS nb_events,
+             CAST(SUM(nb_purchase) AS BIGINT) AS nb_purchase
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT m.month, m.user_id, m.nb_events, m.nb_purchase,
+           t.total_events
+    FROM monthly m
+    JOIN (SELECT user_id, CAST(SUM(nb_events) AS BIGINT) AS total_events
+          FROM monthly GROUP BY user_id) t
+    ON m.user_id = t.user_id
+    """,
+    tags=["M3", "A16", "J5", "A4"],
+)
+def m3_rollup_chain(spark, sf_dir):
+    """§3.1 step 7: the materialized-view pyramid as ONE lineage — daily
+    grain -> monthly rollup -> per-id totals joined back
+    (dgv/metrics/sql/create_tables.sql:127-342). In production each level
+    materializes via RollupPyramid (atomic swap); here the chain runs fused
+    so Catalyst reuses the shuffle across levels."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("nb_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "nb_purchase"
+        ),
+    )
+    monthly = daily.groupBy(
+        F.date_format(F.date_trunc("month", F.col("d")), "yyyy-MM").alias("month"),
+        "user_id",
+    ).agg(
+        F.sum("nb_events").alias("nb_events"),
+        F.sum("nb_purchase").alias("nb_purchase"),
+    )
+    totals = monthly.groupBy("user_id").agg(F.sum("nb_events").alias("total_events"))
+    return monthly.join(totals, "user_id").select(
+        "month", "user_id", "nb_events", "nb_purchase", "total_events"
+    )
+
+
+@register(
     "j9_pruned_range_join",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,

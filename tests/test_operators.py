@@ -97,3 +97,23 @@ def test_keep_best_row_deterministic_under_repartition(spark):
             df.repartition(nparts), ["k"], [F.col("pri").desc()]
         ).collect()
         assert [(r["k"], r["pri"], r["payload"]) for r in out] == expected
+
+
+def test_ordered_cdc_apply(spark, tmp_path):
+    from datagouvfr_data_pipelines_spark.operators.setops import ordered_cdc_apply
+
+    sink = str(tmp_path / "state")
+    snap1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    snap2 = spark.createDataFrame([("a", 1), ("b", 20), ("c", 3)], "k string, v int")
+    decisions = ordered_cdc_apply(spark, [("s1", snap1), ("s2", snap2)], sink)
+    assert decisions == ["s1:initial_load", "s2:merge"]
+    state = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert state == {("a", 1), ("b", 20), ("c", 3)}
+
+    # huge deletion count triggers full replace
+    snap3 = spark.createDataFrame([("z", 9)], "k string, v int")
+    decisions2 = ordered_cdc_apply(
+        spark, [("s3", snap3)], sink, full_replace_threshold=1
+    )
+    assert decisions2 == ["s3:full_replace"]
+    assert {tuple(r) for r in spark.read.parquet(sink).collect()} == {("z", 9)}
