@@ -162,6 +162,80 @@ def jaccard_verify(
     )
 
 
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """End-to-end MinHash near-dup pipeline computing shingles ONCE.
+
+    ``minhash_lsh_candidates`` + ``jaccard_verify`` each derive shingles
+    from raw text; at corpus scale the shingle projection is the dominant
+    map cost, so this fused variant materializes (id, shingles) a single
+    time and feeds both the signature/banding path and the exact-Jaccard
+    verify join. Returns (id_a, id_b, jaccard >= threshold).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    base = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    sig = base.groupBy("doc").agg(*aggs).select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+    rows = k // bands
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.hash(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    return joined.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of token-hash bits.
 

@@ -1,0 +1,114 @@
+"""Training-corpus curation pipeline — the BASELINE.json north-star
+composition: quality filter -> language filter -> exact dedup -> MinHash
+near-dup removal -> corpus statistics, end to end on the ``documents`` table.
+
+Every stage is the operator library's scale path: column-expression
+heuristics (no Python), hash-groupBy exact dedup, capped-bucket LSH, and a
+greedy survivor selection that keeps the lowest doc id per near-dup cluster
+(union-find collapsed to min-id via iterated joins — shallow clusters
+converge in 2-3 passes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from datagouvfr_data_pipelines_spark.functions.text import (
+    lang_id,
+    quality_score,
+    token_count_ws,
+)
+from datagouvfr_data_pipelines_spark.operators.dedup import (
+    content_hash,
+    near_duplicate_pairs,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    keep_langs: list[str] | None = None,
+    neardup_threshold: float = 0.8,
+    max_cluster_iterations: int = 5,
+) -> dict[str, DataFrame]:
+    """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
+    "stats": one-row corpus stats}.
+
+    The drop ledger records (doc_id, stage) for every removed document —
+    the reference's report/synthesis habit (consolidation.py:1867-1949)
+    applied to corpus curation.
+    """
+    annotated = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        token_count_ws(text_col).alias("n_tokens"),
+        content_hash(text_col).alias("content_sha"),
+    )
+
+    q_ok = annotated.where(F.col("quality") >= min_quality)
+    q_dropped = annotated.join(q_ok, "doc_id", "left_anti").select(
+        "doc_id", F.lit("quality").alias("stage")
+    )
+
+    if keep_langs:
+        l_ok = q_ok.where(F.col("lang_pred").isin(keep_langs))
+    else:
+        l_ok = q_ok
+    l_dropped = q_ok.join(l_ok, "doc_id", "left_anti").select(
+        "doc_id", F.lit("language").alias("stage")
+    )
+
+    # exact dedup: keep min doc_id per content hash
+    keepers = l_ok.groupBy("content_sha").agg(F.min("doc_id").alias("doc_id"))
+    e_ok = l_ok.join(keepers, ["content_sha", "doc_id"], "left_semi")
+    e_dropped = l_ok.join(e_ok, "doc_id", "left_anti").select(
+        "doc_id", F.lit("exact_dup").alias("stage")
+    )
+
+    # near-dup clusters -> keep the minimum id of each cluster
+    pairs = near_duplicate_pairs(
+        e_ok, "doc_id", "text", threshold=neardup_threshold
+    ).select("id_a", "id_b")
+    # propagate min-id across clusters (id_a < id_b always): map each doc to
+    # the smallest id it connects to, iterate to fixpoint for chains
+    mapping = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("root")
+    )
+    for _ in range(max_cluster_iterations):
+        better = (
+            mapping.alias("m")
+            .join(
+                mapping.alias("r"),
+                F.col("m.root") == F.col("r.doc_id"),
+                "left",
+            )
+            .select(
+                F.col("m.doc_id").alias("doc_id"),
+                F.least(F.col("m.root"), F.col("r.root")).alias("root"),
+            )
+        )
+        if better.exceptAll(mapping).isEmpty():
+            mapping = better
+            break
+        mapping = better
+    nd_ok = e_ok.join(mapping.select("doc_id"), "doc_id", "left_anti")
+    nd_dropped = e_ok.join(nd_ok, "doc_id", "left_anti").select(
+        "doc_id", F.lit("near_dup").alias("stage")
+    )
+
+    dropped = q_dropped.unionByName(l_dropped).unionByName(e_dropped).unionByName(
+        nd_dropped
+    )
+    stats = nd_ok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum((F.col("quality") * 1e6).cast("long")).cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "avg_quality"
+        ),
+    )
+    return {"kept": nd_ok.drop("content_sha"), "dropped": dropped, "stats": stats}

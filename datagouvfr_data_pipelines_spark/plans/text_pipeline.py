@@ -215,6 +215,19 @@ def d_minhash_neardups(spark, sf_dir):
     return jaccard_verify(cands, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
+@register("corpus_curation", oracle=None, tags=["pipeline", "no-oracle"])
+def corpus_curation(spark, sf_dir):
+    """North-star composition: quality filter -> lang filter -> exact dedup
+    -> MinHash near-dup removal over the documents table; returns the kept
+    doc ids + annotations. Rows-only check (MinHash has no SQL oracle);
+    deterministic across runs (seeded signatures, min-id survivors)."""
+    from datagouvfr_data_pipelines_spark.pipelines.corpus import curate_corpus
+
+    docs = table(spark, sf_dir, "documents")
+    out = curate_corpus(docs, min_quality=0.3, neardup_threshold=0.6)
+    return out["kept"].select("doc_id", "quality", "lang_pred", "n_tokens")
+
+
 @register("d_simhash", oracle=None, tags=["dedup-simhash", "no-oracle"])
 def d_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (explode + conditional bit sums). No
