@@ -61,6 +61,67 @@ def a10_pct_of_total(spark, sf_dir):
 
 
 @register(
+    "scalar_url_params",
+    oracle="""
+    WITH urls AS (
+      SELECT event_id,
+             '/api/resources/' || CAST(user_id AS VARCHAR) || '?page=' ||
+             CAST(event_id % 7 AS VARCHAR) || '&fmt=json' AS url
+      FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           string_split(url, '?')[1] AS path,
+           regexp_extract(url, 'page=(\\d+)', 1) AS page,
+           regexp_extract(url, 'fmt=(\\w+)', 1) AS fmt
+    FROM urls
+    """,
+    tags=["scalar-string", "P3"],
+)
+def scalar_url_params(spark, sf_dir):
+    """§2.8 split/extract: URL query-string parsing — the tabular-metrics
+    params extraction (dgv/tabular_metrics/task_functions.py:78-87). The
+    str_to_map form exists too; regexp_extract is used here for oracle
+    parity (DuckDB's map type doesn't hash-compare)."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    url = F.concat(
+        F.lit("/api/resources/"), F.col("user_id").cast("string"),
+        F.lit("?page="), (F.col("event_id") % 7).cast("string"),
+        F.lit("&fmt=json"),
+    )
+    return ev.select(
+        "event_id",
+        F.split(url, "\\?").getItem(0).alias("path"),
+        F.regexp_extract(url, "page=(\\d+)", 1).alias("page"),
+        F.regexp_extract(url, "fmt=(\\w+)", 1).alias("fmt"),
+    )
+
+
+@register(
+    "scalar_ts_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_s,
+           CAST(CAST(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS TIMESTAMP) AS reparsed
+    FROM events WHERE event_id < 200
+    """,
+    tags=["scalar-date"],
+)
+def scalar_ts_parse(spark, sf_dir):
+    """§2.8 date/time: epoch extraction, ISO formatting, round-trip parse
+    (metrics/task.py:126 ISO parse; meteo RFC-ish parses)."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_s"),
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("reparsed"),
+    )
+
+
+@register(
     "o2_derived_key_sort",
     oracle="""
     SELECT p_partkey, p_name
