@@ -42,6 +42,115 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(d / (na * nb))
 
 
+def kmeans_fit(
+    df: "DataFrame",
+    vec_col: str,
+    k: int = 16,
+    iterations: int = 3,
+    seed_mod: int = 9973,
+) -> list[list[float]]:
+    """Lloyd's k-means on an embedding column with pure DataFrame ops — the
+    IVF coarse quantizer trainer.
+
+    Init: deterministic sample (vec hash mod ``seed_mod``) of k rows.
+    Iterate: assign each vector to its nearest centroid (broadcast literal
+    centroid arrays, JVM-side distance folds), recompute centroids via
+    posexplode + groupBy(cell, dim) mean — two shuffles per iteration,
+    no data leaves the cluster. Returns the centroid list (small, driver).
+    Train on a SAMPLE at 100 TB scale; assignment stays full-data.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    seeds = (
+        df.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(vec_col).cast("array<string>")), F.lit(seed_mod)))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _i in range(iterations):
+        assigned = df.select(
+            F.col(vec_col).alias("v"),
+            nearest_centroid(vec_col, centroids).alias("cell"),
+        )
+        # decimal sums: centroid updates must be bit-identical across runs
+        # and shuffle orders, else boundary points flip cells run-to-run
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        rows = sums.collect()
+        new = [list(c) for c in centroids]
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in rows:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
+            cnt[r["cell"]] = r["n"]
+        for cell, vec in acc.items():
+            new[cell] = [x / cnt[cell] for x in vec]
+        centroids = new
+    return centroids
+
+
+def nearest_centroid(vec: Column | str, centroids: list[list[float]]) -> Column:
+    """Cell id = argmin squared L2 distance to the (literal) centroids.
+
+    Centroids are embedded as array literals so the whole assignment is one
+    JVM-side projection — no UDF, no join.
+    """
+    v = _col(vec)
+    best_cell = F.lit(0)
+    best_dist = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_dist is None:
+            best_dist = d
+        else:
+            best_cell = F.when(d < best_dist, F.lit(i)).otherwise(best_cell)
+            best_dist = F.least(d, best_dist)
+    return best_cell.cast("int")
+
+
+def ivf_search(
+    df: "DataFrame",
+    vec_col: str,
+    id_col: str,
+    probe: list[float],
+    centroids: list[list[float]],
+    n_probe_cells: int = 2,
+    top_k: int = 10,
+) -> "DataFrame":
+    """ANN search: score only vectors in the ``n_probe_cells`` cells nearest
+    the probe — the IVF scale path (search cost / n_cells, recall tuned by
+    n_probe_cells)."""
+    import numpy as np
+
+    c = np.array(centroids)
+    p = np.array(probe)
+    d2 = ((c - p) ** 2).sum(axis=1)
+    probe_cells = [int(i) for i in d2.argsort()[:n_probe_cells]]
+    parr = F.array(*[F.lit(float(x)) for x in probe])
+    candidates = df.where(
+        nearest_centroid(vec_col, centroids).isin(probe_cells)
+    )
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine(vec_col, parr), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
 def ivf_cell(a: Column | str, n_cells: int = 64) -> Column:
     """Cheap IVF-style cell assignment: sign-bits of the first log2(n) dims.
 

@@ -28,6 +28,7 @@ def read_xml(
     fields: dict[str, str],
     child_tag: str | None = None,
     child_fields: dict[str, str] | None = None,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """Parse XML files into rows.
 
@@ -35,9 +36,15 @@ def read_xml(
     element text (``tag``) of each ``row_tag`` element. With ``child_tag``,
     emits one row per child element instead (joined to the parent's fields) —
     the explode of nested prix/rupture/horaires.
+
+    ``mode``: "FAILFAST" (default) raises on malformed XML; "PERMISSIVE"
+    emits one row per bad file with ``_corrupt_file`` set and all fields
+    NULL (mirroring Spark CSV/JSON permissive semantics).
     """
     schema_cols = list(fields) + (list(child_fields or {}) if child_tag else [])
-    schema = ", ".join(f"{c} string" for c in ["source_file", *schema_cols])
+    schema = ", ".join(
+        f"{c} string" for c in ["source_file", *schema_cols, "_corrupt_file"]
+    )
 
     def extract(elem, spec: dict[str, str]) -> dict:
         out = {}
@@ -55,7 +62,15 @@ def read_xml(
         for pdf in it:
             rows = []
             for _, file_row in pdf.iterrows():
-                root = ET.fromstring(bytes(file_row["content"]))
+                try:
+                    root = ET.fromstring(bytes(file_row["content"]))
+                except ET.ParseError as e:
+                    if mode == "PERMISSIVE":
+                        rows.append(
+                            {"source_file": file_row["path"], "_corrupt_file": str(e)}
+                        )
+                        continue
+                    raise
                 elems = (
                     [root] if root.tag == row_tag else root.iter(row_tag)
                 )
@@ -68,7 +83,9 @@ def read_xml(
                             rows.append(
                                 {**base, **extract(child, child_fields or {})}
                             )
-            yield pd.DataFrame(rows, columns=["source_file", *schema_cols])
+            yield pd.DataFrame(
+                rows, columns=["source_file", *schema_cols, "_corrupt_file"]
+            )
 
     raw = spark.read.format("binaryFile").load(path_glob)
     return raw.select("path", "content").mapInPandas(parse, schema=schema)

@@ -236,6 +236,72 @@ def near_duplicate_pairs(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming search.
+
+    Pigeonhole: two 64-bit fingerprints within Hamming distance d must share
+    at least one of ``bands`` contiguous 16-bit bands when d < bands. So:
+    band the fingerprints (one shuffle), pair bucket-locally, verify with
+    ``bit_count(xor) <= max_hamming``. Same candidate-bounding shape as the
+    MinHash LSH path — no O(n²) scan.
+    """
+    fp = simhash64(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc"), F.col("simhash")))
+            ).alias("ds")
+        )
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket_size))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc"].alias("id_a"),
+                    y["doc"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of token-hash bits.
 

@@ -228,6 +228,35 @@ def corpus_curation(spark, sf_dir):
     return out["kept"].select("doc_id", "quality", "lang_pred", "n_tokens")
 
 
+@register("d_simhash_neardups", oracle=None, tags=["dedup-simhash", "no-oracle"])
+def d_simhash_neardups(spark, sf_dir):
+    """SimHash banded-Hamming near-dup pairs (pigeonhole over 4x16-bit
+    bands, bit_count(xor) verify). Rows-only check (xxhash64)."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("sim_ivf_search", oracle=None, tags=["similarity", "ann", "no-oracle"])
+def sim_ivf_search(spark, sf_dir):
+    """True-IVF ANN: k-means coarse quantizer (DataFrame Lloyd's, decimal-
+    exact updates) + n-probe cell-restricted cosine top-k. Rows-only check;
+    deterministic (seeded init, exact centroid sums)."""
+    import pyspark.sql.functions as FF
+
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        ivf_search,
+        kmeans_fit,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, "embedding", k=8, iterations=2)
+    probe = [float(x) for x in emb.where(FF.col("vec_id") == 3).first()["embedding"]]
+    return ivf_search(emb, "embedding", "vec_id", probe, centroids,
+                      n_probe_cells=3, top_k=10)
+
+
 @register("d_simhash", oracle=None, tags=["dedup-simhash", "no-oracle"])
 def d_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (explode + conditional bit sums). No

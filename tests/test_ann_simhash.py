@@ -1,0 +1,91 @@
+"""k-means IVF index + SimHash banded near-dups + permissive XML."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.functions.similarity import (
+    cosine,
+    ivf_search,
+    kmeans_fit,
+    nearest_centroid,
+)
+from datagouvfr_data_pipelines_spark.io.xml_reader import read_xml
+from datagouvfr_data_pipelines_spark.operators.dedup import simhash_neardup_pairs
+
+
+def test_kmeans_ivf_search(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = kmeans_fit(emb, "embedding", k=8, iterations=2)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    # assignment covers all rows and is stable
+    cells = emb.select(nearest_centroid("embedding", centroids).alias("c"))
+    counts = {r["c"]: 1 for r in cells.distinct().collect()}
+    assert all(0 <= c < 8 for c in counts)
+
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    top = ivf_search(emb, "embedding", "vec_id", probe, centroids,
+                     n_probe_cells=3, top_k=5).collect()
+    assert len(top) == 5
+    # the probe vector itself must be its own nearest neighbor
+    assert top[0]["vec_id"] == 3 and top[0]["sim"] == 1.0
+    # sims sorted descending
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with enough probe cells should recover most of the brute-force
+    top-k (recall sanity, not exactness)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    parr = F.array(*[F.lit(x) for x in probe])
+    brute = [
+        r["vec_id"]
+        for r in emb.select("vec_id", F.round(cosine("embedding", parr), 6).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    centroids = kmeans_fit(emb, "embedding", k=8, iterations=2)
+    approx = [
+        r["vec_id"]
+        for r in ivf_search(
+            emb, "embedding", "vec_id", probe, centroids, n_probe_cells=4, top_k=10
+        ).collect()
+    ]
+    overlap = len(set(brute) & set(approx))
+    assert overlap >= 5, f"recall too low: {overlap}/10"
+
+
+def test_simhash_neardup_pairs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the morning light across the quiet valley"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " today"),     # near-identical -> tiny hamming
+            (3, "completely different content about spark query engines and "
+                "distributed joins with shuffles and partitions everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} or 3 not in p for p in got)
+
+
+def test_read_xml_permissive(spark, tmp_path):
+    (tmp_path / "ok.xml").write_text('<l><pdv id="A"/></l>')
+    (tmp_path / "bad.xml").write_text("<unclosed>")
+    df = read_xml(
+        spark, str(tmp_path) + "/*.xml", "pdv", {"pdv_id": "@id"}, mode="PERMISSIVE"
+    )
+    rows = df.collect()
+    ok = [r for r in rows if r["_corrupt_file"] is None]
+    bad = [r for r in rows if r["_corrupt_file"] is not None]
+    assert len(ok) == 1 and ok[0]["pdv_id"] == "A"
+    assert len(bad) == 1 and "bad.xml" in bad[0]["source_file"]
