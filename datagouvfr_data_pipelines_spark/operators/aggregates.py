@@ -94,10 +94,13 @@ def zero_fill_combinations(
     """A12: ensure every dim combination exists, filling absent measures.
 
     ``dims`` is the (small) universe of key combinations — typically built by
-    cross-joining distinct dimension values; it is broadcast. Mirrors
-    carburants/scripts/generate_kpis_rupture.py:137-159.
+    cross-joining distinct dimension values. The AGGREGATED side is broadcast:
+    it is post-aggregation (small by construction) and, being the right side
+    of the left join, is actually broadcastable — broadcasting the left/dims
+    side of a left-outer join is impossible and silently degrades to a
+    sort-merge join. Mirrors carburants/scripts/generate_kpis_rupture.py:137-159.
     """
-    out = F.broadcast(dims).join(aggregated, on=keys, how="left")
+    out = dims.join(F.broadcast(aggregated), on=keys, how="left")
     return out.na.fill(dict(fill))
 
 

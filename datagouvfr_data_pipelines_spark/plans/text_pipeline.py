@@ -208,11 +208,16 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 @register("d_minhash_neardups", oracle=None, tags=["dedup-minhash", "no-oracle"])
 def d_minhash_neardups(spark, sf_dir):
     """MinHash+LSH near-dup pipeline: shingle -> 64-perm signature -> 8-band
-    LSH candidates (capped buckets) -> exact Jaccard verify (threshold 0.5).
-    No DuckDB oracle (xxhash64); driver records a rows-only check."""
+    LSH candidates (capped buckets) -> exact Jaccard verify (threshold 0.5),
+    using the fused operator that computes shingles once for both the
+    signature and verify stages. No DuckDB oracle (xxhash64); driver
+    records a rows-only check."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import near_duplicate_pairs
+
     docs = table(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, "doc_id", "text", k=64, bands=8, shingle_n=3)
-    return jaccard_verify(cands, docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return near_duplicate_pairs(
+        docs, "doc_id", "text", k=64, bands=8, shingle_n=3, threshold=0.5
+    )
 
 
 @register("corpus_curation", oracle=None, tags=["pipeline", "no-oracle"])
