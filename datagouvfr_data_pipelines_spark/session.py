@@ -53,8 +53,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load the star-schema parquet tables under ``sf_dir`` and register temp views.
 
     Returns {name: DataFrame}. Parquet scans get column pruning + predicate
-    pushdown from Catalyst for free; do not pre-materialize.
+    pushdown from Catalyst for free; do not pre-materialize. Delegates to
+    ``plans.catalog.table`` so the nanos-timestamp events table is
+    normalized consistently.
     """
+    from datagouvfr_data_pipelines_spark.plans.catalog import table
+
     names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
@@ -63,7 +67,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
