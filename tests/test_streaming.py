@@ -82,3 +82,68 @@ def test_tumbling_window_counts(spark):
     out = tumbling_window_counts(df, "ts", "1 day")
     rows = {str(r["window_start"]): r["nb"] for r in out.collect()}
     assert rows == {"2024-01-01 00:00:00": 2, "2024-01-02 00:00:00": 1}
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Event-time watermark: aggregates finalize once the watermark passes,
+    and events older than the watermark are dropped (the late-data story
+    SURVEY §2.9 notes the reference lacks — ST2 reprocessing is its
+    substitute; this is the true streaming semantics)."""
+    import datetime as dt
+    import glob as globmod
+    import shutil
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "wckpt")
+
+    def land(rows, name):
+        stage = str(tmp_path / "wstage")
+        spark.createDataFrame(rows, "k string, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(globmod.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: events at 10:00 and 12:00 -> watermark advances to 11:50
+    land([("a", t0), ("a", t0 + dt.timedelta(hours=2))], "w1.parquet")
+
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .select(F.col("w.start").alias("ws"), "k", "nb")
+    )
+    emitted = []
+
+    def run_drain():
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda b, i: emitted.extend(b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_drain()
+    # batch 2: an on-time event (12:30) plus a LATE event at 10:30 (before
+    # the 11:50 watermark) -> the late one must not resurrect the 10:00 window
+    land(
+        [("a", t0 + dt.timedelta(hours=2, minutes=30)),
+         ("a", t0 + dt.timedelta(minutes=30))],
+        "w2.parquet",
+    )
+    run_drain()
+    # final drain to flush closed windows
+    land([("a", t0 + dt.timedelta(hours=5))], "w3.parquet")
+    run_drain()
+
+    by_window = {}
+    for r in emitted:
+        by_window[str(r["ws"])] = by_window.get(str(r["ws"]), 0) + r["nb"]
+    # 10:00 window closed with ONLY the on-time event; the late 10:30 event
+    # was dropped by the watermark
+    assert by_window.get("2024-01-01 10:00:00") == 1, by_window
