@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the determinism-critical operators.
+
+The reference has no property tests (SURVEY §5); these pin the algebraic
+contracts the engine's correctness model rests on. Strategies are kept small
+(Spark round-trips per example are expensive) but unconstrained in shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datagouvfr_data_pipelines_spark.operators.setops import cdc_diff
+from datagouvfr_data_pipelines_spark.operators.windows import keep_best_row
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(old_rows=rows_strategy, new_rows=rows_strategy)
+def test_cdc_diff_reconstruction_property(spark, old_rows, new_rows):
+    """old - deletions + additions == new, as MULTISETS, for any inputs."""
+    from collections import Counter
+
+    old = spark.createDataFrame(old_rows, "k string, v int") if old_rows else \
+        spark.createDataFrame([], "k string, v int")
+    new = spark.createDataFrame(new_rows, "k string, v int") if new_rows else \
+        spark.createDataFrame([], "k string, v int")
+    d = cdc_diff(new, old)
+    adds = Counter(tuple(r) for r in d.additions.collect())
+    dels = Counter(tuple(r) for r in d.deletions.collect())
+    reconstructed = Counter(old_rows) - dels + adds
+    assert reconstructed == Counter(new_rows)
+    # additions and deletions never overlap (a row can't be both)
+    assert not (adds & dels)
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_keep_best_row_matches_python_argmax(spark, rows):
+    """Window dedup == per-key python max under the same total order."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        (r["k"], r["v"])
+        for r in keep_best_row(df, ["k"], [F.col("v").desc()]).collect()
+    }
+    expected = {}
+    for k, v in rows:
+        expected[k] = max(expected.get(k, -1), v)
+    assert got == {(k, v) for k, v in expected.items()}
+
+
+@SETTINGS
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_decimal_sum_partition_invariance(spark, values):
+    """dsum is identical under any partitioning (the 1000-executor
+    property float sums lack)."""
+    from datagouvfr_data_pipelines_spark.operators.aggregates import dsum
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    results = {
+        df.repartition(n).agg(dsum("x", "s")).collect()[0]["s"]
+        for n in (1, 3, 17)
+    }
+    assert len(results) == 1
+
+
+def test_asof_join_edges(spark):
+    """As-of join: empty right side -> all-null carry; probe before any
+    state -> null; exact-timestamp tie -> state at same ts IS taken."""
+    from datagouvfr_data_pipelines_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-05"), (1, "2024-01-01"), (2, "2024-01-05")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-03", 100.0), (1, "2024-01-05", 200.0)],
+        "k int, rts string, val double",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "val")
+
+    out = asof_join_backward(left, right, "k", "ts", "rts", ["val"])
+    got = {(r["k"], str(r["ts"])[:10]): r["val"] for r in out.collect()}
+    assert got[(1, "2024-01-01")] is None      # probe before any state
+    assert got[(1, "2024-01-05")] == 200.0     # same-instant state counts
+    assert got[(2, "2024-01-05")] is None      # key with no state at all
+
+    empty_right = right.where("1=0")
+    out2 = asof_join_backward(left, empty_right, "k", "ts", "rts", ["val"])
+    assert all(r["val"] is None for r in out2.collect())
+    assert out2.count() == left.count()
+
+
+def test_csv_permissive_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE read: malformed rows null out instead of failing the scan."""
+    p = tmp_path / "bad.csv"
+    p.write_text("id;v\n1;2.5\nnot_an_int;xyz\n3;4.5\n")
+    from datagouvfr_data_pipelines_spark.io.readers import read_csv_typed
+
+    df = read_csv_typed(spark, str(p), "id int, v double", sep=";")
+    rows = df.collect()
+    assert len(rows) == 3
+    ok = [r for r in rows if r["id"] is not None]
+    assert {r["id"] for r in ok} == {1, 3}
