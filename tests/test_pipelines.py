@@ -113,10 +113,22 @@ def test_rollup_pyramid_atomic_swap(spark, tmp_path):
     tables = pyr.refresh_all()
     total = {r["obj"]: r["nb"] for r in tables["visits_total"].collect()}
     assert total == {"d1": 8, "d2": 7}
-    # second refresh (the CONCURRENTLY property): readers see a complete
-    # table before, during and after
+    # the CONCURRENTLY property: a reader that opened the table BEFORE the
+    # next refresh keeps a working snapshot after it (old generation
+    # retained), and new readers see the new generation
+    old_reader = pyr.read("visits_total")
     tables2 = pyr.refresh_all()
     assert {r["obj"]: r["nb"] for r in tables2["visits_total"].collect()} == total
+    assert {r["obj"]: r["nb"] for r in old_reader.collect()} == total  # still readable
+    assert pyr.current_generation("visits_total") == 1
+    # a third refresh retires generation 0 (keep_generations=2)
+    pyr.refresh_all()
+    import os
+
+    gens = sorted(
+        e for e in os.listdir(base + "/visits_total") if e.startswith("gen=")
+    )
+    assert gens == ["gen=1", "gen=2"]
 
 
 def test_transitive_closure(spark):
