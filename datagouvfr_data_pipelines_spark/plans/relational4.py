@@ -12,7 +12,7 @@ from datagouvfr_data_pipelines_spark.plans.catalog import register, table
 @register(
     "j3_right_join_cache",
     oracle="""
-    SELECT t.o_custkey AS c_custkey, c.c_name,
+    SELECT c.c_custkey, c.c_name,
            t.nb_orders
     FROM (SELECT o_custkey, COUNT(*) AS nb_orders FROM orders GROUP BY o_custkey) t
     RIGHT JOIN customer c ON t.o_custkey = c.c_custkey
