@@ -51,22 +51,35 @@ def a1_pivot_stats(spark, sf_dir):
 @register(
     "a8_quantile_bins",
     oracle="""
+    WITH q AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS bins,
+             COUNT(*) AS nb
+      FROM orders GROUP BY o_orderstatus)
     SELECT o_orderstatus,
-           quantile_cont(o_totalprice, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS bins,
-           COUNT(*) AS nb
-    FROM orders GROUP BY o_orderstatus
+           CAST(generate_subscripts(bins, 1) - 1 AS INTEGER) AS decile,
+           unnest(bins) AS edge,
+           nb
+    FROM q
     """,
     tags=["A8"],
 )
 def a8_quantile_bins(spark, sf_dir):
     """A8: exact decile bin edges per group (dvf/explore:839-896). Exact
     percentile for oracle parity; at 100 TB switch to
-    percentile_approx(col, probs, 10000) with documented tolerance."""
+    percentile_approx(col, probs, 10000) with documented tolerance.
+    The edges are exploded to (group, decile, edge) scalar rows so every
+    output column is hash-canonicalizable by the driver gate."""
     orders = table(spark, sf_dir, "orders")
     probs = F.array(*[F.lit(i / 10.0) for i in range(11)])
-    return orders.groupBy("o_orderstatus").agg(
+    binned = orders.groupBy("o_orderstatus").agg(
         F.percentile(F.col("o_totalprice"), probs).alias("bins"),
         F.count(F.lit(1)).alias("nb"),
+    )
+    return binned.select(
+        "o_orderstatus",
+        F.posexplode("bins").alias("decile", "edge"),
+        "nb",
     )
 
 
@@ -108,7 +121,8 @@ def a8_histogram(spark, sf_dir):
 @register(
     "a17_collect_nations",
     oracle="""
-    SELECT r_name, list_sort(list(n_name)) AS nations, COUNT(*) AS nb_nations
+    SELECT r_name, array_to_string(list_sort(list(n_name)), '|') AS nations,
+           COUNT(*) AS nb_nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
@@ -117,14 +131,15 @@ def a8_histogram(spark, sf_dir):
 def a17_collect_nations(spark, sf_dir):
     """A17: collect-to-list aggregation (GeoJSON feature assembly shape,
     schema/irve/geo_utils/geo.py:80-94). sort_array makes the list
-    deterministic — collect_list order is not."""
+    deterministic — collect_list order is not. The list is serialized with
+    array_join so the output is scalar and driver-canonicalizable."""
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     return (
         nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"),
             F.count(F.lit(1)).alias("nb_nations"),
         )
     )
