@@ -179,12 +179,31 @@ def near_duplicate_pairs(
     map cost, so this fused variant materializes (id, shingles) a single
     time and feeds both the signature/banding path and the exact-Jaccard
     verify join. Returns (id_a, id_b, jaccard >= threshold).
+
+    The shared projection is ``persist()``-ed (MEMORY_AND_DISK): without it
+    Catalyst re-evaluates the shingle regex/zip work three times — once for
+    the signature branch and once per verify-join side — tripling the
+    dominant map stage. The cache is scoped to this plan's lifetime; callers
+    running in a long-lived session can ``spark.catalog.clearCache()`` after
+    materializing the result (Spark otherwise evicts LRU).
+
+    Shingles are hashed to 64-bit longs (xxhash64) BEFORE caching: the
+    signature permutations need only the hash, and Jaccard on distinct
+    hashed shingles equals string-shingle Jaccard up to 64-bit collisions
+    (~n²/2⁶⁴ — negligible at any corpus size), while the cached arrays and
+    the verify-join intersections operate on fixed-width longs instead of
+    repeated text.
     """
+    from pyspark import StorageLevel
+
     sh = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, shingle_n).alias("sh")
-    )
+        F.col(id_col).alias("doc"),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     base = sh.select("doc", F.explode("sh").alias("s")).select(
-        "doc", F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h")
+        "doc", F.pmod(F.col("s"), F.lit(MERSENNE31)).alias("h")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
