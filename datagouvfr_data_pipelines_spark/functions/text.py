@@ -167,14 +167,24 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     token array per element re-evaluates the whole split per shingle —
     measured 10x slower on ~50-shingle docs. The zip form evaluates the
     token array a constant number of times per row.
+
+    The whole construction is wrapped in ``transform(array(tokens), tk ->
+    ...)`` so the tokenizing split binds to a lambda variable evaluated ONCE
+    per row; referencing ``tokens(col)`` directly from the n+2 slice/size
+    sites re-runs the regex split at each site (interpreted higher-order
+    expressions get no subexpression elimination) — measured ~35% slower at
+    sf0.1.
     """
-    tk = tokens(col)
-    length = F.size(tk) - (n - 1)
-    acc = F.slice(tk, 1, length)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(tk, j + 1, length), lambda a, b: F.concat_ws(" ", a, b)
+
+    def _assemble(tk):
+        length = F.size(tk) - (n - 1)
+        acc = F.slice(tk, 1, length)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice(tk, j + 1, length), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.when(F.size(tk) >= n, F.array_distinct(acc)).otherwise(
+            F.array(F.concat_ws(" ", tk))
         )
-    return F.when(F.size(tk) >= n, F.array_distinct(acc)).otherwise(
-        F.array(F.concat_ws(" ", tk))
-    )
+
+    return F.transform(F.array(tokens(col)), _assemble)[0]

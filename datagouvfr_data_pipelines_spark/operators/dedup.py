@@ -171,6 +171,7 @@ def near_duplicate_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket_size: int = 64,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash near-dup pipeline computing shingles ONCE.
 
@@ -244,6 +245,14 @@ def near_duplicate_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    # broadcast_candidates: with AQE the runtime broadcasts a small candidate
+    # set on its own; without it (static planning can't size a derived
+    # aggregate) the verify joins fall back to sort-merge, shuffling the
+    # shingle projection twice. Callers who KNOW the candidate set is small
+    # (bounded buckets x max_bucket_size) opt in; default stays safe for
+    # corpora where candidates may exceed driver memory.
+    if broadcast_candidates:
+        pairs = F.broadcast(pairs)
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")

@@ -26,6 +26,32 @@ def cdc_diff(new: DataFrame, old: DataFrame) -> CdcDiff:
     return CdcDiff(additions=new.exceptAll(old), deletions=old.exceptAll(new))
 
 
+def cdc_diff_counted(new: DataFrame, old: DataFrame) -> DataFrame:
+    """U2 scale path: both CDC directions in ONE shuffle.
+
+    ``exceptAll`` twice shuffles both inputs twice (4 table-shuffles).
+    Instead: union the inputs weighted +1/-1, groupBy the full row, and
+    re-expand the count difference — additions are rows with positive net
+    multiplicity, deletions negative, each emitted |diff| times
+    (exceptAll's multiset semantics exactly). Returns rows with an ``op``
+    column ('add'/'del') prepended.
+    """
+    cols = new.columns
+    tagged = new.select(*cols, F.lit(1).alias("__w")).unionByName(
+        old.select(*cols, F.lit(-1).alias("__w"))
+    )
+    counted = tagged.groupBy(*cols).agg(F.sum("__w").alias("__d"))
+    return (
+        counted.where(F.col("__d") != 0)
+        .select(
+            F.when(F.col("__d") > 0, "add").otherwise("del").alias("op"),
+            *cols,
+            F.explode(F.sequence(F.lit(1), F.abs(F.col("__d")))).alias("__i"),
+        )
+        .drop("__i")
+    )
+
+
 def union_align(frames: list[DataFrame]) -> DataFrame:
     """U1: union-all with schema alignment by column name, missing -> NULL.
 

@@ -645,15 +645,17 @@ def u1_union_align(spark, sf_dir):
 )
 def u2_cdc_diff(spark, sf_dir):
     """U2: whole-row CDC diff between snapshots — additions + deletions
-    (meteo/pg_processing/task_functions.py:448-479)."""
+    (meteo/pg_processing/task_functions.py:448-479). Uses the counted
+    single-shuffle form (operators/setops.py:cdc_diff_counted): exceptAll
+    both ways shuffles both snapshots twice; the weighted groupBy shuffles
+    the union once — the difference is 4 full-table shuffles vs 1 at 100 TB."""
+    from datagouvfr_data_pipelines_spark.operators.setops import cdc_diff_counted
+
     orders = table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     old = orders.where(F.col("o_orderdate") < "1997-01-01").select(*cols)
     new = orders.where(F.col("o_orderdate") < "1998-01-01").select(*cols)
-    diff = cdc_diff(new, old)
-    add = diff.additions.select(F.lit("add").alias("op"), *cols)
-    dele = diff.deletions.select(F.lit("del").alias("op"), *cols)
-    return add.unionByName(dele)
+    return cdc_diff_counted(new, old)
 
 
 # --------------------------------------------------------------------------

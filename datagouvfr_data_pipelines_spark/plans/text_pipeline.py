@@ -216,7 +216,8 @@ def d_minhash_neardups(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return near_duplicate_pairs(
-        docs, "doc_id", "text", k=64, bands=8, shingle_n=3, threshold=0.5
+        docs, "doc_id", "text", k=64, bands=8, shingle_n=3, threshold=0.5,
+        broadcast_candidates=True,
     )
 
 

@@ -22,20 +22,58 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def shuffle_partitions_for(
+    input_bytes: int,
+    target_bytes: int = 64 << 20,
+    lo: int = 8,
+    hi: int = 100_000,
+) -> int:
+    """Size shuffle partitions to the input volume (~64 MB per partition).
+
+    At tiny inputs the default 32-way shuffle is pure scheduling overhead
+    (AQE coalesces the DATA but the map stage still plans/launches the full
+    fan-out); at 100 TB the same formula yields ~1.6M capped at ``hi`` —
+    on a real cluster set ``hi`` to a few × total executor cores and let
+    AQE's coalescing handle the rest. Callers with a known input dir pass
+    the summed file size; the engine default stays ``DEFAULT_SHUFFLE_PARTITIONS``.
+    """
+    import math
+
+    return max(lo, min(hi, math.ceil(max(input_bytes, 1) / target_bytes)))
+
+
+SMALL_INPUT_BYTES = 1 << 30
+
+
 def get_spark(
     app_name: str = "datagouvfr-spark-engine",
     master: str | None = None,
     shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
     extra_conf: dict[str, str] | None = None,
+    input_bytes: int | None = None,
 ) -> SparkSession:
-    """Build (or fetch) the engine's SparkSession with scale-ready defaults."""
+    """Build (or fetch) the engine's SparkSession with scale-ready defaults.
+
+    ``input_bytes`` (when known) activates input-sized tuning: shuffle
+    partitions follow ``shuffle_partitions_for``, and below
+    ``SMALL_INPUT_BYTES`` adaptive execution is turned off — AQE's runtime
+    re-planning (skew splits, dynamic coalescing/broadcast) pays off on
+    large shuffles but its per-stage materialization latency dominates
+    end-to-end time on sub-GB inputs. Above the threshold nothing is
+    disabled; the 100 TB path always runs with AQE.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    adaptive = "true"
+    if input_bytes is not None:
+        shuffle_partitions = shuffle_partitions_for(input_bytes)
+        if input_bytes < SMALL_INPUT_BYTES:
+            adaptive = "false"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", adaptive)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
