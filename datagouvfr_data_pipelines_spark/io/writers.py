@@ -47,6 +47,29 @@ def overwrite_date_partition(
     )
 
 
+def _recover_swap_state(path: str, tmp_suffix: str = "__tmp_swap") -> None:
+    """Repair the rename-swap sink layout before reuse.
+
+    The two-rename swap (``path`` -> ``__old``, ``__tmp_swap`` -> ``path``)
+    has a non-atomic window: a crash between the renames leaves the data
+    only under ``__old``; a crash during the tmp write leaves a stale
+    ``__tmp_swap``. Roll the former forward (restore ``__old`` as current)
+    and drop the latter so a retry starts clean. For genuinely atomic
+    publishes use the generation-directory + _CURRENT pointer layout
+    (orchestration/rollup.py), which readers follow through one atomic
+    pointer rename.
+    """
+    tmp = path.rstrip("/") + tmp_suffix
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
+
 def merge_upsert_accumulate(
     spark,
     updates: DataFrame,
@@ -62,6 +85,7 @@ def merge_upsert_accumulate(
     At 100 TB this is a partition-scoped operation (only touched partitions
     are rewritten); with a Delta/Iceberg catalog it becomes a single MERGE.
     """
+    _recover_swap_state(path)
     exists = bool(glob.glob(os.path.join(path, "*.parquet"))) or bool(
         glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
@@ -155,12 +179,23 @@ def write_geoparquet_points(
 
 
 def geojson_feature_collection(
-    df: DataFrame, lon_col: str, lat_col: str, property_cols: list[str]
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    property_cols: list[str],
+    order_by: list[str] | None = None,
 ) -> str:
     """S20: GeoJSON FeatureCollection assembly
     (schema/irve/geo_utils/geo.py:69-96): build features as structs
     JVM-side, aggregate to one JSON document. Driver only sees the final
-    string — property structs and to_json run distributed."""
+    string — property structs and to_json run distributed.
+
+    Feature order is made deterministic (publish artifacts must be
+    bit-identical run to run): features are collected as (key, json)
+    structs and array_sort-ed on ``order_by`` (default: lon, lat, then the
+    property columns) before concatenation — collect_list alone returns
+    partition-arrival order."""
+    order_cols = order_by if order_by is not None else [lon_col, lat_col, *property_cols]
     feature = F.struct(
         F.lit("Feature").alias("type"),
         F.struct(
@@ -169,8 +204,16 @@ def geojson_feature_collection(
         ).alias("geometry"),
         F.struct(*[F.col(c) for c in property_cols]).alias("properties"),
     )
-    collected = df.select(F.to_json(feature).alias("fj")).agg(
-        F.concat_ws(",", F.collect_list("fj")).alias("features")
+    keyed = F.struct(
+        F.struct(*[F.col(c) for c in order_cols]).alias("k"),
+        F.to_json(feature).alias("fj"),
+    )
+    collected = (
+        df.select(keyed.alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            F.concat_ws(",", F.transform("ss", lambda s: s["fj"])).alias("features")
+        )
     )
     row = collected.collect()[0]
     return '{"type": "FeatureCollection", "features": [' + row["features"] + "]}"

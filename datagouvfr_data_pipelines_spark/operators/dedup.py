@@ -279,7 +279,19 @@ def simhash_neardup_pairs(
     band the fingerprints (one shuffle), pair bucket-locally, verify with
     ``bit_count(xor) <= max_hamming``. Same candidate-bounding shape as the
     MinHash LSH path — no O(n²) scan.
+
+    Raises ValueError when ``max_hamming >= bands``: the pigeonhole
+    guarantee needs at least max_hamming+1 bands (d differing bits can hit
+    at most d bands, leaving one untouched only if bands > d) — a silent
+    recall loss otherwise.
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "banded pigeonhole search only guarantees recall when at least "
+            "one band is untouched by the differing bits; raise bands or "
+            "lower max_hamming"
+        )
     fp = simhash64(df, id_col, text_col)
     width = 64 // bands
     mask = (1 << width) - 1

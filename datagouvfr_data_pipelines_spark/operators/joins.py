@@ -102,6 +102,7 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    right_tiebreaker: str | None = None,
 ) -> DataFrame:
     """J14: as-of join — for each left row, the latest right row with
     ``right_ts <= left_ts`` within the same ``partition_key``.
@@ -116,8 +117,19 @@ def asof_join_backward(
     unbounded-preceding window. One shuffle on the key; no loop, no
     per-snapshot retry. Scales as a single window over the co-partitioned
     union — the standard large-scale as-of strategy.
+
+    Determinism: when the right side can hold duplicate (partition_key,
+    right_ts) rows with differing payloads, pass ``right_tiebreaker`` (a
+    right column ordering those duplicates) — it joins the window ORDER BY
+    so ``last(ignorenulls)`` picks a total-order-defined winner. Without
+    it, duplicate (key, ts) right rows make the carried value
+    partitioning-dependent.
     """
     lcols = left.columns
+    if right_tiebreaker is not None and right_tiebreaker not in right_cols:
+        raise ValueError(
+            f"right_tiebreaker {right_tiebreaker!r} must be one of right_cols"
+        )
     probe = left.select(
         F.col(partition_key).alias("__k"),
         F.col(left_ts).alias("__ts"),
@@ -133,9 +145,14 @@ def asof_join_backward(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     unioned = state.unionByName(probe)
+    order = [F.col("__ts").asc(), F.col("__is_probe").asc()]
+    if right_tiebreaker is not None:
+        # nulls_first: probe rows carry NULL in the tiebreaker column and
+        # must sort before any state row at the same (__ts, __is_probe).
+        order.append(F.col(f"__r_{right_tiebreaker}").asc_nulls_first())
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__is_probe").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

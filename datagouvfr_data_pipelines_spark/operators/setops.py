@@ -100,8 +100,13 @@ def ordered_cdc_apply(
     import os
     import shutil
 
+    from datagouvfr_data_pipelines_spark.io.writers import _recover_swap_state
+
     decisions: list[str] = []
     for name, snap in snapshots:
+        # repair any leftover __tmp/__old from a crashed previous apply
+        # before reading sink state (see writers._recover_swap_state)
+        _recover_swap_state(sink_path, tmp_suffix="__tmp")
         if not os.path.exists(sink_path):
             snap.write.mode("overwrite").option("compression", "zstd").parquet(sink_path)
             decisions.append(f"{name}:initial_load")

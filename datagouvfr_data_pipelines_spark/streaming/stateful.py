@@ -23,18 +23,12 @@ SESSION_OUTPUT_SCHEMA = "user_id long, session_id long, n_events long, last_ts t
 SESSION_STATE_SCHEMA = "session_id long, last_us long, n_events long"
 
 
-def sessionize_stream(
-    events: DataFrame,
-    gap_seconds: int = 1800,
-) -> DataFrame:
-    """Continuous sessionization over a streaming frame keyed by user_id.
+def make_session_updater(gap_seconds: int = 1800):
+    """Build the per-key state-update function used by ``sessionize_stream``.
 
-    State per user: (current session id, last event micros, event count).
-    A batch's events extend the current session or open a new one when the
-    gap exceeds ``gap_seconds``; output is one row per (user, session seen
-    in this batch) with updated counts. Use on a stream:
-
-        events.readStream... -> sessionize_stream(df) -> writeStream
+    Exposed at module level so the timeout path (state.hasTimedOut — an
+    invocation with NO data rows) is unit-testable against a fake
+    GroupState without driving a real streaming query.
     """
 
     def update(
@@ -43,6 +37,13 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # timeout invocation: no data rows (pdfs is empty — concatenating
+            # would raise), the session is closed by removing its state so an
+            # idle key stops accumulating store entries. Nothing to emit: the
+            # final per-session row already went out with its last batch.
+            state.remove()
+            return
         if state.exists:
             session_id, last_us, n_events = state.get
         else:
@@ -67,8 +68,25 @@ def sessionize_stream(
         )
         yield out[["user_id", "session_id", "n_events", "last_ts"]]
 
+    return update
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Continuous sessionization over a streaming frame keyed by user_id.
+
+    State per user: (current session id, last event micros, event count).
+    A batch's events extend the current session or open a new one when the
+    gap exceeds ``gap_seconds``; output is one row per (user, session seen
+    in this batch) with updated counts. Idle keys are reaped: on a
+    ProcessingTimeTimeout firing, the state is removed. Use on a stream:
+
+        events.readStream... -> sessionize_stream(df) -> writeStream
+    """
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
+        make_session_updater(gap_seconds),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",

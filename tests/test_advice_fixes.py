@@ -1,0 +1,160 @@
+"""Regression tests for the round-1 ADVICE findings: stateful timeout
+handling, as-of join tiebreaker determinism, the simhash pigeonhole guard,
+deterministic GeoJSON feature order, and rename-swap crash recovery."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+import pyspark.sql.functions as F
+
+
+# ---------------------------------------------------------------- stateful
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the update function."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+    def remove(self):
+        self.removed = True
+
+
+def test_session_updater_timeout_removes_state_and_emits_nothing():
+    from datagouvfr_data_pipelines_spark.streaming.stateful import make_session_updater
+
+    update = make_session_updater(gap_seconds=60)
+    # timeout invocation: state exists, NO data batches (iterator is empty)
+    state = _FakeState(value=(3, 1_000_000, 5), timed_out=True)
+    out = list(update((42,), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.updated is None  # no state write on the timeout path
+
+
+def test_session_updater_data_path_still_works():
+    from datagouvfr_data_pipelines_spark.streaming.stateful import make_session_updater
+
+    update = make_session_updater(gap_seconds=60)
+    batch = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00:00",
+                                                "2024-01-01 00:00:30",
+                                                "2024-01-01 00:05:00"])})
+    state = _FakeState()
+    out = pd.concat(list(update((42,), iter([batch]), state)))
+    # 30s gap keeps session 1; the 4.5 min gap opens session 2
+    assert sorted(out["session_id"].tolist()) == [1, 2]
+    assert state.updated is not None and not state.removed
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def test_asof_join_tiebreaker_is_deterministic(spark):
+    from datagouvfr_data_pipelines_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame([(1, 100)], "k int, t int")
+    # two right rows at the SAME (key, ts) with different payloads
+    right = spark.createDataFrame(
+        [(1, 50, "low"), (1, 50, "zzz-high")], "k int, t int, v string"
+    )
+    out = asof_join_backward(
+        left, right, "k", "t", "t", ["v"], right_tiebreaker="v"
+    ).collect()
+    # ascending tiebreaker + last() => the greatest v wins, independent of
+    # input partitioning
+    assert out[0]["v"] == "zzz-high"
+
+    shuffled = asof_join_backward(
+        left, right.repartition(7), "k", "t", "t", ["v"], right_tiebreaker="v"
+    ).collect()
+    assert shuffled[0]["v"] == "zzz-high"
+
+
+def test_asof_join_tiebreaker_must_be_selected(spark):
+    from datagouvfr_data_pipelines_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame([(1, 100)], "k int, t int")
+    right = spark.createDataFrame([(1, 50, "x")], "k int, t int, v string")
+    with pytest.raises(ValueError, match="right_tiebreaker"):
+        asof_join_backward(left, right, "k", "t", "t", ["v"], right_tiebreaker="w")
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def test_simhash_guard_rejects_unsound_band_count(spark, sf_dir):
+    from datagouvfr_data_pipelines_spark.operators.dedup import simhash_neardup_pairs
+    from datagouvfr_data_pipelines_spark.plans.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
+
+
+# ---------------------------------------------------------------- geojson
+
+
+def test_geojson_feature_order_deterministic(spark):
+    from datagouvfr_data_pipelines_spark.io.writers import geojson_feature_collection
+
+    rows = [(float(i % 7), float(i % 5), f"n{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "lon double, lat double, name string")
+    a = geojson_feature_collection(df.repartition(8), "lon", "lat", ["name"])
+    b = geojson_feature_collection(df.repartition(3), "lon", "lat", ["name"])
+    assert a == b
+    assert a.startswith('{"type": "FeatureCollection"')
+
+
+# ---------------------------------------------------------------- swap repair
+
+
+def test_recover_swap_state_rolls_forward_and_cleans(tmp_path, spark):
+    from datagouvfr_data_pipelines_spark.io.writers import (
+        _recover_swap_state,
+        merge_upsert_accumulate,
+    )
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, 10)], "k int, n int")
+
+    # crash between the two renames: data only under __old
+    df.write.parquet(sink + "__old")
+    os.makedirs(sink + "__tmp_swap", exist_ok=True)  # plus a stale tmp
+    _recover_swap_state(sink)
+    assert os.path.exists(sink) and not os.path.exists(sink + "__old")
+    assert not os.path.exists(sink + "__tmp_swap")
+    assert spark.read.parquet(sink).collect()[0]["n"] == 10
+
+    # a normal upsert after recovery accumulates correctly
+    merge_upsert_accumulate(
+        spark, spark.createDataFrame([(1, 5)], "k int, n int"), sink, ["k"], ["n"]
+    )
+    assert spark.read.parquet(sink).collect()[0]["n"] == 15
+
+    # stale __old WITH a live sink is dropped, sink untouched
+    df.write.parquet(sink + "__old")
+    _recover_swap_state(sink)
+    assert not os.path.exists(sink + "__old")
+    assert spark.read.parquet(sink).collect()[0]["n"] == 15
