@@ -98,7 +98,62 @@ def morton_key(
     return key
 
 
-def spatially_ordered(df: DataFrame, lon_col: str, lat_col: str) -> DataFrame:
-    """O6: order rows along the space-filling curve before a GeoParquet-style
-    write, so parquet row-group min/max stats prune spatial queries."""
-    return df.orderBy(morton_key(lon_col, lat_col))
+def hilbert_key(
+    lon: Column | str, lat: Column | str,
+    lon_range: tuple[float, float] = (-180.0, 180.0),
+    lat_range: tuple[float, float] = (-90.0, 90.0),
+    bits: int = 16,
+) -> Column:
+    """True Hilbert-curve index (the reference's ST_Hilbert ordering,
+    utils/conversions.py:105) as pure column expressions.
+
+    Classic xy2d walk from the top bit down, with the quadrant-dependent
+    rotation/reflection carried in a struct accumulator folded over the
+    ``bits`` levels (``F.aggregate`` over a constant sequence). The fold
+    keeps the expression tree CONSTANT-sized — unrolling the loop into
+    nested CASE expressions doubles the tree per level (x and y each feed
+    the next level twice) and blows past the analyzer at 16 levels. 16
+    interpreted fold steps per row is a fixed small cost.
+
+    Hilbert vs Morton: both give row-group locality for min/max pruning;
+    Hilbert has no quadrant jumps, so range queries touch ~fewer row
+    groups (better locality constant). Parity-tested against the
+    textbook xy2d implementation.
+    """
+    lo = (_c(lon) - lon_range[0]) / (lon_range[1] - lon_range[0])
+    la = (_c(lat) - lat_range[0]) / (lat_range[1] - lat_range[0])
+    scale = (1 << bits) - 1
+    xi = F.least(F.greatest((lo * scale).cast("long"), F.lit(0)), F.lit(scale))
+    yi = F.least(F.greatest((la * scale).cast("long"), F.lit(0)), F.lit(scale))
+    init = F.struct(
+        xi.alias("x"), yi.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+    levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+
+    def step(acc, bexp):
+        # 2^bexp; F.shiftleft needs a literal int shift, so go through pow
+        # (exact in double up to 2^52, far above the 16 levels used here)
+        s = F.pow(F.lit(2.0), bexp.cast("double")).cast("long")
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        d2 = d + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        # rotation/reflection applies only in the ry == 0 quadrants:
+        # optionally reflect (rx == 1), then transpose x/y
+        x_f = F.when(rx == 1, s - 1 - x).otherwise(x)
+        y_f = F.when(rx == 1, s - 1 - y).otherwise(y)
+        x2 = F.when(ry == 0, y_f).otherwise(x)
+        y2 = F.when(ry == 0, x_f).otherwise(y)
+        return F.struct(x2.alias("x"), y2.alias("y"), d2.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def spatially_ordered(
+    df: DataFrame, lon_col: str, lat_col: str, curve: str = "hilbert"
+) -> DataFrame:
+    """O6: order rows along a space-filling curve before a GeoParquet-style
+    write, so parquet row-group min/max stats prune spatial queries.
+    ``curve``: 'hilbert' (reference parity, best locality) or 'morton'."""
+    key = {"hilbert": hilbert_key, "morton": morton_key}[curve]
+    return df.orderBy(key(lon_col, lat_col))

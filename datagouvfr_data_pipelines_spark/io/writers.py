@@ -151,24 +151,39 @@ def write_geoparquet_points(
     lat_col: str,
     compression: str = "zstd",
     row_group_rows: int = 20_000,
+    curve: str = "hilbert",
+    geo_metadata: bool = True,
 ) -> None:
-    """S17: GeoParquet-style point sink (utils/conversions.py:65-142).
+    """S17: GeoParquet point sink (utils/conversions.py:65-142).
 
-    Reproduces the reference's layout decisions Spark-side, without DuckDB
-    spatial or Sedona:
+    Reproduces the reference's DuckDB-spatial output Spark-side, without
+    Sedona:
     - per-row ``bbox`` struct (xmin/ymin/xmax/ymax — degenerate for points);
-    - rows ordered along a space-filling curve (Morton z-order standing in
-      for ST_Hilbert) so parquet row-group min/max stats prune spatial
+    - rows ordered along a space-filling curve (true Hilbert by default,
+      matching ST_Hilbert at conversions.py:105; ``curve='morton'`` for the
+      cheaper z-order) so parquet row-group min/max stats prune spatial
       queries;
-    - zstd compression, bounded row groups (20k, conversions.py:74).
-    Full GeoParquet "geo" file metadata needs a pyarrow rewrite step and is
-    out of engine scope; readers that rely on column stats work as-is.
-    """
-    from datagouvfr_data_pipelines_spark.functions.geo import bbox_struct, morton_key
+    - zstd compression, bounded row groups (20k, conversions.py:74);
+    - with ``geo_metadata`` (default), a post-write pyarrow pass appends a
+      WKB point ``geometry`` column and the GeoParquet 1.0.0 ``geo`` footer
+      (version, primary_column, per-file bbox, CRS84) so geo tools
+      (GeoPandas, QGIS, DuckDB spatial) read the output natively.
 
+    The footer pass is a driver-side loop over output part-files — publish
+    outputs are few files by design; for massive spatial tables run the
+    same function per partition directory, or distribute the rewrite with
+    mapInPandas over the file list (the per-file logic is identical).
+    """
+    from datagouvfr_data_pipelines_spark.functions.geo import (
+        bbox_struct,
+        hilbert_key,
+        morton_key,
+    )
+
+    key = {"hilbert": hilbert_key, "morton": morton_key}[curve]
     ordered = (
         df.withColumn("bbox", bbox_struct(lon_col, lat_col))
-        .orderBy(morton_key(lon_col, lat_col))
+        .orderBy(key(lon_col, lat_col))
     )
     (
         ordered.write.mode("overwrite")
@@ -176,6 +191,75 @@ def write_geoparquet_points(
         .option("parquet.block.size", str(row_group_rows * 256))
         .parquet(path)
     )
+    if geo_metadata:
+        for part in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+            _add_geoparquet_footer(part, lon_col, lat_col, compression)
+
+
+def _wkb_point(lon: float, lat: float) -> bytes:
+    """Little-endian WKB for a 2D point: byte order 01, type 00000001,
+    x float64, y float64 (the encoding GeoParquet mandates)."""
+    import struct as _struct
+
+    return b"\x01\x01\x00\x00\x00" + _struct.pack("<dd", lon, lat)
+
+
+def _add_geoparquet_footer(
+    file_path: str, lon_col: str, lat_col: str, compression: str
+) -> None:
+    """Rewrite one parquet file with a WKB ``geometry`` column + GeoParquet
+    1.0.0 ``geo`` file metadata (what DuckDB spatial's write_parquet emits,
+    reference utils/conversions.py:65-142)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(file_path)
+    lons = t.column(lon_col).to_pylist()
+    lats = t.column(lat_col).to_pylist()
+    geom = pa.array(
+        [
+            None if lo is None or la is None else _wkb_point(lo, la)
+            for lo, la in zip(lons, lats)
+        ],
+        type=pa.binary(),
+    )
+    t = t.append_column("geometry", geom)
+    valid = [(lo, la) for lo, la in zip(lons, lats) if lo is not None and la is not None]
+    bbox = (
+        [
+            min(p[0] for p in valid), min(p[1] for p in valid),
+            max(p[0] for p in valid), max(p[1] for p in valid),
+        ]
+        if valid
+        else [0.0, 0.0, 0.0, 0.0]
+    )
+    geo = {
+        "version": "1.0.0",
+        "primary_column": "geometry",
+        "columns": {
+            "geometry": {
+                "encoding": "WKB",
+                "geometry_types": ["Point"],
+                "bbox": bbox,
+                # null CRS = OGC:CRS84 per the GeoParquet spec, which is
+                # what lon/lat data.gouv publications are in
+                "crs": None,
+            }
+        },
+    }
+    meta = dict(t.schema.metadata or {})
+    meta[b"geo"] = json.dumps(geo).encode()
+    t = t.replace_schema_metadata(meta)
+    pq.write_table(t, file_path, compression=compression)
+    # the rewrite invalidates Hadoop LocalFS checksum sidecars — drop them
+    # or a later spark.read fails with ChecksumException
+    crc = os.path.join(
+        os.path.dirname(file_path), "." + os.path.basename(file_path) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
 
 
 def geojson_feature_collection(
