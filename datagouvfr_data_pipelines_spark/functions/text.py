@@ -100,6 +100,92 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(out)
 
 
+# Characteristic char-trigrams (space-padded, lowercase) for the 10 most
+# common Latin-script web languages. Standard n-gram language-ID technique
+# (Cavnar & Trenkle '94 profile matching, reduced to a marker table):
+# score(lang) = occurrences of that language's trigrams in the text,
+# argmax wins. Overlapping trigrams (" de" in fr/de/es/pt/nl) are fine —
+# the distinguishing ones provide the margin.
+LANG_TRIGRAMS = {
+    "de": ["der", " de", "die", " di", "und", " un", "ich", "ein", " ei",
+           "cht", "sch", "ung", "gen", "ber", "ie "],
+    "en": [" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", " of",
+           "of ", " to", "to ", " is", "is ", "ed "],
+    "es": [" el", "el ", "los", " lo", "os ", "que", " qu", "ue ", "ión",
+           " en", "en ", "ado", "ar ", "ien", "nte"],
+    "fr": [" le", "le ", " la", " et", "et ", "es ", " de", "de ", "que",
+           " qu", "ue ", "ait", "des", " un", "eur"],
+    "it": [" di", "di ", "che", " ch", "he ", " il", "il ", "to ", "la ",
+           "zio", "one", "ess", "per", " pe", "re "],
+    "nl": ["het", " he", "et ", " de", "de ", "een", " ee", "en ", "van",
+           " va", "an ", "aar", "ijk", "oor", "ver"],
+    "pl": ["nie", " ni", "ie ", "prz", "rze", " po", "na ", " na", "ego",
+           "go ", "ach", "ych", " wy", "się", "ość"],
+    "pt": [" de", "de ", "ão ", "ção", "que", " qu", "ue ", "os ", " co",
+           "om ", "um ", " um", "par", "ar ", "ade"],
+    "ro": ["ul ", " în", "în ", "are", "ea ", " cu", "cu ", "ui ", " pe",
+           "pe ", "ate", "lui", "tre", " tr", "şi "],
+    "sv": ["och", " oc", "ch ", "att", " at", "tt ", "för", " fö", "ör ",
+           "det", "en ", "ar ", "ing", "är ", "som"],
+}
+
+
+def char_trigrams_padded(col: Column | str) -> Column:
+    """All char trigrams (WITH multiplicity) of ' '-padded normalized text.
+
+    Zip-of-shifted-slices like ``char_shingles`` (no per-element substring
+    of the whole text), but keeping duplicates — n-gram language scoring
+    needs occurrence counts, not set membership.
+    """
+    c = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(_col(col))), "\\s+", " "),
+        F.lit(" "),
+    )
+    chars = F.split(c, "")
+    length = F.length(c) - 2
+    acc = F.slice(chars, 1, length)
+    for j in range(1, 3):
+        acc = F.zip_with(acc, F.slice(chars, j + 1, length), lambda a, b: F.concat(a, b))
+    return F.when(F.length(c) >= 3, acc).otherwise(F.array().cast("array<string>"))
+
+
+def lang_id_ngram(df, id_col: str, text_col: str):
+    """Char-trigram language ID over 10 languages — the scale form.
+
+    Explode the text's trigrams, broadcast-join the (trigram, lang) marker
+    table, count matches per (doc, lang), keep the argmax (ties broken by
+    language code; docs with no match -> 'und'). One shuffle on the doc id;
+    the marker table is a ~150-row broadcast. Returns (id_col, lang).
+
+    Reference parity: utils/datagouv.py:21-72 + activites:45-49 call
+    langdetect per row in Python; this reproduces the same n-gram scoring
+    idea as a relational plan that is exactly reproducible in SQL.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, tri) for lang, tris in LANG_TRIGRAMS.items() for tri in tris],
+        "lang string, tri string",
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(char_trigrams_padded(text_col)).alias("tri")
+    )
+    scores = (
+        grams.join(F.broadcast(markers), "tri")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("lang").asc())
+    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        df.select(id_col)
+        .join(best.select(id_col, "lang"), id_col, "left")
+        .select(id_col, F.coalesce(F.col("lang"), F.lit("und")).alias("lang"))
+    )
+
+
 SPAM_WORDS = [
     "viagra", "casino", "crypto", "forex", "loan", "bet", "jackpot",
     "hack", "cheat", "free-money", "xxx",

@@ -131,6 +131,53 @@ def t_lang_id(spark, sf_dir):
     )
 
 
+def _trigram_values() -> str:
+    from datagouvfr_data_pipelines_spark.functions.text import LANG_TRIGRAMS
+
+    return ", ".join(
+        f"('{lang}', '{tri}')"
+        for lang, tris in sorted(LANG_TRIGRAMS.items())
+        for tri in tris
+    )
+
+
+@register(
+    "t_lang_id_ngram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS c
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(length(c) - 2, 0)),
+                                   i -> substr(c, i, 3))) AS tri
+      FROM t
+    ), s AS (
+      SELECT doc_id, lang, COUNT(*) AS cnt
+      FROM g JOIN (VALUES {_trigram_values()}) AS m(lang, tri) USING (tri)
+      GROUP BY doc_id, lang
+    ), best AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rn
+      FROM s
+    )
+    SELECT t.doc_id, COALESCE(b.lang, 'und') AS lang
+    FROM t LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+    tags=["text", "lang-id"],
+)
+def t_lang_id_ngram(spark, sf_dir):
+    """10-language char-trigram language ID (functions/text.py:lang_id_ngram):
+    explode trigrams -> broadcast marker-table join -> per-doc argmax. The
+    breadth upgrade over the 4-language marker heuristic of t_lang_id;
+    same langdetect stand-in (activites:45-49), still SQL-reproducible."""
+    from datagouvfr_data_pipelines_spark.functions.text import lang_id_ngram
+
+    docs = table(spark, sf_dir, "documents")
+    return lang_id_ngram(docs, "doc_id", "text")
+
+
 @register(
     "d_fingerprints",
     oracle="""
