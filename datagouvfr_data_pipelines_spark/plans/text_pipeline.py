@@ -179,6 +179,39 @@ def t_lang_id_ngram(spark, sf_dir):
 
 
 @register(
+    "mm_media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text-blob' AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha,
+           CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 1080 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) % 60000 AS INTEGER) AS duration_ms,
+           'fake-decoded' AS decode_status
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=["multimodal", "mapInPandas"],
+)
+def mm_media_metadata(spark, sf_dir):
+    """Multimodal metadata plumbing, driver-checkable: text payloads cast to
+    binary run through the real Arrow-batched mapInPandas decode path
+    (functions/udfs.py:extract_media_metadata — header sniffing finds no
+    image signature in text bytes, so every row takes the deterministic
+    fake-decode branch, which the DuckDB oracle reproduces exactly).
+    Exercises the full UDF surface: batch iteration, binary columns,
+    sha256, typed output schema."""
+    from datagouvfr_data_pipelines_spark.functions.udfs import extract_media_metadata
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", F.col("text").cast("binary").alias("content"))
+    )
+    return extract_media_metadata(docs, "doc_id", "content", "text-blob")
+
+
+@register(
     "d_fingerprints",
     oracle="""
     SELECT doc_id,

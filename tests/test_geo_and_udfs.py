@@ -103,6 +103,82 @@ def test_extract_media_metadata(spark):
     assert len(rows[1]["sha"]) == 64
 
 
+def _png(w: int, h: int) -> bytes:
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + chunk
+        + struct.pack(">I", _z.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    import struct
+
+    # segment length counts itself: 16 = 2 (length field) + 14 payload bytes
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _gif(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _bmp(w: int, h: int) -> bytes:
+    import struct
+
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 4
+
+
+def test_media_metadata_real_image_headers(spark):
+    from datagouvfr_data_pipelines_spark.functions.udfs import parse_image_dimensions
+
+    assert parse_image_dimensions(_png(640, 480)) == ("png", 640, 480)
+    assert parse_image_dimensions(_jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert parse_image_dimensions(_gif(12, 34)) == ("gif", 12, 34)
+    assert parse_image_dimensions(_bmp(300, -200)) == ("bmp", 300, 200)
+    assert parse_image_dimensions(b"not an image at all") is None
+    assert parse_image_dimensions(None) is None
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png(640, 480))),
+            (2, bytearray(_jpeg(1920, 1080))),
+            (3, bytearray(_gif(12, 34))),
+            (4, bytearray(b"\x02" * 999)),  # unknown payload
+        ],
+        "media_id long, content binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_media_metadata(df, "media_id", "content", "image").collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+    assert rows[1]["decode_status"] == "decoded:png"
+    assert rows[1]["duration_ms"] is None
+    assert (rows[2]["width"], rows[2]["height"]) == (1920, 1080)
+    assert rows[2]["decode_status"] == "decoded:jpeg"
+    assert rows[3]["decode_status"] == "decoded:gif"
+    assert rows[4]["decode_status"] == "fake-decoded"
+
+    strict = {
+        r["media_id"]: r
+        for r in extract_media_metadata(
+            df, "media_id", "content", "image", fake_decode=False
+        ).collect()
+    }
+    assert strict[4]["decode_status"] == "unsupported"
+    assert strict[4]["width"] is None
+    assert strict[1]["decode_status"] == "decoded:png"  # real parse unaffected
+
+
 def test_check_urls(spark):
     df = spark.createDataFrame([("http://a",), ("http://b",)], "url string")
     out = {r["url"]: r for r in check_urls(df, "url").collect()}
