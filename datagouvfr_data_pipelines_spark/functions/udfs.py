@@ -111,6 +111,100 @@ def geocode_cascade(
     return out.drop("__addr")
 
 
+INSEE_REPAIR_SCHEMA = "code string, repaired_code string, repair_source string"
+
+# 5 chars: metropolitan dept (01-95, 2A/2B Corsica) + 3-digit commune, or
+# DROM dept (971-976) + 2-digit commune
+INSEE_CODE_RE = r"^((0[1-9]|[1-8][0-9]|9[0-5]|2[AB])[0-9]{3}|97[1-6][0-9]{2})$"
+
+
+def repair_insee_codes(
+    df: DataFrame,
+    code_col: str,
+    correspondence: DataFrame | None = None,
+    repair_batch: Callable[[pd.Series], pd.DataFrame] | None = None,
+    batch_size: int = 1000,
+) -> DataFrame:
+    """F2: INSEE commune-code repair cascade — a dedicated instance of the
+    cache-join + batched-service pattern (same shape as ``geocode_cascade``
+    but its own validation, correspondence table and service contract).
+
+    The reference fixes obsolete/malformed commune codes against
+    geo.api.gouv.fr + a merged-communes correspondence file
+    (dvf/geoloc/task_functions.py:246-250; utils/geo pattern). Spark-first:
+
+    1. syntactically valid codes pass through untouched (pure column
+       regex — the overwhelming majority at corpus scale, zero cost);
+    2. invalid codes left-join the ``correspondence`` table
+       (old_code -> new_code, broadcast: tens of thousands of rows max —
+       merged communes since 1943);
+    3. still-unresolved codes go through ``repair_batch`` via
+       ``mapInPandas`` over the DISTINCT miss set (deterministic fake by
+       default; the HTTP client drops in unchanged in production).
+
+    Returns (code, repaired_code, repair_source) where repair_source is
+    'valid' | 'correspondence' | 'service-fake' (or the source column the
+    service emits) | 'unrepairable'.
+    """
+    if repair_batch is None:
+        def repair_batch(codes: pd.Series) -> pd.DataFrame:
+            # deterministic fake: digit-bearing codes re-derive a plausible
+            # current code from their content hash; garbage is unrepairable
+            def fix(c: str) -> tuple[str | None, str]:
+                s = "".join(ch for ch in str(c) if ch.isdigit())
+                if not s:
+                    return None, "unrepairable"
+                h = zlib.crc32(str(c).encode("utf-8"))
+                dept = 1 + h % 95
+                return f"{dept:02d}{h % 1000:03d}", "service-fake"
+
+            fixed = codes.map(fix)
+            return pd.DataFrame(
+                {
+                    "code": codes,
+                    "repaired_code": fixed.map(lambda t: t[0]),
+                    "repair_source": fixed.map(lambda t: t[1]),
+                }
+            )
+
+    code = F.col(code_col)
+    base = df.select(code.alias("code"))
+    is_valid = code.rlike(INSEE_CODE_RE)
+    valid = base.where(is_valid).select(
+        "code",
+        F.col("code").alias("repaired_code"),
+        F.lit("valid").alias("repair_source"),
+    )
+    invalid = base.where(~is_valid | code.isNull())
+    if correspondence is not None:
+        corr = correspondence.select(
+            F.col("old_code").alias("code"), F.col("new_code")
+        )
+        joined = invalid.join(F.broadcast(corr), on="code", how="left")
+        from_corr = joined.where(F.col("new_code").isNotNull()).select(
+            "code",
+            F.col("new_code").alias("repaired_code"),
+            F.lit("correspondence").alias("repair_source"),
+        )
+        misses = joined.where(F.col("new_code").isNull()).select("code")
+    else:
+        from_corr = None
+        misses = invalid
+
+    def run_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for start in range(0, len(pdf), batch_size):
+                yield repair_batch(pdf["code"].iloc[start : start + batch_size])
+
+    repaired = misses.distinct().mapInPandas(run_batches, schema=INSEE_REPAIR_SCHEMA)
+    # re-expand the distinct miss set back to one row per input row
+    miss_rows = misses.join(repaired, on="code", how="left")
+    out = valid.unionByName(miss_rows)
+    if from_corr is not None:
+        out = out.unionByName(from_corr)
+    return out
+
+
 MULTIMODAL_META_SCHEMA = (
     "media_id long, media_type string, n_bytes int, sha string, "
     "width int, height int, duration_ms int, decode_status string"

@@ -103,6 +103,48 @@ def test_extract_media_metadata(spark):
     assert len(rows[1]["sha"]) == 64
 
 
+def test_repair_insee_codes_cascade(spark):
+    from datagouvfr_data_pipelines_spark.functions.udfs import repair_insee_codes
+
+    df = spark.createDataFrame(
+        [
+            ("75056",),   # Paris — valid, passes through
+            ("2A004",),   # Ajaccio — valid Corsica form
+            ("97110",),   # DROM — valid
+            ("55999",),   # syntactically valid (pass-through is syntax-only)
+            ("55139",),   # in the correspondence table (merged commune form)
+            ("XXXXX",),   # garbage, no digits -> unrepairable
+            ("7505",),    # too short -> service repair
+        ],
+        "commune string",
+    )
+    corr = spark.createDataFrame(
+        [("55139", "55245"), ("99999", "01001")], "old_code string, new_code string"
+    )
+    # "55139" is syntactically valid, so it must NOT be rewritten: the
+    # correspondence step only sees syntactically invalid codes
+    out = {r["code"]: r for r in repair_insee_codes(df, "commune", corr).collect()}
+    assert out["75056"]["repair_source"] == "valid"
+    assert out["2A004"]["repair_source"] == "valid"
+    assert out["97110"]["repair_source"] == "valid"
+    assert out["55139"]["repair_source"] == "valid"
+    assert out["XXXXX"]["repair_source"] == "unrepairable"
+    assert out["XXXXX"]["repaired_code"] is None
+    assert out["7505"]["repair_source"] == "service-fake"
+    assert len(out["7505"]["repaired_code"]) == 5
+
+    # an actually-invalid code that IS in the correspondence table
+    df2 = spark.createDataFrame([("5513A",)], "commune string")
+    corr2 = spark.createDataFrame([("5513A", "55245")], "old_code string, new_code string")
+    out2 = repair_insee_codes(df2, "commune", corr2).collect()[0]
+    assert out2["repair_source"] == "correspondence"
+    assert out2["repaired_code"] == "55245"
+
+    # determinism: same inputs -> same service-fake repairs
+    again = {r["code"]: r for r in repair_insee_codes(df, "commune", corr).collect()}
+    assert again["7505"]["repaired_code"] == out["7505"]["repaired_code"]
+
+
 def _png(w: int, h: int) -> bytes:
     import struct
     import zlib as _z
