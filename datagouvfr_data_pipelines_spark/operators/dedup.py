@@ -269,7 +269,7 @@ def simhash_neardup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int | None = None,
     max_bucket_size: int = 256,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded Hamming search.
@@ -280,18 +280,23 @@ def simhash_neardup_pairs(
     ``bit_count(xor) <= max_hamming``. Same candidate-bounding shape as the
     MinHash LSH path — no O(n²) scan.
 
-    Raises ValueError when ``max_hamming >= bands``: the pigeonhole
-    guarantee needs at least max_hamming+1 bands (d differing bits can hit
-    at most d bands, leaving one untouched only if bands > d) — a silent
-    recall loss otherwise.
+    The pigeonhole guarantee needs bands > max_hamming (d differing bits
+    can touch at most d bands, so one band survives untouched only then).
+    With ``bands=None`` (default) the smallest sound divisor of 64 is
+    chosen automatically; an EXPLICIT unsound ``bands`` raises ValueError
+    rather than silently losing recall.
     """
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
             "banded pigeonhole search only guarantees recall when at least "
             "one band is untouched by the differing bits; raise bands or "
-            "lower max_hamming"
+            "lower max_hamming (or pass bands=None to auto-size)"
         )
+    if 64 % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide 64")
     fp = simhash64(df, id_col, text_col)
     width = 64 // bands
     mask = (1 << width) - 1

@@ -111,6 +111,10 @@ def test_simhash_guard_rejects_unsound_band_count(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=4, bands=6)
+    # bands=None auto-sizes to a sound divisor of 64 — plan builds fine
+    simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8).schema
 
 
 # ---------------------------------------------------------------- geojson
