@@ -35,6 +35,52 @@ def read_excel(
     return spark.createDataFrame(pdf)
 
 
+def read_excel_distributed(
+    spark: SparkSession,
+    path_glob: str,
+    schema: str,
+    sheet_name=0,
+    parser=None,
+) -> DataFrame:
+    """S4 scale path: many/large Excel resources read EXECUTOR-side.
+
+    The reference loops pandas.read_excel over schema-candidate resources
+    on one machine (consolidation.py:940-947); when a schema has thousands
+    of Excel resources that loop is the bottleneck. Distributed form:
+    ``binaryFile`` scan of the glob (one task per file) -> ``mapInPandas``
+    parsing each file's bytes -> rows, with a ``source_file`` lineage
+    column appended.
+
+    ``schema`` is the output DDL WITHOUT source_file (distributed parsing
+    cannot infer schemas without an extra driver pass — explicit is the
+    contract, matching read_fixed_width). ``parser(content: bytes,
+    sheet_name) -> pandas.DataFrame`` defaults to pandas.read_excel via
+    openpyxl (gated: not in this container); tests inject a fake parser to
+    exercise the plumbing. A custom parser must be cloudpickle-shippable.
+    """
+    import pandas as pd
+
+    if parser is None:
+        _require_excel_engine()
+
+        def parser(content: bytes, sheet):
+            import io as _io
+
+            return pd.read_excel(_io.BytesIO(content), sheet_name=sheet, dtype=str)
+
+    out_schema = schema + ", source_file string"
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def run(it):
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                parsed = parser(bytes(content), sheet_name)
+                parsed = parsed.assign(source_file=path)
+                yield parsed
+
+    return files.mapInPandas(run, schema=out_schema)
+
+
 def write_excel_sheets(frames: dict[str, DataFrame], path: str) -> None:
     """S21: multi-sheet Excel sink for small aggregates (KPI exports)."""
     _require_excel_engine()

@@ -82,6 +82,64 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures with an ENGINE-PORTABLE shingle hash — the
+    oracle-checkable variant of ``minhash_signatures``.
+
+    The production path hashes shingles with xxhash64 (fast, JVM-side) which
+    no SQL oracle can reproduce; this variant uses the polynomial rolling
+    hash (acc*131 + codepoint mod 2^31-1, same as ``fingerprint_rolling``)
+    so the ENTIRE signature computation — shingling, hashing, K permutation
+    minima — is reproducible in ANSI SQL (DuckDB list_reduce/list_transform)
+    and the driver gate can hash-compare it. Signatures come back as K
+    scalar columns m0..m{k-1} (canonicalizable, no array outputs).
+
+    Per-row array folds (interpreted) instead of explode+agg: right for the
+    verification-sized k; the production pipeline keeps the exploded
+    codegen'd form.
+    """
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+    )
+
+    def rolling(s):
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)),
+        )
+
+    hs = F.transform(word_shingles(text_col, shingle_n), rolling)
+    params = _minhash_params(k, seed)
+
+    def sig_struct(arr):
+        # arr bound once per row; 16 permutation minima over the hash list
+        return F.struct(
+            *[
+                F.array_min(
+                    F.transform(
+                        arr, lambda v: F.pmod(F.lit(a) * v + F.lit(b), F.lit(MERSENNE31))
+                    )
+                ).alias(f"m{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+
+    sig = F.transform(F.array(hs), sig_struct)[0]
+    return df.select(
+        F.col(id_col), *[sig[f"m{i}"].alias(f"m{i}") for i in range(k)]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

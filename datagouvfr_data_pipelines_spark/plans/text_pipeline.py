@@ -285,6 +285,57 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _minhash_sig_oracle(k: int = 16) -> str:
+    from datagouvfr_data_pipelines_spark.operators.dedup import _minhash_params
+
+    perm_cols = ",\n           ".join(
+        f"CAST(list_min(list_transform(hs, v -> ({a} * v + {b}) % 2147483647)) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(_minhash_params(k, seed=42))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 300
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ), h AS (
+      SELECT doc_id,
+             list_transform(sh, sg -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(sg, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, x) -> (acc * 131 + x) % 2147483647)) AS hs
+      FROM h_src
+    )
+    SELECT doc_id,
+           {perm_cols}
+    FROM h
+    """.replace("h_src", "s")
+
+
+@register(
+    "d_minhash_sig",
+    oracle=_minhash_sig_oracle(16),
+    tags=["dedup-minhash", "A-sig"],
+)
+def d_minhash_sig(spark, sf_dir):
+    """Oracle-checked MinHash signatures (k=16) using the portable rolling
+    shingle hash (operators/dedup.py:minhash_signatures_portable) — the
+    driver-verifiable twin of the xxhash64 production path: identical
+    shingling and permutation algebra, engine-portable hash. 16 scalar
+    signature columns, bit-compared against the DuckDB replica."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return minhash_signatures_portable(docs, "doc_id", "text", k=16)
+
+
 @register("d_minhash_neardups", oracle=None, tags=["dedup-minhash", "no-oracle"])
 def d_minhash_neardups(spark, sf_dir):
     """MinHash+LSH near-dup pipeline: shingle -> 64-perm signature -> 8-band

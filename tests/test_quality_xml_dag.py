@@ -69,6 +69,38 @@ def test_excel_gated(spark, tmp_path):
         read_excel(spark, str(tmp_path / "x.xlsx"))
 
 
+def test_read_excel_distributed_plumbing(spark, tmp_path):
+    """Distributed Excel scan with an injected parser: binaryFile ->
+    mapInPandas -> typed rows + source_file lineage. The default openpyxl
+    parser stays gated (no lib in the container); the fake parses a
+    CSV-bytes 'workbook' so the executor-side path is fully exercised."""
+    import pandas as pd
+
+    from datagouvfr_data_pipelines_spark.io.excel import read_excel_distributed
+
+    (tmp_path / "a.xlsx").write_bytes(b"station,price\ns1,1.80\ns2,1.90\n")
+    (tmp_path / "b.xlsx").write_bytes(b"station,price\ns3,1.70\n")
+
+    def fake_parser(content: bytes, sheet):
+        import io as _io
+
+        return pd.read_csv(_io.BytesIO(content), dtype=str)
+
+    df = read_excel_distributed(
+        spark, str(tmp_path) + "/*.xlsx", "station string, price string",
+        parser=fake_parser,
+    )
+    rows = sorted((r["station"], r["price"]) for r in df.collect())
+    assert rows == [("s1", "1.80"), ("s2", "1.90"), ("s3", "1.70")]
+    srcs = {r["source_file"] for r in df.collect()}
+    assert len(srcs) == 2 and all(s.endswith(".xlsx") for s in srcs)
+
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_excel_distributed(
+            spark, str(tmp_path) + "/*.xlsx", "station string, price string"
+        )
+
+
 def test_quality_assertions(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")], "k int, v string")
     with pytest.raises(DataQualityError, match="duplicate keys"):
