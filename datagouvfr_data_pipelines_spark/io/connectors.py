@@ -108,8 +108,92 @@ def fetch_url_to_dataframe(
     raise ValueError(f"unsupported fmt {fmt}")
 
 
+def sftp_land_and_read(
+    spark: SparkSession,
+    remote_dir: str,
+    pattern: str,
+    landing_dir: str,
+    reader,
+    transport=None,
+    host: str | None = None,
+    credentials: dict[str, str] | None = None,
+) -> DataFrame:
+    """S14: SFTP ingest = land-then-read (utils/sftp.py:17-57).
+
+    The engine's SFTP posture: the remote server is a SOURCE OF FILES, not
+    a queryable system — so the connector lists the remote directory,
+    downloads matching files to ``landing_dir`` (skipping names already
+    landed: re-runs are idempotent, the ledger is the landing dir itself),
+    and hands the landed paths to ``reader(spark, landing_dir)`` — any
+    normal engine reader (CSV/parquet/XML/archive). Downloads are
+    driver-side by design (SFTP is a single-server protocol; parallelism
+    beyond a few connections DDoSes the source, the reference uses one).
+
+    ``transport`` abstracts the wire protocol: an object with
+    ``listdir(remote_dir) -> list[str]`` and ``get(remote_path,
+    local_path)``. Default builds a paramiko SFTP client from ``host`` +
+    ``credentials`` (gated: paramiko is not in this container); tests
+    inject a local-directory transport to exercise the landing logic.
+    """
+    import fnmatch
+    import os
+    import shutil
+
+    if transport is None:
+        try:
+            import paramiko
+        except ImportError as e:
+            raise NotImplementedError(
+                "sftp_land_and_read needs paramiko (or an injected transport); "
+                "land files to object storage instead"
+            ) from e
+        t = paramiko.Transport((host, int((credentials or {}).get("port", 22))))
+        t.connect(
+            username=(credentials or {}).get("user"),
+            password=(credentials or {}).get("password"),
+        )
+        transport = paramiko.SFTPClient.from_transport(t)
+
+    os.makedirs(landing_dir, exist_ok=True)
+    landed = []
+    for name in sorted(transport.listdir(remote_dir)):
+        if not fnmatch.fnmatch(name, pattern):
+            continue
+        dest = os.path.join(landing_dir, name)
+        if not os.path.exists(dest):
+            tmp = dest + ".__part"
+            transport.get(os.path.join(remote_dir, name), tmp)
+            shutil.move(tmp, dest)  # atomic publish into the ledger dir
+        landed.append(dest)
+    return reader(spark, landing_dir)
+
+
+class LocalDirTransport:
+    """Filesystem-backed transport implementing the SFTP client surface
+    (listdir/get) — the test double for ``sftp_land_and_read``, and a
+    useful tool in its own right for landing from mounted shares."""
+
+    def __init__(self, root: str | None = None):
+        self.root = root
+
+    def listdir(self, remote_dir: str) -> list[str]:
+        import os
+
+        return os.listdir(remote_dir if self.root is None else self.root)
+
+    def get(self, remote_path: str, local_path: str) -> None:
+        import os
+        import shutil
+
+        src = (
+            remote_path
+            if self.root is None
+            else os.path.join(self.root, os.path.basename(remote_path))
+        )
+        shutil.copyfile(src, local_path)
+
+
 def read_sftp(*args, **kwargs):  # pragma: no cover
-    """S14: FTP/SFTP ingest (utils/sftp.py:17-57). Gated: paramiko is not in
-    this container; production deploys land files to object storage and use
-    the normal readers."""
-    raise NotImplementedError("read_sftp needs paramiko; land files to storage instead")
+    """S14 legacy alias: see ``sftp_land_and_read`` (the executable path).
+    Direct no-transport calls stay gated on paramiko."""
+    return sftp_land_and_read(*args, **kwargs)

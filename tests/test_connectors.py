@@ -5,8 +5,9 @@ from __future__ import annotations
 import pytest
 
 from datagouvfr_data_pipelines_spark.io.connectors import (
+    LocalDirTransport,
     publish_to_object_store,
-    read_sftp,
+    sftp_land_and_read,
 )
 
 
@@ -26,6 +27,38 @@ def test_publish_to_object_store_file_scheme(spark, tmp_path):
         publish_to_object_store(spark, str(src), dest, overwrite=False)
 
 
-def test_sftp_gated():
+def test_sftp_gated(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="paramiko"):
-        read_sftp()
+        sftp_land_and_read(
+            spark, "/remote", "*.csv", str(tmp_path / "land"),
+            reader=lambda s, d: None, host="example.invalid",
+        )
+
+
+def test_sftp_land_and_read_idempotent(spark, tmp_path):
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    (remote / "d1.csv").write_text("k,v\n1,a\n")
+    (remote / "d2.csv").write_text("k,v\n2,b\n")
+    (remote / "skip.txt").write_text("not matched")
+    landing = str(tmp_path / "land")
+
+    def reader(s, d):
+        return s.read.option("header", "true").csv(d + "/*.csv")
+
+    t = LocalDirTransport(str(remote))
+    df = sftp_land_and_read(spark, str(remote), "*.csv", landing, reader, transport=t)
+    assert sorted(r["k"] for r in df.collect()) == ["1", "2"]
+
+    # second drain: already-landed names are NOT re-downloaded
+    calls = []
+    orig_get = t.get
+    t.get = lambda rp, lp: (calls.append(rp), orig_get(rp, lp))
+    df2 = sftp_land_and_read(spark, str(remote), "*.csv", landing, reader, transport=t)
+    assert calls == []
+    assert sorted(r["k"] for r in df2.collect()) == ["1", "2"]
+
+    # a NEW remote file is picked up on the next drain
+    (remote / "d3.csv").write_text("k,v\n3,c\n")
+    df3 = sftp_land_and_read(spark, str(remote), "*.csv", landing, reader, transport=t)
+    assert sorted(r["k"] for r in df3.collect()) == ["1", "2", "3"]

@@ -75,3 +75,27 @@ def test_exact_median_policy(spark, sf_dir):
     plan = plan_of(QUERIES["a2_median_by_flag"](spark, sf_dir))
     assert "percentile" in plan
     assert "approx_percentile" not in plan
+
+
+def test_cdc_diff_counted_single_shuffle(spark, sf_dir):
+    """U2's counted form must shuffle the unioned snapshots ONCE (one
+    Exchange below the aggregate) — the whole point over exceptAll-twice,
+    which plans 4 table-shuffles."""
+    plan = plan_of(QUERIES["u2_cdc_diff"](spark, sf_dir), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Except" not in plan
+
+
+def test_lang_id_ngram_marker_join_broadcasts(spark, sf_dir):
+    """The 150-row trigram marker table must broadcast; the doc-side explode
+    must NOT shuffle before the join."""
+    plan = plan_of(QUERIES["t_lang_id_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_emb_neardup_no_cartesian_single_cell_shuffle(spark, sf_dir):
+    """IVF-bucketed pair generation joins on the cell key — a real equi-join,
+    never a cartesian."""
+    plan = plan_of(QUERIES["emb_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
