@@ -6,7 +6,7 @@ Prints ONE JSON line:
 
 Protocol: each query's DataFrame is built once (prepared-plan, mirroring
 DuckDB's cheap parse), then executed to completion (count() forces the
-full plan) REPS times (default 3, $SPARK_GRAFT_BENCH_REPS) and the
+full plan) REPS times (default 5, $SPARK_GRAFT_BENCH_REPS) and the
 per-query median is reported; the DuckDB oracle baseline uses the
 identical median-of-REPS execute protocol. The Spark cache is cleared
 between reps so persist()-based operators (minhash) never reuse a prior
@@ -58,7 +58,7 @@ def _median(xs: list[float]) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from datagouvfr_data_pipelines_spark.session import get_spark
@@ -117,6 +117,10 @@ def main() -> None:
                 oracle_timings[name] = round(_median(samples), 3)
         con.close()
 
+    # Spark subtotal over the queries that HAVE a DuckDB oracle, so the
+    # ratio against oracle_total_sec compares identical work (the suite
+    # total also includes minhash LSH, which DuckDB cannot express).
+    comparable = round(sum(t for n, t in timings.items() if n in oracle_timings), 3)
     print(
         json.dumps(
             {
@@ -126,6 +130,7 @@ def main() -> None:
                 "queries": timings,
                 "oracle_duckdb_sec": oracle_timings,
                 "oracle_total_sec": round(sum(oracle_timings.values()), 3),
+                "oracle_comparable_spark_sec": comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -50,6 +50,28 @@ def test_cdc_diff_reconstruction_property(spark, old_rows, new_rows):
 
 
 @SETTINGS
+@given(old_rows=rows_strategy, new_rows=rows_strategy)
+def test_cdc_diff_counted_equals_except_all_form(spark, old_rows, new_rows):
+    """The single-shuffle counted CDC diff emits EXACTLY the multiset that
+    the two exceptAll passes emit, for any inputs including duplicates."""
+    from collections import Counter
+
+    from datagouvfr_data_pipelines_spark.operators.setops import cdc_diff_counted
+
+    old = spark.createDataFrame(old_rows, "k string, v int") if old_rows else \
+        spark.createDataFrame([], "k string, v int")
+    new = spark.createDataFrame(new_rows, "k string, v int") if new_rows else \
+        spark.createDataFrame([], "k string, v int")
+    d = cdc_diff(new, old)
+    expected = Counter(
+        [("add", *r) for r in d.additions.collect()]
+        + [("del", *r) for r in d.deletions.collect()]
+    )
+    got = Counter(tuple(r) for r in cdc_diff_counted(new, old).collect())
+    assert got == expected
+
+
+@SETTINGS
 @given(rows=rows_strategy)
 def test_keep_best_row_matches_python_argmax(spark, rows):
     """Window dedup == per-key python max under the same total order."""
