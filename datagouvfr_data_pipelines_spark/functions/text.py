@@ -158,12 +158,15 @@ def lang_id_ngram(df, id_col: str, text_col: str):
     language code; docs with no match -> 'und'). One shuffle on the doc id;
     the marker table is a ~150-row broadcast. Returns (id_col, lang).
 
+    The broadcast join FILTERS before the shuffle (only the ~150 marker
+    trigrams survive the explode), and the argmax is a min-of-struct
+    aggregate — (-cnt, lang) ascending = highest count, language-code
+    tie-break — which combines map-side, instead of a sort-based window.
+
     Reference parity: utils/datagouv.py:21-72 + activites:45-49 call
     langdetect per row in Python; this reproduces the same n-gram scoring
     idea as a relational plan that is exactly reproducible in SQL.
     """
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     markers = spark.createDataFrame(
         [(lang, tri) for lang, tris in LANG_TRIGRAMS.items() for tri in tris],
@@ -177,11 +180,18 @@ def lang_id_ngram(df, id_col: str, text_col: str):
         .groupBy(id_col, "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("lang").asc())
-    best = scores.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    best = (
+        scores.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("lang").alias("lang"))
+            ).alias("b")
+        )
+        .select(id_col, F.col("b.lang").alias("lang"))
+    )
     return (
         df.select(id_col)
-        .join(best.select(id_col, "lang"), id_col, "left")
+        .join(best, id_col, "left")
         .select(id_col, F.coalesce(F.col("lang"), F.lit("und")).alias("lang"))
     )
 
