@@ -175,7 +175,15 @@ def repair_insee_codes(
         F.col("code").alias("repaired_code"),
         F.lit("valid").alias("repair_source"),
     )
-    invalid = base.where(~is_valid | code.isNull())
+    # NULL codes are resolved inline: joins on a NULL key never match, so
+    # routing them through the correspondence/service path would leave
+    # their repair_source NULL instead of the documented 'unrepairable'
+    nulls = base.where(code.isNull()).select(
+        "code",
+        F.lit(None).cast("string").alias("repaired_code"),
+        F.lit("unrepairable").alias("repair_source"),
+    )
+    invalid = base.where(~is_valid & code.isNotNull())
     if correspondence is not None:
         corr = correspondence.select(
             F.col("old_code").alias("code"), F.col("new_code")
@@ -199,7 +207,7 @@ def repair_insee_codes(
     repaired = misses.distinct().mapInPandas(run_batches, schema=INSEE_REPAIR_SCHEMA)
     # re-expand the distinct miss set back to one row per input row
     miss_rows = misses.join(repaired, on="code", how="left")
-    out = valid.unionByName(miss_rows)
+    out = valid.unionByName(nulls).unionByName(miss_rows)
     if from_corr is not None:
         out = out.unionByName(from_corr)
     return out
@@ -242,6 +250,11 @@ def parse_image_dimensions(data: bytes | None) -> tuple[str, int, int] | None:
                 i += 1
                 continue
             marker = data[i + 1]
+            if marker == 0xFF:
+                i += 1  # 0xFF fill/padding byte before a marker (spec-legal)
+                continue
+            if marker == 0xD9:
+                break  # EOI — no frame header found
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

@@ -124,10 +124,12 @@ def sftp_land_and_read(
     a queryable system — so the connector lists the remote directory,
     downloads matching files to ``landing_dir`` (skipping names already
     landed: re-runs are idempotent, the ledger is the landing dir itself),
-    and hands the landed paths to ``reader(spark, landing_dir)`` — any
-    normal engine reader (CSV/parquet/XML/archive). Downloads are
-    driver-side by design (SFTP is a single-server protocol; parallelism
-    beyond a few connections DDoSes the source, the reference uses one).
+    and hands THE LANDED PATHS (this drain's matches only — stale files
+    from earlier drains with other patterns are excluded) to
+    ``reader(spark, paths)`` — any engine reader accepts a path list
+    (CSV/parquet/XML/archive). Downloads are driver-side by design (SFTP
+    is a single-server protocol; parallelism beyond a few connections
+    DDoSes the source, the reference uses one).
 
     ``transport`` abstracts the wire protocol: an object with
     ``listdir(remote_dir) -> list[str]`` and ``get(remote_path,
@@ -165,7 +167,7 @@ def sftp_land_and_read(
             transport.get(os.path.join(remote_dir, name), tmp)
             shutil.move(tmp, dest)  # atomic publish into the ledger dir
         landed.append(dest)
-    return reader(spark, landing_dir)
+    return reader(spark, landed)
 
 
 class LocalDirTransport:

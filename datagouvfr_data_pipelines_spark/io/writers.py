@@ -176,14 +176,12 @@ def write_geoparquet_points(
     """
     from datagouvfr_data_pipelines_spark.functions.geo import (
         bbox_struct,
-        hilbert_key,
-        morton_key,
+        spatially_ordered,
     )
 
-    key = {"hilbert": hilbert_key, "morton": morton_key}[curve]
-    ordered = (
-        df.withColumn("bbox", bbox_struct(lon_col, lat_col))
-        .orderBy(key(lon_col, lat_col))
+    ordered = spatially_ordered(
+        df.withColumn("bbox", bbox_struct(lon_col, lat_col)),
+        lon_col, lat_col, curve=curve,
     )
     (
         ordered.write.mode("overwrite")
@@ -193,7 +191,7 @@ def write_geoparquet_points(
     )
     if geo_metadata:
         for part in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
-            _add_geoparquet_footer(part, lon_col, lat_col, compression)
+            _add_geoparquet_footer(part, lon_col, lat_col, compression, row_group_rows)
 
 
 def _wkb_point(lon: float, lat: float) -> bytes:
@@ -205,7 +203,8 @@ def _wkb_point(lon: float, lat: float) -> bytes:
 
 
 def _add_geoparquet_footer(
-    file_path: str, lon_col: str, lat_col: str, compression: str
+    file_path: str, lon_col: str, lat_col: str, compression: str,
+    row_group_rows: int = 20_000,
 ) -> None:
     """Rewrite one parquet file with a WKB ``geometry`` column + GeoParquet
     1.0.0 ``geo`` file metadata (what DuckDB spatial's write_parquet emits,
@@ -252,7 +251,10 @@ def _add_geoparquet_footer(
     meta = dict(t.schema.metadata or {})
     meta[b"geo"] = json.dumps(geo).encode()
     t = t.replace_schema_metadata(meta)
-    pq.write_table(t, file_path, compression=compression)
+    # keep the bounded row groups the Spark write produced — pyarrow's
+    # default (1Mi rows/group) would destroy the per-group min/max pruning
+    # the Hilbert ordering exists for
+    pq.write_table(t, file_path, compression=compression, row_group_size=row_group_rows)
     # the rewrite invalidates Hadoop LocalFS checksum sidecars — drop them
     # or a later spark.read fails with ChecksumException
     crc = os.path.join(

@@ -345,7 +345,7 @@ def simhash_neardup_pairs(
     rather than silently losing recall.
     """
     if bands is None:
-        bands = next(b for b in (1, 2, 4, 8, 16, 32) if b > max_hamming)
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}): the "

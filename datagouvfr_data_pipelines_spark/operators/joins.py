@@ -147,8 +147,10 @@ def asof_join_backward(
     unioned = state.unionByName(probe)
     order = [F.col("__ts").asc(), F.col("__is_probe").asc()]
     if right_tiebreaker is not None:
-        # nulls_first: probe rows carry NULL in the tiebreaker column and
-        # must sort before any state row at the same (__ts, __is_probe).
+        # only orders STATE rows among themselves: probe vs state is already
+        # decided by __is_probe, so the null placement of the probe rows'
+        # (always-NULL) tiebreaker is inert — asc_nulls_first merely keeps
+        # the total ordering explicit.
         order.append(F.col(f"__r_{right_tiebreaker}").asc_nulls_first())
     w = (
         Window.partitionBy("__k")

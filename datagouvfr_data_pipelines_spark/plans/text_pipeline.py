@@ -183,11 +183,11 @@ def t_lang_id_ngram(spark, sf_dir):
     oracle="""
     SELECT doc_id AS media_id,
            'text-blob' AS media_type,
-           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           sha256(text) AS sha,
-           CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS width,
-           CAST(octet_length(encode(text)) % 1080 AS INTEGER) AS height,
-           CAST(octet_length(encode(text)) % 60000 AS INTEGER) AS duration_ms,
+           CAST(octet_length(encode('doc ' || text)) AS INTEGER) AS n_bytes,
+           sha256('doc ' || text) AS sha,
+           CAST(octet_length(encode('doc ' || text)) % 1920 AS INTEGER) AS width,
+           CAST(octet_length(encode('doc ' || text)) % 1080 AS INTEGER) AS height,
+           CAST(octet_length(encode('doc ' || text)) % 60000 AS INTEGER) AS duration_ms,
            'fake-decoded' AS decode_status
     FROM documents WHERE doc_id < 200
     """,
@@ -196,17 +196,22 @@ def t_lang_id_ngram(spark, sf_dir):
 def mm_media_metadata(spark, sf_dir):
     """Multimodal metadata plumbing, driver-checkable: text payloads cast to
     binary run through the real Arrow-batched mapInPandas decode path
-    (functions/udfs.py:extract_media_metadata — header sniffing finds no
-    image signature in text bytes, so every row takes the deterministic
-    fake-decode branch, which the DuckDB oracle reproduces exactly).
-    Exercises the full UDF surface: batch iteration, binary columns,
-    sha256, typed output schema."""
+    (functions/udfs.py:extract_media_metadata). Payloads are prefixed with
+    'doc ' so NO text can start with an image magic number (a document
+    beginning with 'BM' or 'GIF89a' would otherwise take the real-decode
+    branch and break parity with the oracle's fake-decode arithmetic) —
+    every row deterministically exercises the fake branch, which the
+    DuckDB oracle reproduces exactly. Exercises the full UDF surface:
+    batch iteration, binary columns, sha256, typed output schema."""
     from datagouvfr_data_pipelines_spark.functions.udfs import extract_media_metadata
 
     docs = (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 200)
-        .select("doc_id", F.col("text").cast("binary").alias("content"))
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc "), F.col("text")).cast("binary").alias("content"),
+        )
     )
     return extract_media_metadata(docs, "doc_id", "content", "text-blob")
 

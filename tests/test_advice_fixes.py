@@ -115,6 +115,8 @@ def test_simhash_guard_rejects_unsound_band_count(spark, sf_dir):
         simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=4, bands=6)
     # bands=None auto-sizes to a sound divisor of 64 — plan builds fine
     simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=8).schema
+    # ... including the top of the range (needs 64 bands, not StopIteration)
+    simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=32).schema
 
 
 # ---------------------------------------------------------------- geojson

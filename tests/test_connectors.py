@@ -43,8 +43,8 @@ def test_sftp_land_and_read_idempotent(spark, tmp_path):
     (remote / "skip.txt").write_text("not matched")
     landing = str(tmp_path / "land")
 
-    def reader(s, d):
-        return s.read.option("header", "true").csv(d + "/*.csv")
+    def reader(s, paths):
+        return s.read.option("header", "true").csv(paths)
 
     t = LocalDirTransport(str(remote))
     df = sftp_land_and_read(spark, str(remote), "*.csv", landing, reader, transport=t)
@@ -62,3 +62,15 @@ def test_sftp_land_and_read_idempotent(spark, tmp_path):
     (remote / "d3.csv").write_text("k,v\n3,c\n")
     df3 = sftp_land_and_read(spark, str(remote), "*.csv", landing, reader, transport=t)
     assert sorted(r["k"] for r in df3.collect()) == ["1", "2", "3"]
+
+    # stale landed files from other patterns are NOT handed to the reader
+    (remote / "other.tsv").write_text("x\t9\n")
+    sftp_land_and_read(
+        spark, str(remote), "*.tsv", landing,
+        reader=lambda s, paths: paths, transport=t,
+    )
+    got_paths = sftp_land_and_read(
+        spark, str(remote), "*.csv", landing,
+        reader=lambda s, paths: paths, transport=t,
+    )
+    assert all(p.endswith(".csv") for p in got_paths) and len(got_paths) == 3

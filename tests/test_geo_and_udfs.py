@@ -144,6 +144,15 @@ def test_repair_insee_codes_cascade(spark):
     again = {r["code"]: r for r in repair_insee_codes(df, "commune", corr).collect()}
     assert again["7505"]["repaired_code"] == out["7505"]["repaired_code"]
 
+    # NULL codes resolve to 'unrepairable' (a NULL join key never matches,
+    # so they must not be routed through the join paths)
+    dfn = spark.createDataFrame([(None,), ("75056",)], "commune string")
+    outn = repair_insee_codes(dfn, "commune", corr).collect()
+    by_src = {r["repair_source"] for r in outn}
+    assert by_src == {"unrepairable", "valid"}
+    null_row = [r for r in outn if r["code"] is None][0]
+    assert null_row["repair_source"] == "unrepairable"
+
 
 def _png(w: int, h: int) -> bytes:
     import struct
@@ -188,6 +197,12 @@ def test_media_metadata_real_image_headers(spark):
     assert parse_image_dimensions(_bmp(300, -200)) == ("bmp", 300, 200)
     assert parse_image_dimensions(b"not an image at all") is None
     assert parse_image_dimensions(None) is None
+    # 0xFF fill bytes between segments are spec-legal and must be skipped
+    filled = _jpeg(320, 200)
+    filled = filled[:2] + b"\xff\xff\xff" + filled[2:]
+    assert parse_image_dimensions(filled) == ("jpeg", 320, 200)
+    # truncated stream ending in EOI without a frame header -> None
+    assert parse_image_dimensions(b"\xff\xd8\xff\xd9" + b"\x00" * 8) is None
 
     df = spark.createDataFrame(
         [
