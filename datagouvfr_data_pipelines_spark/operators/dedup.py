@@ -405,6 +405,49 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash31_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash with an engine-portable token hash — the oracle-checkable
+    twin of ``simhash64`` (same sign-sum construction, rolling 31-bit hash
+    instead of xxhash64, so every bit is reproducible in ANSI SQL).
+
+    Per-row bound-lambda fold (the verification path); the production
+    ``simhash64`` keeps the exploded codegen'd aggregation. Returns
+    (id, simhash31 bigint).
+    """
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        tokens,
+    )
+
+    def rolling(s):
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)),
+        )
+
+    hs = F.transform(tokens(text_col), rolling)
+
+    def _bit_step(b):
+        # closure factory: a default-arg lambda would surface as a third
+        # lambda parameter to F.aggregate and get bound to a Column
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    def fp(arr):
+        out = F.lit(0).cast("long")
+        for b in range(31):
+            bit_sum = F.aggregate(arr, F.lit(0).cast("long"), _bit_step(b))
+            out = out + F.when(bit_sum > 0, F.lit(1 << b).cast("long")).otherwise(0)
+        return out
+
+    sim = F.transform(F.array(hs), fp)[0]
+    return df.select(F.col(id_col), sim.alias("simhash31"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign-sum of token-hash bits.
 

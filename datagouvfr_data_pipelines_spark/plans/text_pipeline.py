@@ -341,6 +341,46 @@ def d_minhash_sig(spark, sf_dir):
     return minhash_signatures_portable(docs, "doc_id", "text", k=16)
 
 
+def _simhash_sig_oracle() -> str:
+    rolling = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(acc, x) -> (acc * 131 + x) % 2147483647)"
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
+        f"v -> CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(31)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                            tok -> {rolling}) AS hs
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash31
+    FROM t
+    """
+
+
+@register(
+    "d_simhash_sig",
+    oracle=_simhash_sig_oracle(),
+    tags=["dedup-simhash", "A-sig"],
+)
+def d_simhash_sig(spark, sf_dir):
+    """Oracle-checked SimHash fingerprints: the sign-sum construction with
+    the portable rolling token hash (operators/dedup.py:simhash31_portable),
+    bit-compared against a generated 31-term DuckDB replica — the simhash
+    algebra's driver-verified twin (production simhash64 keeps xxhash64)."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import simhash31_portable
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return simhash31_portable(docs, "doc_id", "text")
+
+
 @register("d_minhash_neardups", oracle=None, tags=["dedup-minhash", "no-oracle"])
 def d_minhash_neardups(spark, sf_dir):
     """MinHash+LSH near-dup pipeline: shingle -> 64-perm signature -> 8-band
