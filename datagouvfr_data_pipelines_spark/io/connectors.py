@@ -26,20 +26,22 @@ def read_jdbc(
     read parallelizes across ``num_partitions`` executor connections —
     REQUIRED for any large table (a single-connection read is a driver
     bottleneck). Replaces utils/postgres.py:23-29 execute_query."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
+    reader = spark.read.format("jdbc").option("url", url)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        # Spark rejects `query` + `partitionColumn` together; the partitioned
+        # form must go through `dbtable` as a derived table so each executor
+        # connection appends its own bound predicate.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_src")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()
 
 

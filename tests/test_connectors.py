@@ -74,3 +74,54 @@ def test_sftp_land_and_read_idempotent(spark, tmp_path):
         reader=lambda s, paths: paths, transport=t,
     )
     assert all(p.endswith(".csv") for p in got_paths) and len(got_paths) == 3
+
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        return True
+    except Exception:
+        return False
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S12/S19 executable check: write a table through the batched JDBC sink
+    and read it back through the partitioned JDBC scan, against the Derby
+    embedded engine that ships on Spark's classpath (no server needed).
+    Verifies the partitioned read really fans out to num_partitions
+    executor-side connections with bound predicates."""
+    from datagouvfr_data_pipelines_spark.io.connectors import read_jdbc, write_jdbc
+
+    if not _derby_available(spark):
+        pytest.skip("Derby driver not on Spark classpath")
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    df = spark.range(0, 100).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id % 7 AS INT) AS grp"
+    )
+    write_jdbc(df, url, "items", mode="overwrite", properties=DERBY_PROPS)
+
+    back = read_jdbc(
+        spark,
+        url,
+        'SELECT "id", "grp" FROM items WHERE "grp" < 5',
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        properties=DERBY_PROPS,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    rows = sorted((r.id, r.grp) for r in back.collect())
+    assert rows == [(i, i % 7) for i in range(100) if i % 7 < 5]
+
+    # unpartitioned single-connection path (query option)
+    one = read_jdbc(spark, url, 'SELECT COUNT(*) AS "n" FROM items', properties=DERBY_PROPS)
+    assert one.collect()[0].n == 100
+
+    # append mode accumulates
+    write_jdbc(df.limit(5), url, "items", mode="append", properties=DERBY_PROPS)
+    two = read_jdbc(spark, url, 'SELECT COUNT(*) AS "n" FROM items', properties=DERBY_PROPS)
+    assert two.collect()[0].n == 105
