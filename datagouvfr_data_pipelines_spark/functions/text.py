@@ -284,3 +284,100 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         )
 
     return F.transform(F.array(tokens(col)), _assemble)[0]
+
+
+# --- repetition / PII operators (training-data curation tier) -------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+PHONE_RE = "\\+?[0-9]{2}[ .-]?([0-9]{2}[ .-]?){3}[0-9]{2}"
+
+
+def bigram_list(tk: Column) -> Column:
+    """Word bigrams WITH multiplicity (unlike ``word_shingles``, which
+    deduplicates for MinHash). Zip-of-shifted-slices, same rationale as
+    ``word_shingles``; <2 tokens -> empty array."""
+    length = F.size(tk) - 1
+    return F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, 1, length),
+            F.slice(tk, 2, length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style within-document repetition ratios:
+
+    - ``top_word_frac``: occurrences of the most frequent token / all tokens
+    - ``dup_word_frac``: fraction of tokens whose token occurs more than once
+    - ``top_bigram_frac``: same as top_word_frac over word bigrams
+
+    Shape for 100 TB: explode -> (doc, gram) count -> per-doc aggregate.
+    Both groupBys are keyed by doc_id(+gram) so they partial-aggregate
+    map-side; no document's grams ever need to be co-resident beyond one
+    (doc, gram) pair, so arbitrarily long documents can't skew a reducer
+    the way a per-doc collect_list would. Docs with zero tokens are
+    excluded (no signal), matching the oracle's inner unnest.
+    """
+    toks = df.select(id_col, tokens(text_col).alias("__t"))
+    uni = (
+        toks.select(id_col, F.explode("__t").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("tot"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+        )
+    )
+    big = (
+        toks.select(id_col, F.explode(bigram_list(F.col("__t"))).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("bmx"), F.sum("c").alias("btot"))
+    )
+    return uni.join(big, id_col, "left").select(
+        id_col,
+        (F.col("mx").cast("double") / F.col("tot").cast("double")).alias(
+            "top_word_frac"
+        ),
+        (F.col("dup").cast("double") / F.col("tot").cast("double")).alias(
+            "dup_word_frac"
+        ),
+        F.coalesce(
+            F.col("bmx").cast("double") / F.col("btot").cast("double"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails, IPv4 addresses and FR-style phone numbers with typed
+    placeholders. Pure regexp_replace chain (JVM, codegen); patterns stay in
+    the Java/RE2 common subset so the DuckDB oracle replays them verbatim.
+    Order matters (emails first: an IP-lookalike inside a hostname must not
+    be eaten before the email match sees it) and is mirrored in the oracle."""
+    c = F.regexp_replace(_col(col), EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """(n_email, n_ip, n_phone) match counts, each counted on the text with
+    the previous categories already redacted so a token is attributed to
+    exactly one category — same cascade as ``redact_pii``."""
+    c = _col(col)
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    n_email = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("int")
+    n_ip = F.size(
+        F.regexp_extract_all(after_email, F.lit(IPV4_RE), F.lit(0))
+    ).cast("int")
+    n_phone = F.size(
+        F.regexp_extract_all(after_ip, F.lit(PHONE_RE), F.lit(0))
+    ).cast("int")
+    return n_email, n_ip, n_phone

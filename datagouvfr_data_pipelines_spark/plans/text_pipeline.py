@@ -500,3 +500,88 @@ def sim_ivf_cells(spark, sf_dir):
     return emb.groupBy(ivf_cell("embedding", 64).alias("cell")).agg(
         F.count(F.lit(1)).alias("nb_vectors")
     )
+
+
+@register(
+    "t_repetition_scores",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    uc AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS g FROM tk) GROUP BY doc_id, g
+    ),
+    ua AS (
+      SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+      FROM uc GROUP BY doc_id
+    ),
+    bc AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t), 1)),
+                                         i -> t[i] || ' ' || t[i+1])) AS g
+            FROM tk) GROUP BY doc_id, g
+    ),
+    ba AS (SELECT doc_id, max(c) AS bmx, sum(c) AS btot FROM bc GROUP BY doc_id)
+    SELECT ua.doc_id,
+           CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) AS top_word_frac,
+           CAST(dup AS DOUBLE) / CAST(tot AS DOUBLE) AS dup_word_frac,
+           coalesce(CAST(bmx AS DOUBLE) / CAST(btot AS DOUBLE), 0.0) AS top_bigram_frac
+    FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+    """,
+    tags=["text", "quality", "repetition"],
+)
+def t_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters (top-word / duplicated-word /
+    top-bigram fractions) — the standard pre-training repetition gate,
+    as two map-side-combinable explode+groupBy chains."""
+    from datagouvfr_data_pipelines_spark.functions.text import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+@register(
+    "t_pii_redact",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, text, t1,
+             regexp_replace(t1, '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2
+      FROM s
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '\\+?[0-9]{2}[ .-]?([0-9]{2}[ .-]?){3}[0-9]{2}',
+                          '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t1,
+                '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ip,
+           CAST(len(regexp_extract_all(t2,
+                '\\+?[0-9]{2}[ .-]?([0-9]{2}[ .-]?){3}[0-9]{2}')) AS INTEGER) AS n_phone
+    FROM s2
+    """,
+    tags=["text", "pii"],
+)
+def t_pii_redact(spark, sf_dir):
+    """PII scrub: email/IPv4/phone redaction with typed placeholders and
+    per-category match counts — single narrow projection, no shuffle."""
+    from datagouvfr_data_pipelines_spark.functions.text import pii_counts, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    n_email, n_ip, n_phone = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        redact_pii("text").alias("clean_text"),
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+    )
