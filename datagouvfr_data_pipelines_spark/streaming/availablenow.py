@@ -70,3 +70,50 @@ def tumbling_window_counts(
     return df.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
         F.count(F.lit(1)).alias("nb")
     ).select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "nb")
+
+
+def dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    key_cols: list[str],
+    ts_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    fmt: str = "parquet",
+    path_glob: str | None = None,
+) -> None:
+    """Streaming ingest dedup: emit each key's FIRST arrival, drop repeats
+    seen within the watermark horizon — the standard exactly-once-ish gate
+    in front of a training-data landing zone where upstream feeds redeliver.
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``key_cols`` and evicts
+    each entry once the event-time watermark passes its observed timestamp
+    plus the delay, so state is bounded by (arrival rate x watermark) rather
+    than corpus size — the property that makes this run forever at 100 TB/day
+    where a batch ``dropDuplicates`` over history cannot. The checkpoint
+    carries both the file ledger (ST5) and the dedup state across
+    ``Trigger.AvailableNow`` drains.
+
+    At-least-once boundary (documented, test-pinned): a duplicate arriving
+    AFTER its key's state was evicted is re-emitted; downstream exact dedup
+    (``operators/dedup.py:exact_dedup``) remains the end-of-pipeline
+    backstop.
+    """
+    reader = spark.readStream.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.format(fmt).load(source_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -147,3 +147,56 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # 10:00 window closed with ONLY the on-time event; the late 10:30 event
     # was dropped by the watermark
     assert by_window.get("2024-01-01 10:00:00") == 1, by_window
+
+
+def test_dedup_ingest_within_watermark(spark, tmp_path):
+    """Watermarked streaming dedup: first arrival emitted, within-watermark
+    redeliveries dropped across drains, post-eviction duplicate re-emitted
+    (the documented at-least-once boundary)."""
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.availablenow import dedup_ingest
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "k string, ts timestamp, v int"
+
+    def land(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(globmod.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    def drain():
+        dedup_ingest(
+            spark, str(src), schema, ["k"], "ts", out, ckpt, watermark="1 hour"
+        )
+        return sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    land([("e1", t0, 1), ("e2", t0, 2)], "f1.parquet")
+    assert drain() == [("e1", 1), ("e2", 2)]
+
+    # redelivery of e1 a few minutes later (inside the 1h horizon) + new e3:
+    # the duplicate is dropped even though it arrives in a LATER drain —
+    # dedup state lives in the checkpoint
+    land(
+        [("e1", t0 + dt.timedelta(minutes=5), 99), ("e3", t0 + dt.timedelta(minutes=5), 3)],
+        "f2.parquet",
+    )
+    assert drain() == [("e1", 1), ("e2", 2), ("e3", 3)]
+
+    # advance the watermark far past e2's eviction point
+    land([("e4", t0 + dt.timedelta(hours=5), 4)], "f3.parquet")
+    assert drain() == [("e1", 1), ("e2", 2), ("e3", 3), ("e4", 4)]
+
+    # e2 redelivered AFTER its state was evicted: re-emitted (at-least-once
+    # boundary; downstream exact_dedup is the backstop)
+    land([("e2", t0 + dt.timedelta(hours=5, minutes=1), 22)], "f4.parquet")
+    assert drain() == [("e1", 1), ("e2", 2), ("e2", 22), ("e3", 3), ("e4", 4)]
