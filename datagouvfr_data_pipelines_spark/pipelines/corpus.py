@@ -1,6 +1,7 @@
 """Training-corpus curation pipeline — the BASELINE.json north-star
-composition: quality filter -> language filter -> exact dedup -> MinHash
-near-dup removal -> corpus statistics, end to end on the ``documents`` table.
+composition: quality filter -> repetition gate -> language filter -> exact
+dedup -> MinHash near-dup removal -> optional PII scrub -> corpus
+statistics, end to end on the ``documents`` table.
 
 Every stage is the operator library's scale path: column-expression
 heuristics (no Python), hash-groupBy exact dedup, capped-bucket LSH, and a
@@ -17,6 +18,8 @@ from pyspark.sql import DataFrame
 from datagouvfr_data_pipelines_spark.functions.text import (
     lang_id,
     quality_score,
+    redact_pii,
+    repetition_stats,
     token_count_ws,
 )
 from datagouvfr_data_pipelines_spark.operators.dedup import (
@@ -33,6 +36,8 @@ def curate_corpus(
     keep_langs: list[str] | None = None,
     neardup_threshold: float = 0.8,
     max_cluster_iterations: int = 5,
+    max_top_bigram_frac: float | None = None,
+    scrub_pii: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
     "stats": one-row corpus stats}.
@@ -55,11 +60,28 @@ def curate_corpus(
         "doc_id", F.lit("quality").alias("stage")
     )
 
-    if keep_langs:
-        l_ok = q_ok.where(F.col("lang_pred").isin(keep_langs))
+    # Gopher-style repetition gate: boilerplate-heavy docs out before the
+    # expensive near-dup tier ever shingles them. Docs too short to have a
+    # bigram carry no repetition signal and pass through (NULL-safe).
+    if max_top_bigram_frac is not None:
+        reps = repetition_stats(q_ok, "doc_id", "text").select(
+            "doc_id", "top_bigram_frac"
+        )
+        r_ok = q_ok.join(reps, "doc_id", "left").where(
+            F.col("top_bigram_frac").isNull()
+            | (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        ).drop("top_bigram_frac")
     else:
-        l_ok = q_ok
-    l_dropped = q_ok.join(l_ok, "doc_id", "left_anti").select(
+        r_ok = q_ok
+    r_dropped = q_ok.join(r_ok, "doc_id", "left_anti").select(
+        "doc_id", F.lit("repetition").alias("stage")
+    )
+
+    if keep_langs:
+        l_ok = r_ok.where(F.col("lang_pred").isin(keep_langs))
+    else:
+        l_ok = r_ok
+    l_dropped = r_ok.join(l_ok, "doc_id", "left_anti").select(
         "doc_id", F.lit("language").alias("stage")
     )
 
@@ -101,8 +123,11 @@ def curate_corpus(
         "doc_id", F.lit("near_dup").alias("stage")
     )
 
-    dropped = q_dropped.unionByName(l_dropped).unionByName(e_dropped).unionByName(
-        nd_dropped
+    dropped = (
+        q_dropped.unionByName(r_dropped)
+        .unionByName(l_dropped)
+        .unionByName(e_dropped)
+        .unionByName(nd_dropped)
     )
     stats = nd_ok.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -111,4 +136,9 @@ def curate_corpus(
             "avg_quality"
         ),
     )
-    return {"kept": nd_ok.drop("content_sha"), "dropped": dropped, "stats": stats}
+    kept = nd_ok.drop("content_sha")
+    # PII scrub is a rewrite, not a drop stage: applied last so redaction
+    # placeholders never perturb dedup hashes or repetition counts.
+    if scrub_pii:
+        kept = kept.withColumn("text", redact_pii("text"))
+    return {"kept": kept, "dropped": dropped, "stats": stats}

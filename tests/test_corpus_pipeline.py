@@ -52,3 +52,26 @@ def test_curate_corpus_on_documents_table(spark, sf_dir):
     assert sorted(r["doc_id"] for r in again["kept"].collect()) == sorted(
         r["doc_id"] for r in out["kept"].collect()
     )
+
+
+def test_curate_corpus_repetition_and_pii_stages(spark):
+    repetitive = "spam spam spam spam spam spam " * 10 + GOOD
+    with_pii = GOOD + " contact me at someone@example.org for details"
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, repetitive), (3, with_pii)],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs,
+        min_quality=0.5,
+        neardup_threshold=0.95,
+        max_top_bigram_frac=0.3,
+        scrub_pii=True,
+    )
+    stages = {r["doc_id"]: r["stage"] for r in out["dropped"].collect()}
+    assert stages.get(2) == "repetition"
+    kept = {r["doc_id"]: r["text"] for r in out["kept"].collect()}
+    assert 1 in kept and 3 in kept
+    assert "<EMAIL>" in kept[3] and "someone@example.org" not in kept[3]
+    assert kept[1] == GOOD  # no-PII text unchanged
+    assert out["kept"].count() + out["dropped"].count() == docs.count()

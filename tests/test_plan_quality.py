@@ -99,3 +99,19 @@ def test_emb_neardup_no_cartesian_single_cell_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["emb_neardup_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    """PII scrub is a pure projection: no Exchange anywhere in the plan —
+    at 100 TB this stage must stream through the scan stage untouched."""
+    plan = plan_of(QUERIES["t_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_partial_aggregation(spark, sf_dir):
+    """Both explode+groupBy chains partial-aggregate map-side (4+ HashAggregate
+    nodes: partial+final per chain) and nothing falls back to a sort-based
+    aggregate over raw grams."""
+    plan = plan_of(QUERIES["t_repetition_scores"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan
