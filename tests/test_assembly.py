@@ -1,0 +1,76 @@
+"""Dataset-assembly operators: chunking coverage, split determinism,
+stratified-sample stability under repartitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from datagouvfr_data_pipelines_spark.operators.assembly import (
+    chunk_documents,
+    hash_split,
+    stratified_sample,
+)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "only three tokens"), (3, "  ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=1)
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in out.collect()
+    )
+    # doc 1: starts 1,4,7 -> [w0..w3],[w3..w6],[w6..w9]; every token covered,
+    # consecutive chunks share exactly `overlap` tokens
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert d1[0][2] == "w0 w1 w2 w3" and d1[1][2] == "w3 w4 w5 w6"
+    assert d1[2][2] == "w6 w7 w8 w9" and d1[2][3] == 4
+    covered = set()
+    for r in d1:
+        covered.update(r[2].split())
+    assert covered == {f"w{i}" for i in range(10)}
+    # doc 2 shorter than one chunk: single short chunk, no token lost
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, "only three tokens", 3)]
+    # whitespace-only doc yields nothing
+    assert not [r for r in rows if r[0] == 3]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_hash_split_deterministic_and_content_keyed(spark):
+    df = spark.createDataFrame(
+        [(1, "some document text"), (2, "other text"), (3, "some document text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.bucket, r.split) for r in hash_split(df, "text").collect()}
+    # identical content -> identical split, regardless of id
+    assert out[1] == out[3]
+    # rerun is bit-identical
+    again = {r.doc_id: (r.bucket, r.split) for r in hash_split(df, "text").collect()}
+    assert out == again
+    assert all(0 <= b < 100 for b, _ in out.values())
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(df, "text", weights={"train": 50, "val": 10})
+
+
+def test_stratified_sample_exact_k_and_partition_stable(spark):
+    rows = [(i, f"text number {i}", "en" if i % 2 else "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s1 = sorted(
+        (r.doc_id, r.lang)
+        for r in stratified_sample(df, "lang", 7, "doc_id", "text").collect()
+    )
+    s2 = sorted(
+        (r.doc_id, r.lang)
+        for r in stratified_sample(
+            df.repartition(13), "lang", 7, "doc_id", "text"
+        ).collect()
+    )
+    assert s1 == s2  # total order -> partition-layout independent
+    from collections import Counter
+
+    per_stratum = Counter(lang for _, lang in s1)
+    assert per_stratum == {"en": 7, "fr": 7}
