@@ -103,3 +103,79 @@ def stratified_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_key: str,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget packs: concatenate the token
+    stream in (``order_cols``) order and cut every ``budget`` tokens WITHOUT
+    splitting chunks — a chunk straddling a boundary belongs to the pack
+    where it starts, so a pack holds at most ``budget + max_chunk - 1``
+    tokens. Adds ``pack_id`` and ``pack_offset``.
+
+    The global running offset is a distributed prefix-sum, NOT one global
+    window (``Window.orderBy`` with no partition key funnels the whole
+    dataset through a single task — the classic 100 TB killer):
+
+    1. rows are fixed-width range-bucketed on numeric ``order_key``
+       (deterministic, no sampling — unlike ``repartitionByRange``, whose
+       sampled boundaries can shift between runs);
+    2. each bucket computes its local exclusive cumsum (bounded window);
+    3. per-bucket totals (``n_buckets`` rows) collect to the driver and
+       fold into prefix offsets, broadcast back as a literal map.
+
+    Skewed ``order_key`` distributions unbalance buckets but never break
+    correctness or determinism; raise ``n_buckets`` to re-spread.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    bounds = df.agg(
+        F.min(order_key).alias("mn"), F.max(order_key).alias("mx")
+    ).first()
+    if bounds.mn is None:
+        return df.withColumn("pack_id", F.lit(None).cast("long")).withColumn(
+            "pack_offset", F.lit(None).cast("long")
+        )
+    mn, mx = int(bounds.mn), int(bounds.mx)
+    width = max((mx - mn + n_buckets) // n_buckets, 1)
+    bucket = ((F.col(order_key) - mn) / width).cast("long")
+
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = df.withColumn("__bucket", bucket).withColumn(
+        "__local_off", F.coalesce(F.sum(token_col).over(w_local), F.lit(0)).cast("long")
+    )
+
+    totals = {
+        r["__bucket"]: r["t"]
+        for r in local.groupBy("__bucket")
+        .agg(F.sum(token_col).cast("long").alias("t"))
+        .collect()
+    }
+    prefix, acc = {}, 0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    prefix_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+        ),
+        F.col("__bucket"),
+    )
+    return (
+        local.withColumn("__goff", prefix_expr + F.col("__local_off"))
+        .withColumn("pack_id", (F.col("__goff") / budget).cast("long"))
+        .withColumn("pack_offset", F.pmod(F.col("__goff"), F.lit(budget)).cast("long"))
+        .drop("__bucket", "__local_off", "__goff")
+    )

@@ -97,3 +97,53 @@ def asm_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, "lang", 5, "doc_id", "text").select(
         "doc_id", "lang", "source"
     )
+
+
+_BUDGET = 64
+
+
+@register(
+    "asm_packed_sequences",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ch AS (
+      SELECT doc_id,
+             CAST((s - 1) // {_STEP} AS INTEGER) AS chunk_id,
+             CAST(least({_CHUNK}, len(t) - s + 1) AS INTEGER) AS n_chunk_tokens
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - {_OVERLAP}, 1) + 1, {_STEP})) AS s
+            FROM tk)
+    ),
+    o AS (
+      SELECT doc_id, chunk_id, n_chunk_tokens,
+             coalesce(SUM(n_chunk_tokens) OVER (
+               ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           CAST(goff // {_BUDGET} AS BIGINT) AS pack_id,
+           CAST(goff % {_BUDGET} AS BIGINT) AS pack_offset
+    FROM o
+    """,
+    tags=["assembly", "packing"],
+)
+def asm_packed_sequences(spark, sf_dir):
+    """Chunk then pack into {_BUDGET}-token budgets via the distributed
+    prefix-sum (the oracle's single global window is exactly what the
+    operator refuses to do at scale — bucketed cumsum + driver-folded
+    prefix offsets give the identical numbering)."""
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_size=_CHUNK, overlap=_OVERLAP)
+    packed = pack_sequences(
+        chunks, "doc_id", ["doc_id", "chunk_id"], "n_chunk_tokens", _BUDGET
+    )
+    return packed.select("doc_id", "chunk_id", "n_chunk_tokens", "pack_id", "pack_offset")

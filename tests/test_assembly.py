@@ -74,3 +74,36 @@ def test_stratified_sample_exact_k_and_partition_stable(spark):
 
     per_stratum = Counter(lang for _, lang in s1)
     assert per_stratum == {"en": 7, "fr": 7}
+
+
+def test_pack_sequences_bucket_invariant_and_bounds(spark):
+    from datagouvfr_data_pipelines_spark.operators.assembly import pack_sequences
+
+    rows = [(d, c, 5 + (d * 7 + c) % 9) for d in range(30) for c in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id int, n int")
+
+    def run(n_buckets):
+        out = pack_sequences(
+            df, "doc_id", ["doc_id", "chunk_id"], "n", budget=40, n_buckets=n_buckets
+        )
+        return sorted(
+            (r.doc_id, r.chunk_id, r.pack_id, r.pack_offset) for r in out.collect()
+        )
+
+    # bucket count is an execution detail: 1 bucket == 8 buckets == 64 buckets
+    r1, r8, r64 = run(1), run(8), run(64)
+    assert r1 == r8 == r64
+
+    # pack numbering matches the sequential reference exactly
+    goff = 0
+    for (d, c, pid, poff), (_, _, n) in zip(r1, sorted(rows)):
+        assert pid == goff // 40 and poff == goff % 40
+        goff += n
+
+    # no pack exceeds budget + max_chunk - 1 tokens
+    from collections import defaultdict
+
+    sizes = defaultdict(int)
+    for (d, c, pid, _), (_, _, n) in zip(r1, sorted(rows)):
+        sizes[pid] += n
+    assert max(sizes.values()) <= 40 + 13 - 1
