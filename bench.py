@@ -46,6 +46,11 @@ HEADLINE = [
     "d_minhash_neardups",     # minhash LSH + verify
     "sim_topk_cosine",        # embedding brute-force top-k
     "emb_neardup_pairs",      # IVF-bucketed cosine pairs
+    "t_repetition_scores",    # Gopher repetition gate (explode+groupBy x2)
+    "t_pii_redact",           # PII scrub (shuffle-free regexp chain)
+    "asm_chunked_docs",       # token-window chunking (shuffle-free explode)
+    "asm_packed_sequences",   # distributed prefix-sum packing
+    "asm_hash_split",         # content-keyed train/val/test split
 ]
 
 
