@@ -146,3 +146,63 @@ def test_csv_permissive_corrupt_rows(spark, tmp_path):
     assert len(rows) == 3
     ok = [r for r in rows if r["id"] is not None]
     assert {r["id"] for r in ok} == {1, 3}
+
+
+chunk_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0,
+            max_size=30,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@SETTINGS
+@given(
+    docs=chunk_docs_strategy,
+    chunk_size=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_matches_python_reference(spark, docs, chunk_size, overlap):
+    """chunk_documents == the obvious sequential Python chunker, for any
+    token lists and any legal (chunk_size, overlap)."""
+    from hypothesis import assume
+
+    from datagouvfr_data_pipelines_spark.operators.assembly import chunk_documents
+
+    assume(overlap < chunk_size)
+    step = chunk_size - overlap
+
+    def reference(tokens):
+        n = len(tokens)
+        if n == 0:
+            return []
+        starts = list(range(1, max(n - overlap, 1) + 1, step))
+        return [
+            (
+                (s - 1) // step,
+                " ".join(tokens[s - 1 : s - 1 + chunk_size]),
+                min(chunk_size, n - s + 1),
+            )
+            for s in starts
+        ]
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_size=chunk_size, overlap=overlap
+        ).collect()
+    )
+    want = sorted(
+        (i, cid, txt, n) for i, toks in docs for cid, txt, n in reference(toks)
+    )
+    assert got == want
