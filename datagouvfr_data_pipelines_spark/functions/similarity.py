@@ -166,3 +166,58 @@ def ivf_cell(a: Column | str, n_cells: int = 64) -> Column:
     for i in range(bits):
         cell = cell * 2 + F.when(F.element_at(v, i + 1) >= 0, 1).otherwise(0)
     return cell.cast("int")
+
+
+def knn_join(
+    corpus: "DataFrame",
+    vec_col: str,
+    id_col: str,
+    probes: "DataFrame",
+    probe_id_col: str,
+    probe_vec_col: str,
+    k: int = 10,
+    fan_buckets: int = 8,
+) -> "DataFrame":
+    """Exact k-NN join: for every probe vector, the ``k`` most-cosine-similar
+    corpus vectors, with a deterministic (sim DESC, id ASC) total order and a
+    1-based ``rank``.
+
+    Scale shape: probes broadcast to every corpus partition (Q is small by
+    assumption — it is the query batch, not the corpus); scoring is a
+    shuffle-free map. The naive per-probe top-k would then shuffle ALL Q x N
+    scored rows onto Q reducers — a guaranteed skew wall at 100 TB. Instead
+    a salt on the corpus id splits each probe's candidates across
+    ``fan_buckets`` reducers for a partial top-k, and only the Q x
+    fan_buckets x k survivors reach the final exact top-k. Both stages use
+    the same total order, so the result equals the single-window form
+    (oracle-checked) for any bucket count.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        F.col(probe_id_col),
+        F.col(id_col),
+        cosine(vec_col, probe_vec_col).alias("__sim"),
+        F.pmod(F.col(id_col), F.lit(fan_buckets)).alias("__salt"),
+    )
+    w_partial = Window.partitionBy(probe_id_col, "__salt").orderBy(
+        F.col("__sim").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        scored.withColumn("__rn", F.row_number().over(w_partial))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w_final = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= k)
+        .select(
+            probe_id_col,
+            id_col,
+            F.round("__sim", 6).alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -25,6 +25,7 @@ def read_csv_typed(
     header: bool = True,
     null_values: list[str] | None = None,
     keep_default_na: bool = True,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
     """S1/S2: typed CSV scan (gzip transparent via codec detection).
 
@@ -32,7 +33,20 @@ def read_csv_typed(
     :455-465: dtype/sep/encoding/na_values) — including the Namibia guard:
     ``keep_default_na=False`` stops "NA" from becoming NULL
     (geozones/task_functions.py:336-345).
+
+    ``capture_corrupt=True`` appends a ``_corrupt_record`` column holding the
+    raw line for rows that fail the typed parse (PERMISSIVE mode otherwise
+    nulls bad fields SILENTLY — at ingest scale you want the reject lines
+    routed to a quarantine sink, not vanished). Clean rows have NULL there.
     """
+    from pyspark.sql.types import StringType, StructField
+
+    if capture_corrupt:
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
     reader = (
         spark.read.schema(schema)
         .option("sep", sep)
@@ -40,6 +54,8 @@ def read_csv_typed(
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
     )
+    if capture_corrupt:
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
     if null_values:
         # Spark CSV has a single nullValue; emptyValue covers ''. Multiple
         # markers are normalized post-read (column expression, still pushed

@@ -585,3 +585,39 @@ def t_pii_redact(spark, sf_dir):
         n_ip.alias("n_ip"),
         n_phone.alias("n_phone"),
     )
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             {_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_P_SQL}) AS sim_raw
+      FROM embeddings e, p
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, sim_raw,
+             row_number() OVER (
+               PARTITION BY probe_id ORDER BY sim_raw DESC, vec_id ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(sim_raw, 6) AS sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=["similarity", "ann", "knn-join"],
+)
+def sim_knn_join(spark, sf_dir):
+    """Batched exact k-NN join (5 probes x corpus, k=5) through the
+    salted two-stage top-k — the oracle's single window proves the
+    bucketed form exact."""
+    from datagouvfr_data_pipelines_spark.functions.similarity import knn_join
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+    return knn_join(emb, "embedding", "vec_id", probes, "probe_id", "p", k=5)

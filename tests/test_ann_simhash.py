@@ -89,3 +89,26 @@ def test_read_xml_permissive(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_file"] is not None]
     assert len(ok) == 1 and ok[0]["pdv_id"] == "A"
     assert len(bad) == 1 and "bad.xml" in bad[0]["source_file"]
+
+
+def test_knn_join_bucket_invariant_and_self_match(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.functions.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
+    )
+
+    def run(fan):
+        out = knn_join(emb, "embedding", "vec_id", probes, "probe_id", "p",
+                       k=4, fan_buckets=fan)
+        return sorted((r.probe_id, r.vec_id, r.sim, r.rank) for r in out.collect())
+
+    r1, r8 = run(1), run(8)
+    assert r1 == r8  # fan-out is an execution detail
+    # every probe's rank-1 neighbor is itself (cosine 1.0)
+    firsts = {p: v for p, v, s, rk in r1 if rk == 1}
+    assert firsts == {0: 0, 1: 1, 2: 2}
+    assert all(rk <= 4 for _, _, _, rk in r1)

@@ -118,3 +118,22 @@ def test_geojson_feature_collection(spark):
     assert names == {"paris", "marseille"}
     geom = doc["features"][0]["geometry"]
     assert geom["type"] == "Point" and len(geom["coordinates"]) == 2
+
+
+def test_read_csv_typed_captures_corrupt_records(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    from datagouvfr_data_pipelines_spark.io.readers import read_csv_typed
+
+    df = read_csv_typed(
+        spark, str(p), "id int, qty int", capture_corrupt=True
+    ).cache()
+    clean = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted((r.id, r.qty) for r in clean.collect()) == [(1, 10), (3, 30)]
+    rejects = bad.collect()
+    assert len(rejects) == 1 and rejects[0]._corrupt_record == "2,notanumber"
+    df.unpersist()
+    # default path unchanged: no extra column
+    plain = read_csv_typed(spark, str(p), "id int, qty int")
+    assert "_corrupt_record" not in plain.columns
