@@ -147,3 +147,39 @@ def asm_packed_sequences(spark, sf_dir):
         chunks, "doc_id", ["doc_id", "chunk_id"], "n_chunk_tokens", _BUDGET
     )
     return packed.select("doc_id", "chunk_id", "n_chunk_tokens", "pack_id", "pack_offset")
+
+
+@register(
+    "q_quarantine_summary",
+    oracle="""
+    WITH v AS (
+      SELECT unnest(list_filter([
+        CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 'discount_cap' END,
+        CASE WHEN NOT coalesce(l_tax < 0.08, FALSE) THEN 'tax_cap' END,
+        CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 'qty_cap' END
+      ], x -> x IS NOT NULL)) AS violated_rule
+      FROM lineitem
+    )
+    SELECT violated_rule, COUNT(*) AS n_rows FROM v GROUP BY violated_rule
+    """,
+    tags=["quality", "quarantine"],
+)
+def q_quarantine_summary(spark, sf_dir):
+    """Declarative expectations gate over lineitem: per-rule violation
+    counts from the single-scan quarantine split (null-fails-closed)."""
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.quality import quarantine_split
+
+    li = table(spark, sf_dir, "lineitem")
+    _, violations = quarantine_split(
+        li,
+        {
+            "discount_cap": F.col("l_discount") <= 0.05,
+            "tax_cap": F.col("l_tax") < 0.08,
+            "qty_cap": F.col("l_quantity") <= 45,
+        },
+    )
+    return violations.groupBy("violated_rule").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

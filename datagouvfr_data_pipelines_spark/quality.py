@@ -87,3 +87,33 @@ def assert_non_empty(df: DataFrame, context: str = "") -> DataFrame:
     if df.limit(1).count() == 0:
         raise DataQualityError(f"empty frame{': ' + context if context else ''}")
     return df
+
+
+def quarantine_split(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> tuple[DataFrame, DataFrame]:
+    """Declarative expectations gate: ``rules`` maps rule name -> boolean
+    Column a GOOD row satisfies. Returns ``(passed, violations)`` where
+    violations carries every original column plus ``violated_rule`` (one row
+    per rule broken, so a row failing two rules appears twice).
+
+    One scan, no shuffle: all rules evaluate into a single array column and
+    rows split on whether any entry survived. NULL rule results fail CLOSED
+    (a null ``price > 0`` is a violation, not a pass) — at ingest scale the
+    quarantine sink must catch the rows whose fields were too broken to
+    evaluate, or they leak downstream as nulls.
+    """
+    checks = F.array(
+        *[
+            F.when(cond, F.lit(None).cast("string")).otherwise(F.lit(name))
+            for name, cond in rules.items()
+        ]
+    )
+    tagged = df.withColumn("__fails", F.filter(checks, lambda x: x.isNotNull()))
+    passed = tagged.where(F.size("__fails") == 0).drop("__fails")
+    violations = (
+        tagged.where(F.size("__fails") > 0)
+        .withColumn("violated_rule", F.explode("__fails"))
+        .drop("__fails")
+    )
+    return passed, violations

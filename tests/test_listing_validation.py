@@ -48,3 +48,33 @@ def test_validate_resources_cache_skip(spark):
     # no cache at all: everything validated
     out2 = validate_resources(resources, None)
     assert out2.count() == 3
+
+
+def test_quarantine_split_null_fails_closed(spark):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.quality import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -3.0, "b"), (3, None, "c"), (4, 5.0, None)],
+        "id long, price double, name string",
+    )
+    passed, violations = quarantine_split(
+        df,
+        {
+            "price_positive": F.col("price") > 0,
+            "name_present": F.col("name").isNotNull(),
+        },
+    )
+    assert sorted(r.id for r in passed.collect()) == [1]
+    v = sorted((r.id, r.violated_rule) for r in violations.collect())
+    # row 2: bad price; row 3: NULL price fails CLOSED; row 4: missing name
+    assert v == [
+        (2, "price_positive"),
+        (3, "price_positive"),
+        (4, "name_present"),
+    ]
+    # conservation: distinct violation ids + passed == input
+    assert {r.id for r in passed.collect()} | {
+        r.id for r in violations.collect()
+    } == {1, 2, 3, 4}
