@@ -115,3 +115,45 @@ def test_repetition_partial_aggregation(spark, sf_dir):
     plan = plan_of(QUERIES["t_repetition_scores"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 4, plan
     assert "CartesianProduct" not in plan
+
+
+def test_lint_plan_flags_antipatterns_and_passes_clean(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.functions import udf
+
+    from datagouvfr_data_pipelines_spark.plans.lint import (
+        assert_plan_clean,
+        lint_plan,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    # cartesian
+    warns = lint_plan(li.crossJoin(ords.select("o_orderkey")))
+    assert any(w.startswith("cartesian") for w in warns)
+
+    # row-at-a-time python udf
+    plus1 = udf(lambda x: x + 1, "double")
+    warns = lint_plan(li.select(plus1("l_quantity")))
+    assert any(w.startswith("python-udf") for w in warns)
+
+    # global window without partitioning
+    w = Window.orderBy("l_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    warns = lint_plan(li.select("l_orderkey", F.sum("l_quantity").over(w)))
+    assert any(w_.startswith("global-sort-window") for w_ in warns)
+
+    # pushdown expectation: met on a plain filter, violated through a cast
+    clean = li.where(F.col("l_shipdate") >= "1995-01-01").select("l_orderkey")
+    assert lint_plan(clean, expect_pushdown_on=["l_shipdate"]) == []
+    wrapped = li.where(
+        F.col("l_shipdate").cast("string").startswith("1995")
+    ).select("l_orderkey")
+    warns = lint_plan(wrapped, expect_pushdown_on=["l_shipdate"])
+    assert any(w_.startswith("missing-pushdown") for w_ in warns)
+
+    # catalog headline queries lint clean; deploy-gate form passes through
+    for q in ("q1_pricing_summary", "j1_brand_revenue", "w2_latest_order_per_customer"):
+        assert lint_plan(QUERIES[q](spark, sf_dir)) == [], q
+    assert_plan_clean(clean, expect_pushdown_on=["l_shipdate"])

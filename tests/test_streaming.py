@@ -200,3 +200,65 @@ def test_dedup_ingest_within_watermark(spark, tmp_path):
     # boundary; downstream exact_dedup is the backstop)
     land([("e2", t0 + dt.timedelta(hours=5, minutes=1), 22)], "f4.parquet")
     assert drain() == [("e1", 1), ("e2", 2), ("e2", 22), ("e3", 3), ("e4", 4)]
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream interval join: in-window enrichments match, out-of-window
+    don't, and join state survives across AvailableNow drains."""
+    import datetime as dt
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.joins import interval_join_streams
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(), rsrc.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lschema = "k string, lts timestamp, ev string"
+    rschema = "k string, rts timestamp, payload string"
+
+    def land(rows, schema, src, name):
+        df = spark.createDataFrame(rows, schema)
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(globmod.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    def drain():
+        l = spark.readStream.schema(lschema).parquet(str(lsrc))
+        r = spark.readStream.schema(rschema).parquet(str(rsrc))
+        j = interval_join_streams(
+            l, r, ["k"], "lts", "rts", lower="0 seconds", upper="10 minutes",
+            watermark="30 minutes",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r.k, r.ev, r.payload) for r in spark.read.parquet(out).collect())
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    land(
+        [("a", t0, "click"), ("b", t0, "view")], lschema, lsrc, "l1.parquet"
+    )
+    land(
+        [
+            ("a", t0 + dt.timedelta(minutes=5), "in-window"),
+            ("b", t0 + dt.timedelta(minutes=25), "too-late"),
+            ("c", t0 + dt.timedelta(minutes=1), "no-left-match"),
+        ],
+        rschema, rsrc, "r1.parquet",
+    )
+    assert drain() == [("a", "click", "in-window")]
+
+    # a right row for b arriving in a LATER drain, still inside b's window:
+    # buffered left state joins it
+    land(
+        [("b", t0 + dt.timedelta(minutes=9), "second-drain")],
+        rschema, rsrc, "r2.parquet",
+    )
+    assert drain() == [("a", "click", "in-window"), ("b", "view", "second-drain")]
