@@ -1,37 +1,50 @@
-"""S4/S21: Excel scan + multi-sheet sink (driver-side, small files only).
+"""S4/S21: Excel scan + multi-sheet sink.
 
 The reference reads candidate resources with pandas ``read_excel``
 (schema/utils/consolidation.py:940-947) and writes dep/region/national KPI
-sheets (carburants/scripts/generate_kpis_rupture.py:178-183). Excel files in
-these pipelines are small end products / inputs, so driver-side pandas is
-the right tier — gated behind an import check because the engine container
-ships no openpyxl.
+sheets (carburants/scripts/generate_kpis_rupture.py:178-183). Preferred
+engine is pandas/openpyxl when installed; otherwise the pure-stdlib codec
+in ``xlsx_codec.py`` takes over, so Excel IO works in ANY container. Both
+paths return stringly-typed frames (the engine's defensive-ingest posture;
+conform types downstream).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datagouvfr_data_pipelines_spark.io.xlsx_codec import read_xlsx, write_xlsx
 
-def _require_excel_engine():
+
+def _has_openpyxl() -> bool:
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel IO needs openpyxl (not installed in this container); "
-            "install it or convert the file to CSV upstream"
-        ) from e
+
+        return True
+    except ImportError:
+        return False
+
+
+def _rows_to_pandas(rows: list[list[str]]):
+    import pandas as pd
+
+    if not rows:
+        return pd.DataFrame()
+    header, data = rows[0], rows[1:]
+    return pd.DataFrame(data, columns=header, dtype=str)
 
 
 def read_excel(
-    spark: SparkSession, path: str, sheet_name=0, dtype=str
+    spark: SparkSession, path: str, sheet_name: int | str = 0, dtype=str
 ) -> DataFrame:
-    """S4: driver-side Excel read -> DataFrame (stringly-typed like the
-    reference's defensive ingest; conform types downstream)."""
-    _require_excel_engine()
-    import pandas as pd
+    """S4: driver-side Excel read -> DataFrame; first row is the header."""
+    if _has_openpyxl():
+        import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=dtype)
+        pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=dtype)
+    else:
+        with open(path, "rb") as f:
+            pdf = _rows_to_pandas(read_xlsx(f.read(), sheet_name))
     return spark.createDataFrame(pdf)
 
 
@@ -39,7 +52,7 @@ def read_excel_distributed(
     spark: SparkSession,
     path_glob: str,
     schema: str,
-    sheet_name=0,
+    sheet_name: int | str = 0,
     parser=None,
 ) -> DataFrame:
     """S4 scale path: many/large Excel resources read EXECUTOR-side.
@@ -54,19 +67,24 @@ def read_excel_distributed(
     ``schema`` is the output DDL WITHOUT source_file (distributed parsing
     cannot infer schemas without an extra driver pass — explicit is the
     contract, matching read_fixed_width). ``parser(content: bytes,
-    sheet_name) -> pandas.DataFrame`` defaults to pandas.read_excel via
-    openpyxl (gated: not in this container); tests inject a fake parser to
-    exercise the plumbing. A custom parser must be cloudpickle-shippable.
+    sheet_name) -> pandas.DataFrame`` defaults to pandas/openpyxl when
+    available, else the stdlib codec; custom parsers must be
+    cloudpickle-shippable.
     """
-    import pandas as pd
-
     if parser is None:
-        _require_excel_engine()
+        if _has_openpyxl():
 
-        def parser(content: bytes, sheet):
-            import io as _io
+            def parser(content: bytes, sheet):
+                import io as _io
 
-            return pd.read_excel(_io.BytesIO(content), sheet_name=sheet, dtype=str)
+                import pandas as pd
+
+                return pd.read_excel(_io.BytesIO(content), sheet_name=sheet, dtype=str)
+
+        else:
+
+            def parser(content: bytes, sheet):
+                return _rows_to_pandas(read_xlsx(content, sheet))
 
     out_schema = schema + ", source_file string"
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
@@ -82,10 +100,19 @@ def read_excel_distributed(
 
 
 def write_excel_sheets(frames: dict[str, DataFrame], path: str) -> None:
-    """S21: multi-sheet Excel sink for small aggregates (KPI exports)."""
-    _require_excel_engine()
-    import pandas as pd
+    """S21: multi-sheet Excel sink for small aggregates (KPI exports).
+    Header row + stringified values; driver-side by design (KPI sheets are
+    end products, not data-plane artifacts)."""
+    if _has_openpyxl():
+        import pandas as pd
 
-    with pd.ExcelWriter(path) as writer:
-        for sheet, df in frames.items():
-            df.toPandas().to_excel(writer, sheet_name=sheet, index=False)
+        with pd.ExcelWriter(path) as writer:
+            for sheet, df in frames.items():
+                df.toPandas().to_excel(writer, sheet_name=sheet, index=False)
+        return
+    sheets = {}
+    for sheet, df in frames.items():
+        rows = [list(df.columns)]
+        rows += [["" if v is None else str(v) for v in r] for r in df.collect()]
+        sheets[sheet] = rows
+    write_xlsx(sheets, path)

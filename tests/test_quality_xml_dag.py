@@ -64,9 +64,48 @@ def test_read_xml_child_explode(spark, tmp_path):
     ]
 
 
-def test_excel_gated(spark, tmp_path):
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_excel(spark, str(tmp_path / "x.xlsx"))
+def test_excel_roundtrip_stdlib_codec(spark, tmp_path):
+    """S4/S21 executable end-to-end WITHOUT openpyxl: multi-sheet write via
+    the stdlib OOXML codec, read back via read_excel (index and name
+    addressing), including escaping and None handling."""
+    from datagouvfr_data_pipelines_spark.io.excel import write_excel_sheets
+
+    kpi = spark.createDataFrame(
+        [("ara", 12, "a&b <ok>"), ("idf", 34, None)],
+        "region string, nb int, note string",
+    )
+    totals = spark.createDataFrame([("all", 46)], "scope string, nb int")
+    path = str(tmp_path / "kpis.xlsx")
+    write_excel_sheets({"regions": kpi, "totals": totals}, path)
+
+    back = read_excel(spark, path, sheet_name="regions")
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == [("ara", "12", "a&b <ok>"), ("idf", "34", "")]
+    second = read_excel(spark, path, sheet_name=1)
+    assert [tuple(r) for r in second.collect()] == [("all", "46")]
+    with pytest.raises(KeyError, match="no sheet named"):
+        read_excel(spark, path, sheet_name="missing")
+
+
+def test_excel_distributed_default_parser_stdlib(spark, tmp_path):
+    """The distributed scan's DEFAULT parser works in this container via
+    the stdlib codec (no openpyxl gate left)."""
+    from datagouvfr_data_pipelines_spark.io.excel import (
+        read_excel_distributed,
+        write_excel_sheets,
+    )
+
+    a = spark.createDataFrame([("s1", "1.80"), ("s2", "1.90")], "station string, price string")
+    b = spark.createDataFrame([("s3", "1.70")], "station string, price string")
+    write_excel_sheets({"data": a}, str(tmp_path / "a.xlsx"))
+    write_excel_sheets({"data": b}, str(tmp_path / "b.xlsx"))
+
+    df = read_excel_distributed(
+        spark, str(tmp_path) + "/*.xlsx", "station string, price string"
+    )
+    rows = sorted((r["station"], r["price"]) for r in df.collect())
+    assert rows == [("s1", "1.80"), ("s2", "1.90"), ("s3", "1.70")]
+    assert all(r["source_file"].endswith(".xlsx") for r in df.collect())
 
 
 def test_read_excel_distributed_plumbing(spark, tmp_path):
@@ -94,11 +133,6 @@ def test_read_excel_distributed_plumbing(spark, tmp_path):
     assert rows == [("s1", "1.80"), ("s2", "1.90"), ("s3", "1.70")]
     srcs = {r["source_file"] for r in df.collect()}
     assert len(srcs) == 2 and all(s.endswith(".xlsx") for s in srcs)
-
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_excel_distributed(
-            spark, str(tmp_path) + "/*.xlsx", "station string, price string"
-        )
 
 
 def test_quality_assertions(spark):
