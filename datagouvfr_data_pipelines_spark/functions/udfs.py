@@ -215,7 +215,8 @@ def repair_insee_codes(
 
 MULTIMODAL_META_SCHEMA = (
     "media_id long, media_type string, n_bytes int, sha string, "
-    "width int, height int, duration_ms int, decode_status string"
+    "width int, height int, duration_ms int, "
+    "sample_rate int, channels int, decode_status string"
 )
 
 
@@ -270,6 +271,31 @@ def parse_image_dimensions(data: bytes | None) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_wav_metadata(data: bytes | None) -> tuple[int, int, int] | None:
+    """Header-only WAV decode: (sample_rate, channels, duration_ms) from a
+    RIFF/WAVE chunk walk, pure Python. Returns None unless both the fmt
+    and data chunks are present and sane."""
+    import struct as _struct
+
+    if not data or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(data)
+    rate = channels = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = _struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            channels, rate, byte_rate = _struct.unpack(
+                "<HII", data[i + 10 : i + 20]
+            )
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not rate or not byte_rate or channels is None or data_size is None:
+        return None
+    return (rate, channels, int(data_size * 1000 / byte_rate))
+
+
 def extract_media_metadata(
     df: DataFrame, id_col: str, content_col: str, media_type: str,
     fake_decode: bool = True,
@@ -277,14 +303,16 @@ def extract_media_metadata(
     """Multimodal column plumbing: opaque ``binary`` content -> typed
     metadata via Arrow-batched ``mapInPandas``.
 
-    Image payloads get REAL dimensions: ``parse_image_dimensions`` reads
-    PNG/JPEG/GIF/BMP headers in pure Python (byte parsing, no PIL). For
-    payloads the header sniffing cannot identify (real audio/video decode
-    needs ffmpeg, not in this container), ``fake_decode`` selects between
-    deterministic byte-length-derived stand-in values ('fake-decoded') and
-    honest nulls ('unsupported'). The schema, Arrow batch shape and
-    partitioning are identical in every path — a real deployment swaps in
-    the full codec without touching the Spark plan.
+    Image payloads get REAL dimensions (``parse_image_dimensions``:
+    PNG/JPEG/GIF/BMP headers) and WAV audio gets REAL sample-rate/channels/
+    duration (``parse_wav_metadata``: RIFF chunk walk) — pure Python byte
+    parsing, no PIL/ffmpeg. For payloads the header sniffing cannot
+    identify (compressed audio/video decode needs ffmpeg, not in this
+    container), ``fake_decode`` selects between deterministic
+    byte-length-derived stand-in values ('fake-decoded') and honest nulls
+    ('unsupported'). The schema, Arrow batch shape and partitioning are
+    identical in every path — a real deployment swaps in the full codec
+    without touching the Spark plan.
     """
     import hashlib
 
@@ -296,20 +324,34 @@ def extract_media_metadata(
                 n = len(blob_b)
                 sha = hashlib.sha256(blob_b).hexdigest()
                 parsed = parse_image_dimensions(blob_b)
+                wav = parse_wav_metadata(blob_b) if parsed is None else None
                 if parsed is not None:
                     fmt, w, h = parsed
-                    rows.append((mid, media_type, n, sha, w, h, None, f"decoded:{fmt}"))
+                    rows.append(
+                        (mid, media_type, n, sha, w, h, None, None, None,
+                         f"decoded:{fmt}")
+                    )
+                elif wav is not None:
+                    rate, ch, dur_ms = wav
+                    rows.append(
+                        (mid, media_type, n, sha, None, None, dur_ms, rate, ch,
+                         "decoded:wav")
+                    )
                 elif fake_decode:
                     rows.append(
                         (mid, media_type, n, sha, n % 1920, n % 1080,
-                         n % 60_000, "fake-decoded")
+                         n % 60_000, None, None, "fake-decoded")
                     )
                 else:
-                    rows.append((mid, media_type, n, sha, None, None, None, "unsupported"))
+                    rows.append(
+                        (mid, media_type, n, sha, None, None, None, None, None,
+                         "unsupported")
+                    )
             out = pd.DataFrame(
                 rows,
                 columns=["media_id", "media_type", "n_bytes", "sha", "width",
-                         "height", "duration_ms", "decode_status"],
+                         "height", "duration_ms", "sample_rate", "channels",
+                         "decode_status"],
             )
             yield out
 

@@ -188,6 +188,8 @@ def t_lang_id_ngram(spark, sf_dir):
            CAST(octet_length(encode('doc ' || text)) % 1920 AS INTEGER) AS width,
            CAST(octet_length(encode('doc ' || text)) % 1080 AS INTEGER) AS height,
            CAST(octet_length(encode('doc ' || text)) % 60000 AS INTEGER) AS duration_ms,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS INTEGER) AS channels,
            'fake-decoded' AS decode_status
     FROM documents WHERE doc_id < 200
     """,

@@ -241,3 +241,25 @@ def test_check_urls(spark):
     out = {r["url"]: r for r in check_urls(df, "url").collect()}
     assert set(out) == {"http://a", "http://b"}
     assert all(isinstance(r["ok"], bool) for r in out.values())
+
+
+def test_extract_media_metadata_wav_real_decode(spark, tmp_path):
+    """A real RIFF/WAVE payload gets true sample-rate/channels/duration from
+    the pure-Python chunk walk (stdlib `wave` writes the fixture)."""
+    import wave
+
+    p = str(tmp_path / "t.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2 * 16000)  # exactly 1 second stereo
+    blob = open(p, "rb").read()
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+    from datagouvfr_data_pipelines_spark.functions.udfs import extract_media_metadata
+
+    r = extract_media_metadata(df, "media_id", "content", "audio").collect()[0]
+    assert r.decode_status == "decoded:wav"
+    assert r.sample_rate == 16000 and r.channels == 2
+    assert r.duration_ms == 1000
+    assert r.width is None and r.height is None
