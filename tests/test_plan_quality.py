@@ -157,3 +157,28 @@ def test_lint_plan_flags_antipatterns_and_passes_clean(spark, sf_dir):
     for q in ("q1_pricing_summary", "j1_brand_revenue", "w2_latest_order_per_customer"):
         assert lint_plan(QUERIES[q](spark, sf_dir)) == [], q
     assert_plan_clean(clean, expect_pushdown_on=["l_shipdate"])
+
+
+def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
+    """Every catalog plan passes the linter, except the known broadcast-tiny
+    cartesians (dim grids, single-row bound broadcasts, probe batches) —
+    pinned exactly so a NEW anti-pattern anywhere in the catalog fails here."""
+    from datagouvfr_data_pipelines_spark.plans.lint import lint_plan
+
+    INTENDED_CARTESIAN = {
+        "a12_zero_fill",          # dim-combination grid (tiny x tiny)
+        "j10_region_months",      # 5 regions x 12 months
+        "a8_histogram",           # single-row min/max bounds broadcast
+        "d_ngram_jaccard_pairs",  # id-bounded exact-verify kernel
+        "sim_topk_cosine",        # single probe vector broadcast
+        "sim_knn_join",           # 5-probe batch broadcast
+    }
+    flagged = {}
+    for name, fn in QUERIES.items():
+        warns = lint_plan(fn(spark, sf_dir))
+        kinds = {w.split(":")[0] for w in warns}
+        if name in INTENDED_CARTESIAN:
+            kinds.discard("cartesian")
+        if kinds:
+            flagged[name] = sorted(kinds)
+    assert flagged == {}, flagged
