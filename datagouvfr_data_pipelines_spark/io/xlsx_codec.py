@@ -125,7 +125,8 @@ def write_xlsx(sheets: dict[str, list[list]], path: str) -> None:
             'Target="xl/workbook.xml"/></Relationships>',
         )
         sheet_decls = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name="{escape(n, {chr(34): "&quot;"})}" '
+            f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         zf.writestr(
