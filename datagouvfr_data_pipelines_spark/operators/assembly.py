@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from datagouvfr_data_pipelines_spark.functions.text import (
     fingerprint_rolling,
     tokens,
+    word_shingles,
 )
 
 
@@ -102,6 +103,97 @@ def stratified_sample(
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Flag corpus documents that share any word ``n``-gram with a benchmark
+    / evaluation set — the standard pre-training decontamination gate (docs
+    overlapping an eval suite leak test answers into training).
+
+    Adds ``n_contaminated_ngrams`` (distinct shared n-grams, long) and
+    ``is_contaminated`` (boolean) to ``corpus``.
+
+    Scale shape (the asymmetry is the whole design): eval suites are tiny
+    next to a 100 TB corpus, so the benchmark side is distinct-reduced and
+    BROADCAST — the corpus is never shuffled to meet it. The corpus-side
+    n-gram explode is narrow (no exchange), the inner broadcast join emits
+    only matching n-grams (rare by construction), so the per-doc count
+    aggregates a sliver of the data. The final flag join is left as a plain
+    equi-join: AQE broadcasts the hit list when it is small (the normal
+    case) and falls back to a shuffle join only when contamination is
+    rampant — which is exactly when a broadcast would OOM.
+
+    Documents shorter than ``n`` tokens contribute their whole text as a
+    single gram (``word_shingles`` semantics), so short eval items still
+    match verbatim copies.
+    """
+    bench_ngrams = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col or text_col, n)).alias("__ng")
+        )
+        .distinct()
+    )
+    doc_ngrams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("__ng")
+    )
+    hits = (
+        doc_ngrams.join(F.broadcast(bench_ngrams), "__ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("long"),
+        )
+        .withColumn("is_contaminated", F.col("n_contaminated_ngrams") > 0)
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budget: int,
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep documents, in caller-defined priority order inside each domain,
+    until each domain hits its token ``budget`` — the mixture-construction
+    step that turns per-domain weights into an actual document subset.
+
+    ``order_cols`` MUST be a total order within each domain (append an id
+    tiebreaker); otherwise the selected set varies run to run. A document
+    whose exclusive running sum is still under the budget is kept even if
+    it straddles the boundary (same keep-whole rule as ``pack_sequences``),
+    so a domain yields at most ``budget + max_doc - 1`` tokens. Adds
+    ``tokens_before`` (exclusive per-domain running sum) for auditability.
+
+    One bounded window per domain — partitioned on ``domain_col``, never a
+    global ORDER BY. Domains are few and fat at corpus scale; if a single
+    domain outgrows one task's sort, pre-bucket it with the
+    ``pack_sequences`` prefix-sum pattern instead.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("tokens_before", running).where(
+        F.col("tokens_before") < budget
     )
 
 

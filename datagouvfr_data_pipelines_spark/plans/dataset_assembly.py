@@ -150,6 +150,111 @@ def asm_packed_sequences(spark, sf_dir):
 
 
 @register(
+    "asm_decontaminate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT unnest(sh) AS ng FROM s WHERE doc_id < 50),
+    corp AS (
+      SELECT doc_id, unnest(sh) AS ng FROM s WHERE doc_id >= 50
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS nc
+      FROM corp c JOIN bench b ON c.ng = b.ng
+      GROUP BY c.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(coalesce(h.nc, 0) AS BIGINT) AS n_contaminated_ngrams,
+           coalesce(h.nc, 0) > 0 AS is_contaminated
+    FROM s LEFT JOIN hits h USING (doc_id)
+    WHERE s.doc_id >= 50
+    """,
+    tags=["assembly", "decontamination"],
+)
+def asm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs (doc_id >= 50) sharing any
+    word 3-gram with the 'eval set' (doc_id < 50). Broadcast the tiny bench
+    n-gram set; only matches are ever shuffled."""
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        ngram_decontaminate,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.length(F.trim("text")) > 0
+    )
+    corpus = docs.where(F.col("doc_id") >= 50)
+    bench = docs.where(F.col("doc_id") < 50)
+    return ngram_decontaminate(corpus, bench, "doc_id", "text", n=3).select(
+        "doc_id", "n_contaminated_ngrams", "is_contaminated"
+    )
+
+
+_DOMAIN_BUDGET = 1500
+
+
+@register(
+    "asm_budget_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
+             {_ROLLING_SQL} AS prio
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    o AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY prio ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM o WHERE tokens_before < {_DOMAIN_BUDGET}
+    """,
+    tags=["assembly", "mixture"],
+)
+def asm_budget_select(spark, sf_dir):
+    """Token-budgeted mixture selection: per source domain, keep docs in
+    (content-hash, id) priority order until {_DOMAIN_BUDGET} tokens — the
+    weights->documents step of mixture construction."""
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fingerprint_rolling,
+        token_count_ws,
+    )
+    from datagouvfr_data_pipelines_spark.operators.assembly import budget_select
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            "source",
+            token_count_ws("text").alias("n_tokens"),
+            fingerprint_rolling("text").alias("__prio"),
+        )
+    )
+    return budget_select(
+        docs, "source", "n_tokens", _DOMAIN_BUDGET, ["__prio", "doc_id"]
+    ).select("doc_id", "source", "n_tokens", "tokens_before")
+
+
+@register(
     "q_quarantine_summary",
     oracle="""
     WITH v AS (

@@ -76,6 +76,62 @@ def test_stratified_sample_exact_k_and_partition_stable(spark):
     assert per_stratum == {"en": 7, "fr": 7}
 
 
+def test_ngram_decontaminate_flags_overlap_only(spark):
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        ngram_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "hi")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma yy"),      # shares 3-gram "alpha beta gamma"
+            (2, "totally unrelated words here"),  # clean
+            (3, "beta gamma delta alpha beta gamma"),  # shares two distinct 3-grams
+            (4, "hi"),                           # short doc == short bench item
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_contaminated_ngrams, r.is_contaminated)
+        for r in ngram_decontaminate(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (2, True)  # "beta gamma delta" + "alpha beta gamma"
+    assert out[4] == (1, True)  # whole-text gram matches short eval item
+    # every corpus row survives with a flag — it's an annotation, not a filter
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_budget_select_boundary_and_determinism(spark):
+    from datagouvfr_data_pipelines_spark.operators.assembly import budget_select
+
+    rows = [
+        ("a", 1, 40),
+        ("a", 2, 50),  # starts at 40 < 100: kept even though it crosses 100
+        ("a", 3, 30),  # starts at 90 < 100: kept (keep-whole rule)
+        ("a", 4, 10),  # starts at 120: dropped
+        ("b", 5, 99),
+        ("b", 6, 2),   # starts at 99 < 100: kept
+    ]
+    df = spark.createDataFrame(rows, "dom string, doc_id long, n int")
+    out = budget_select(df, "dom", "n", 100, ["doc_id"])
+    got = sorted((r.doc_id, r.tokens_before) for r in out.collect())
+    assert got == [(1, 0), (2, 40), (3, 90), (5, 0), (6, 99)]
+    # partition layout must not change the selected set
+    again = sorted(
+        (r.doc_id, r.tokens_before)
+        for r in budget_select(df.repartition(7), "dom", "n", 100, ["doc_id"]).collect()
+    )
+    assert got == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        budget_select(df, "dom", "n", 0, ["doc_id"])
+
+
 def test_pack_sequences_bucket_invariant_and_bounds(spark):
     from datagouvfr_data_pipelines_spark.operators.assembly import pack_sequences
 
