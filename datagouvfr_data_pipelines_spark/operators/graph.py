@@ -57,6 +57,96 @@ def transitive_closure(
     return closure
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id of its connected component
+    — the exact collapse needed to pick one survivor per near-duplicate
+    cluster (edges = LSH-verified pairs).
+
+    Alternating large-star / small-star (the standard MapReduce connected-
+    components algorithm, Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): each round is two grouped min-aggregations plus joins, all
+    shuffled on node id, and the edge set monotonically contracts toward a
+    star per component. Converges in O(log^2 n) rounds regardless of chain
+    depth — unlike bounded min-propagation, which silently under-merges any
+    duplicate chain deeper than its iteration cap. Raises if the cap is hit
+    without a fixpoint rather than returning a partial merge.
+
+    Returns (node, component) for every node incident to an edge; callers
+    wanting isolated nodes too should left-join and coalesce to self.
+    """
+    E = (
+        edges.select(
+            F.greatest(F.col(src_col).cast("long"), F.col(dst_col).cast("long")).alias("src"),
+            F.least(F.col(src_col).cast("long"), F.col(dst_col).cast("long")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        E.select(F.col("src").alias("node"))
+        .union(E.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes.cache()
+    # Each round references E a dozen times through unions/joins, so the
+    # logical plan grows multiplicatively — lineage MUST be severed every
+    # iteration or the driver OOMs composing the plan tree long before any
+    # data moves. localCheckpoint (eager) truncates it; on a real cluster
+    # with flaky executors prefer checkpoint() to reliable storage.
+    E = E.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iterations):
+        # large-star: every node u sees its full neighborhood; strictly
+        # larger neighbors v re-attach to m = min(neighborhood + self)
+        sym = E.unionByName(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m1 = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        large = (
+            sym.join(m1, "src")
+            .withColumn("m", F.least("src", "mn"))
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star over (larger -> smaller) edges: all smaller neighbors
+        # plus u itself re-attach to the minimum smaller neighbor
+        m2 = large.groupBy("src").agg(F.min("dst").alias("m2"))
+        j = large.join(m2, "src")
+        new_e = (
+            j.where(F.col("dst") != F.col("m2"))
+            .select(F.col("dst").alias("src"), F.col("m2").alias("dst"))
+            .unionByName(j.select("src", F.col("m2").alias("dst")))
+            .distinct()
+        )
+        new_e = new_e.localCheckpoint(eager=True)
+        sig = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ).first()
+        E = new_e
+        if prev_sig == (sig.n, sig.x):
+            break
+        prev_sig = (sig.n, sig.x)
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # fixpoint edge set is a star per component: node -> component min
+    comp = nodes.join(
+        E.select(F.col("src").alias("node"), F.col("dst").alias("component")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", F.col("node")).alias("component"))
+    nodes.unpersist()
+    return comp
+
+
 def ancestors_per_node(closure: DataFrame) -> DataFrame:
     """geozones output shape: one row per zone with its sorted ancestor list
     (geozones/task_functions.py:120-177)."""

@@ -6,8 +6,8 @@ statistics, end to end on the ``documents`` table.
 Every stage is the operator library's scale path: column-expression
 heuristics (no Python), hash-groupBy exact dedup, capped-bucket LSH, and a
 greedy survivor selection that keeps the lowest doc id per near-dup cluster
-(union-find collapsed to min-id via iterated joins — shallow clusters
-converge in 2-3 passes).
+(connected components via alternating large-star/small-star — converges
+for arbitrarily deep duplicate chains in O(log^2 n) rounds).
 """
 
 from __future__ import annotations
@@ -26,6 +26,7 @@ from datagouvfr_data_pipelines_spark.operators.dedup import (
     content_hash,
     near_duplicate_pairs,
 )
+from datagouvfr_data_pipelines_spark.operators.graph import connected_components
 
 
 def curate_corpus(
@@ -35,7 +36,7 @@ def curate_corpus(
     min_quality: float = 0.5,
     keep_langs: list[str] | None = None,
     neardup_threshold: float = 0.8,
-    max_cluster_iterations: int = 5,
+    max_cluster_iterations: int = 25,
     max_top_bigram_frac: float | None = None,
     scrub_pii: bool = False,
 ) -> dict[str, DataFrame]:
@@ -92,33 +93,21 @@ def curate_corpus(
         "doc_id", F.lit("exact_dup").alias("stage")
     )
 
-    # near-dup clusters -> keep the minimum id of each cluster
+    # near-dup clusters -> keep the minimum id of each cluster, via true
+    # connected components (alternating star): every node of a cluster
+    # collapses to the component min regardless of how deep the duplicate
+    # chain runs, where bounded min-propagation under-merges V-shaped
+    # clusters (a-c, b-c keeps both a and b)
     pairs = near_duplicate_pairs(
         e_ok, "doc_id", "text", threshold=neardup_threshold
     ).select("id_a", "id_b")
-    # propagate min-id across clusters (id_a < id_b always): map each doc to
-    # the smallest id it connects to, iterate to fixpoint for chains
-    mapping = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
-        F.min("id_a").alias("root")
+    comp = connected_components(
+        pairs, "id_a", "id_b", max_iterations=max_cluster_iterations
     )
-    for _ in range(max_cluster_iterations):
-        better = (
-            mapping.alias("m")
-            .join(
-                mapping.alias("r"),
-                F.col("m.root") == F.col("r.doc_id"),
-                "left",
-            )
-            .select(
-                F.col("m.doc_id").alias("doc_id"),
-                F.least(F.col("m.root"), F.col("r.root")).alias("root"),
-            )
-        )
-        if better.exceptAll(mapping).isEmpty():
-            mapping = better
-            break
-        mapping = better
-    nd_ok = e_ok.join(mapping.select("doc_id"), "doc_id", "left_anti")
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    nd_ok = e_ok.join(losers, "doc_id", "left_anti")
     nd_dropped = e_ok.join(nd_ok, "doc_id", "left_anti").select(
         "doc_id", F.lit("near_dup").alias("stage")
     )

@@ -255,6 +255,55 @@ def asm_budget_select(spark, sf_dir):
 
 
 @register(
+    "g_connected_components",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ), und AS (
+      SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+    ), r AS (
+      SELECT doc_id AS node, doc_id AS reach FROM documents
+      UNION
+      SELECT r.node, u.dst AS reach FROM r JOIN und u ON u.src = r.reach
+    )
+    SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS component
+    FROM r GROUP BY node
+    """,
+    tags=["graph", "connected-components"],
+)
+def g_connected_components(spark, sf_dir):
+    """Connected components (alternating large-star/small-star) over
+    same-lang consecutive-id chains: each run of consecutive documents in
+    one language collapses to its minimum doc_id. The oracle is a recursive
+    reachability CTE — exponential-path-free only because UNION dedups —
+    which is exactly why the Spark side uses the O(log^2 n) star algorithm
+    instead."""
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = docs.alias("a"), docs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    cc = connected_components(edges, "src", "dst")
+    # isolated docs (no same-lang neighbor) are their own component
+    return docs.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
+    )
+
+
+@register(
     "q_quarantine_summary",
     oracle="""
     WITH v AS (

@@ -131,6 +131,43 @@ def test_rollup_pyramid_atomic_swap(spark, tmp_path):
     assert gens == ["gen=1", "gen=2"]
 
 
+def test_connected_components_chains_cycles_stars(spark):
+    from datagouvfr_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 60-node path (depth far beyond any bounded-propagation cap),
+    # a cycle, a star, and a 2-clique — all should collapse to their min id
+    path = [(i, i + 1) for i in range(100, 160)]
+    cycle = [(200, 201), (201, 202), (202, 200)]
+    star = [(300, v) for v in (301, 302, 303)]
+    pair = [(400, 401)]
+    edges = spark.createDataFrame(
+        path + cycle + star + pair, "src long, dst long"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert all(comp[n] == 100 for n in range(100, 161))
+    assert all(comp[n] == 200 for n in (200, 201, 202))
+    assert all(comp[n] == 300 for n in (300, 301, 302, 303))
+    assert comp[400] == comp[401] == 400
+    # edge direction and duplication must not matter
+    comp2 = {
+        r.node: r.component
+        for r in connected_components(
+            spark.createDataFrame(
+                [(b, a) for a, b in path] + path + cycle + star + pair,
+                "src long, dst long",
+            ),
+            "src",
+            "dst",
+        ).collect()
+    }
+    assert comp == comp2
+
+
 def test_transitive_closure(spark):
     # commune -> epci -> departement -> region chain + a second branch
     edges = spark.createDataFrame(
