@@ -86,3 +86,42 @@ def m1_dvf_stats_shape(spark, sf_dir):
         F.percentile(F.when(is_f, F.col("o_totalprice")), F.lit(0.5)).alias("med_prix_f"),
         F.count(F.lit(1)).alias("nb_total"),
     )
+
+
+@register(
+    "w5_session_windows",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM l
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS nb
+    FROM s GROUP BY user_id, session_n
+    """,
+    tags=["W1", "ST4", "session-window"],
+)
+def w5_session_windows(spark, sf_dir):
+    """Built-in ``session_window`` aggregation (streaming/availablenow.py:
+    session_window_counts) checked against first-principles lag/cumsum
+    sessionization: windows are half-open [start, last_event + gap), so the
+    oracle's session break is ``diff >= gap`` (strict ``>`` would disagree
+    whenever two events sit exactly one gap apart)."""
+    from datagouvfr_data_pipelines_spark.streaming.availablenow import (
+        session_window_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return session_window_counts(ev, "ts", ["user_id"], gap="30 minutes")

@@ -72,6 +72,37 @@ def tumbling_window_counts(
     ).select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "nb")
 
 
+def session_window_counts(
+    df: DataFrame, ts_col: str, key_cols: list[str], gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-key session windows from the BUILT-IN ``session_window`` — events
+    within ``gap`` of each other merge into one variable-length window.
+
+    Same sessionization semantics as ``operators/windows.py:session_ids``
+    (batch window form) and ``streaming/stateful.py:sessionize_stream``
+    (applyInPandasWithState form), but expressed as a native aggregation:
+    state management, window merging, and watermark eviction run entirely
+    in the JVM — the preferred form whenever per-session logic is just an
+    aggregate. Works on batch frames as-is; on streams add
+    ``withWatermark(ts_col, ...)`` upstream so closed sessions finalize and
+    state stays bounded.
+    """
+    import pyspark.sql.functions as F
+
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), *key_cols
+        )
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .select(
+            *key_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "nb",
+        )
+    )
+
+
 def dedup_ingest(
     spark: SparkSession,
     source_dir: str,

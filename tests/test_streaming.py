@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 from datagouvfr_data_pipelines_spark.io.writers import overwrite_date_partition
 from datagouvfr_data_pipelines_spark.streaming.availablenow import (
     process_available_files,
+    session_window_counts,
     tumbling_window_counts,
 )
 
@@ -82,6 +83,67 @@ def test_tumbling_window_counts(spark):
     out = tumbling_window_counts(df, "ts", "1 day")
     rows = {str(r["window_start"]): r["nb"] for r in out.collect()}
     assert rows == {"2024-01-01 00:00:00": 2, "2024-01-02 00:00:00": 1}
+
+
+def test_session_window_counts_batch_and_stream(spark, tmp_path):
+    """Built-in session_window: events within the gap merge into one
+    variable-length window per key; on a watermarked stream, closed sessions
+    finalize in append mode."""
+    import datetime as dt
+    import glob as globmod
+    import shutil
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        ("u1", mins(0)), ("u1", mins(10)), ("u1", mins(50)),  # 2 sessions
+        ("u2", mins(5)),                                       # 1 session
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    got = sorted(
+        (r.user, str(r.session_start), str(r.session_end), r.nb)
+        for r in session_window_counts(df, "ts", ["user"], gap="30 minutes").collect()
+    )
+    # session end = last event + gap (merged windows extend per event)
+    assert got == [
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2),
+        ("u1", "2024-01-01 10:50:00", "2024-01-01 11:20:00", 1),
+        ("u2", "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1),
+    ]
+
+    # streaming: the first session closes once the watermark passes its end
+    src = tmp_path / "ssrc"
+    src.mkdir()
+
+    def land(rs, name):
+        stage = str(tmp_path / "sstage")
+        spark.createDataFrame(rs, "user string, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(globmod.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    land(rows, "s1.parquet")
+    stream = spark.readStream.schema("user string, ts timestamp").parquet(str(src))
+    agg = session_window_counts(
+        stream.withWatermark("ts", "5 minutes"), "ts", ["user"], gap="30 minutes"
+    )
+    emitted = []
+
+    def drain():
+        q = (
+            agg.writeStream.foreachBatch(lambda b, i: emitted.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    land([("u1", mins(180))], "s2.parquet")  # push watermark far forward
+    drain()
+    closed = sorted((r.user, str(r.session_start), r.nb) for r in emitted)
+    assert ("u1", "2024-01-01 10:00:00", 2) in closed
+    assert ("u2", "2024-01-01 10:05:00", 1) in closed
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
