@@ -296,6 +296,173 @@ def parse_wav_metadata(data: bytes | None) -> tuple[int, int, int] | None:
     return (rate, channels, int(data_size * 1000 / byte_rate))
 
 
+def make_bmp(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Serialize a 24-bit uncompressed bottom-up BMP (BITMAPINFOHEADER),
+    pure Python — the zero-dependency raster format the real-codec paths
+    below operate on (and the fixture generator for their tests)."""
+    import struct as _struct
+
+    pad = (-(width * 3)) % 4
+    rows = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row) + b"\x00" * pad
+        for row in reversed(rgb_rows)  # bottom-up storage order
+    )
+    header = _struct.pack(
+        "<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54
+    ) + _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + rows
+
+
+def resize_bmp_nearest(data: bytes | None, max_side: int) -> bytes | None:
+    """REAL image resize for 24-bit uncompressed BMP payloads: nearest-
+    neighbor downscale so the longest side is ``max_side``, emitted as a
+    fresh BMP. Pure-Python byte shuffling (no PIL) — a few KB per thumbnail,
+    run per row inside an Arrow batch. Returns the input unchanged when it
+    already fits, None when the payload is not a BMP this decoder handles
+    (compressed, palettized, or non-24bpp)."""
+    import struct as _struct
+
+    if not data or len(data) < 54 or data[:2] != b"BM":
+        return None
+    pix_off = _struct.unpack("<I", data[10:14])[0]
+    hdr_size = _struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h = _struct.unpack("<ii", data[18:26])
+    bpp = _struct.unpack("<H", data[28:30])[0]
+    comp = _struct.unpack("<I", data[30:34])[0]
+    top_down = h < 0
+    h = abs(h)
+    if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        return None
+    if max(w, h) <= max_side:
+        return bytes(data)
+    scale = max_side / max(w, h)
+    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+    stride = (w * 3 + 3) & ~3
+    if len(data) < pix_off + stride * h:
+        return None
+
+    def src_row(y: int) -> int:  # storage row index for logical row y
+        return y if top_down else h - 1 - y
+
+    rows = []
+    for ny in range(nh):
+        sy = min(int(ny * h / nh), h - 1)
+        base = pix_off + stride * src_row(sy)
+        row = []
+        for nx in range(nw):
+            sx = min(int(nx * w / nw), w - 1)
+            b, g, r = data[base + sx * 3 : base + sx * 3 + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    return make_bmp(nw, nh, rows)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, content binary, width int, height int, resize_status string"
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, content_col: str, max_side: int
+) -> DataFrame:
+    """Thumbnail pass over a multimodal binary column via Arrow-batched
+    ``mapInPandas``: 24-bit BMPs get a REAL nearest-neighbor downscale
+    (``resize_bmp_nearest``); compressed codecs (PNG/JPEG/GIF — full decode
+    needs PIL/ffmpeg, not in this container) pass through unchanged with an
+    honest 'passthrough:<fmt>' status and their REAL header dimensions.
+    Schema and batch shape are identical in every path, so swapping in a
+    full codec never touches the Spark plan. Shuffle-free: one narrow map
+    over whatever partitioning the caller arranged."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob_b = bytes(blob) if blob is not None else b""
+                resized = resize_bmp_nearest(blob_b, max_side)
+                if resized is not None:
+                    fmt, w, h = parse_image_dimensions(resized)
+                    status = "resized:bmp" if resized != blob_b else "kept:bmp"
+                    rows.append((mid, resized, w, h, status))
+                    continue
+                parsed = parse_image_dimensions(blob_b)
+                if parsed is not None:
+                    fmt, w, h = parsed
+                    rows.append((mid, blob_b, w, h, f"passthrough:{fmt}"))
+                else:
+                    rows.append((mid, blob_b, None, None, "unsupported"))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "content", "width", "height", "resize_status"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, frame binary, decode_status string"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    every_ms: int = 1000,
+    decoder=None,
+) -> DataFrame:
+    """Video frame sampling as a fan-out ``mapInPandas`` (UDTF shape: one
+    input row -> one row per sampled frame). Real video decode needs ffmpeg
+    (not in this container), so the frame ``decoder`` is injectable — the
+    same gate pattern as ``sftp_land_and_read``'s transport and the geocode
+    cascade's service. The default decoder is a deterministic stand-in
+    ('fake-decoded'): duration is derived from payload length (matching
+    ``extract_media_metadata``'s fake branch) and each emitted frame is a
+    REAL 2x2 BMP whose pixels derive from the payload sha — downstream
+    plumbing (``resize_images``, ``parse_image_dimensions``) exercises the
+    true decode path on them.
+
+    decoder(blob: bytes) -> (duration_ms, frame_at: Callable[[int], bytes],
+    status); partitioning, fan-out shape and schema are production-real.
+    """
+    import hashlib
+
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+
+    def default_decoder(blob: bytes):
+        dur = len(blob) % 60_000
+        sha = hashlib.sha256(blob).digest()
+
+        def frame_at(ts: int) -> bytes:
+            c = tuple(sha[(ts // max(every_ms, 1) + k) % 32] for k in range(3))
+            d = tuple(sha[(ts // max(every_ms, 1) + k + 3) % 32] for k in range(3))
+            return make_bmp(2, 2, [[c, d], [d, c]])
+
+        return dur, frame_at, "fake-decoded"
+
+    dec = decoder or default_decoder
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob_b = bytes(blob) if blob is not None else b""
+                dur, frame_at, status = dec(blob_b)
+                for idx, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                    rows.append((mid, idx, ts, frame_at(ts), status))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "frame", "decode_status"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
+    )
+
+
 def extract_media_metadata(
     df: DataFrame, id_col: str, content_col: str, media_type: str,
     fake_decode: bool = True,

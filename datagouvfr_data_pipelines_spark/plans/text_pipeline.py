@@ -219,6 +219,43 @@ def mm_media_metadata(spark, sf_dir):
 
 
 @register(
+    "mm_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, octet_length(encode('doc ' || text)) % 60000 AS dur
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id AS media_id,
+           CAST(ts // 1000 AS INTEGER) AS frame_idx,
+           CAST(ts AS BIGINT) AS ts_ms,
+           'fake-decoded' AS decode_status
+    FROM (SELECT doc_id, unnest(range(0, greatest(dur, 1), 1000)) AS ts FROM t)
+    """,
+    tags=["multimodal", "mapInPandas", "fanout"],
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out (functions/udfs.py:sample_frames): one input
+    blob -> one row per sampled frame, Arrow-batched. Same 'doc ' prefix
+    trick as mm_media_metadata so every payload takes the deterministic
+    fake-decoder branch whose (frame_idx, ts_ms) arithmetic the oracle
+    reproduces; the frame bytes themselves (real 2x2 BMPs) are covered by
+    the unit test, not the oracle."""
+    from datagouvfr_data_pipelines_spark.functions.udfs import sample_frames
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc "), F.col("text")).cast("binary").alias("content"),
+        )
+    )
+    return sample_frames(docs, "doc_id", "content", every_ms=1000).select(
+        "media_id", "frame_idx", "ts_ms", "decode_status"
+    )
+
+
+@register(
     "d_fingerprints",
     oracle="""
     SELECT doc_id,

@@ -263,3 +263,79 @@ def test_extract_media_metadata_wav_real_decode(spark, tmp_path):
     assert r.sample_rate == 16000 and r.channels == 2
     assert r.duration_ms == 1000
     assert r.width is None and r.height is None
+
+
+def test_resize_images_real_bmp_nearest(spark):
+    """24bpp BMP thumbnails are REALLY resampled (nearest neighbor), pure
+    Python; compressed codecs pass through with honest status + real dims."""
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        make_bmp,
+        parse_image_dimensions,
+        resize_bmp_nearest,
+        resize_images,
+    )
+
+    # 8x4 image: left half red, right half blue
+    red, blue = (200, 10, 10), (10, 10, 200)
+    rows = [[red] * 4 + [blue] * 4 for _ in range(4)]
+    bmp = make_bmp(8, 4, rows)
+    assert parse_image_dimensions(bmp) == ("bmp", 8, 4)
+
+    small = resize_bmp_nearest(bmp, 4)
+    assert parse_image_dimensions(small) == ("bmp", 4, 2)
+    # nearest-neighbor keeps the halves: re-resize is a fixpoint
+    assert resize_bmp_nearest(small, 4) == small
+    assert resize_bmp_nearest(b"\xff\xd8junk", 4) is None  # not a BMP
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(_png(640, 480))), (3, bytearray(b"x" * 30))],
+        "media_id long, content binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(df, "media_id", "content", max_side=4).collect()
+    }
+    assert out[1]["resize_status"] == "resized:bmp"
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert parse_image_dimensions(bytes(out[1]["content"])) == ("bmp", 4, 2)
+    assert out[2]["resize_status"] == "passthrough:png"
+    assert (out[2]["width"], out[2]["height"]) == (640, 480)
+    assert bytes(out[2]["content"]) == _png(640, 480)  # untouched
+    assert out[3]["resize_status"] == "unsupported"
+
+
+def test_sample_frames_fanout_deterministic(spark):
+    """Frame sampling fans one row out per sampled frame; the default fake
+    decoder emits REAL 2x2 BMPs so the downstream image path runs for real."""
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        parse_image_dimensions,
+        sample_frames,
+    )
+
+    import pytest as _pytest
+
+    payload = b"\x07" * 3500  # fake duration = 3500 ms -> frames at 0,1000,2000,3000
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b""))],
+        "media_id long, content binary",
+    )
+    out = sample_frames(df, "media_id", "content", every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    f1 = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["ts_ms"]) for r in f1] == [
+        (0, 0), (1, 1000), (2, 2000), (3, 3000)
+    ]
+    assert all(r["decode_status"] == "fake-decoded" for r in f1)
+    # each frame is a real decodable BMP
+    assert all(
+        parse_image_dimensions(bytes(r["frame"])) == ("bmp", 2, 2) for r in f1
+    )
+    # empty payload still emits the ts=0 frame (duration clamped to 1ms)
+    assert [(r["frame_idx"], r["ts_ms"]) for r in by_id[2]] == [(0, 0)]
+    # deterministic across runs
+    again = sample_frames(df, "media_id", "content", every_ms=1000).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with _pytest.raises(ValueError, match="every_ms"):
+        sample_frames(df, "media_id", "content", every_ms=0)
