@@ -206,3 +206,85 @@ def test_chunk_documents_matches_python_reference(spark, docs, chunk_size, overl
         (i, cid, txt, n) for i, toks in docs for cid, txt, n in reference(toks)
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[1],
+    ),
+    budget=st.integers(min_value=1, max_value=60),
+)
+def test_budget_select_matches_python_reference(spark, rows, budget):
+    """budget_select == the sequential per-domain greedy fill, for any
+    token sizes and budgets (tokens derived from id for determinism)."""
+    from datagouvfr_data_pipelines_spark.operators.assembly import budget_select
+
+    data = [(d, i, 1 + (i * 7) % 13) for d, i in rows]
+    if not data:
+        return
+    expected = {}
+    for d in ("d1", "d2"):
+        acc = 0
+        for dom, i, n in sorted(data, key=lambda t: t[1]):
+            if dom != d:
+                continue
+            if acc < budget:
+                expected[i] = acc
+            acc += n
+    df = spark.createDataFrame(data, "dom string, doc_id long, n int")
+    got = {
+        r.doc_id: r.tokens_before
+        for r in budget_select(df, "dom", "n", budget, ["doc_id"]).collect()
+    }
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    bench=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=3),
+)
+def test_ngram_decontaminate_matches_python_reference(spark, bench, corpus, n):
+    """ngram_decontaminate == set-intersection of word_shingles semantics
+    (distinct n-grams; whole text as one gram when shorter than n)."""
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        ngram_decontaminate,
+    )
+
+    def shingles(toks):
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    bench_set = set().union(*(shingles(t) for t in bench))
+    expected = {
+        100 + i: len(shingles(t) & bench_set) for i, t in enumerate(corpus)
+    }
+    bdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    cdf = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in ngram_decontaminate(cdf, bdf, "doc_id", "text", n=n).collect()
+    }
+    assert got == expected
