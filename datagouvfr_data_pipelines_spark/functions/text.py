@@ -355,6 +355,34 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
 
+def token_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the unigram token distribution — a
+    cheap perplexity proxy for corpus quality gates: near-zero entropy is
+    boilerplate/repetition, unusually high entropy is gibberish; natural
+    text sits in a band.
+
+    Same 100 TB shape as ``repetition_stats``: explode -> (doc, token)
+    count -> per-doc aggregate, both groupBys partial-aggregate map-side.
+    Uses H = log2(N) - (sum c*log2 c)/N so the per-term division never
+    happens; the float sum is quantized to integer nano-units before
+    aggregation (the engine's float-determinism policy — a raw double sum
+    is partition-order dependent) and the result rounded to 1e-6, which is
+    what makes the DuckDB oracle bit-identical. Zero-token docs are
+    excluded (no signal). Returns (id, n_tokens, token_entropy).
+    """
+    counts = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = F.sum(F.floor(F.col("c") * F.log2("c") * F.lit(1e9)).cast("long"))
+    n = F.sum("c")
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.round(F.log2(n) - (q / F.lit(1e9)) / n, 6).alias("token_entropy"),
+    )
+
+
 def redact_pii(col: Column | str) -> Column:
     """Scrub emails, IPv4 addresses and FR-style phone numbers with typed
     placeholders. Pure regexp_replace chain (JVM, codegen); patterns stay in

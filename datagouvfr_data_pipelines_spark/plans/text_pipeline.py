@@ -660,3 +660,33 @@ def sim_knn_join(spark, sf_dir):
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p")
     )
     return knn_join(emb, "embedding", "vec_id", probes, "probe_id", "p", k=5)
+
+
+@register(
+    "t_token_entropy",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), c AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok
+    ), e AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(floor(c * log2(c) * 1e9) AS BIGINT)) AS q
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           round(log2(n) - (q / 1e9) / n, 6) AS token_entropy
+    FROM e
+    """,
+    tags=["text", "quality", "entropy"],
+)
+def t_token_entropy(spark, sf_dir):
+    """Unigram token entropy per document (functions/text.py:token_entropy)
+    — perplexity-proxy quality signal; nano-unit-quantized float sum keeps
+    the result partition-order independent and oracle-bit-identical."""
+    from datagouvfr_data_pipelines_spark.functions.text import token_entropy
+
+    docs = table(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text")

@@ -76,3 +76,33 @@ def test_redact_pii_and_counts(spark):
     assert (out[2].ne, out[2].ni, out[2].np) == (0, 0, 0)
     assert out[3].clean == "<IP> and <EMAIL>"
     assert (out[3].ne, out[3].ni, out[3].np) == (1, 1, 0)
+
+
+def test_token_entropy_known_values_and_partition_invariance(spark):
+    from datagouvfr_data_pipelines_spark.functions.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one symbol -> 0 bits
+            (2, "a a b b"),            # two equiprobable -> 1 bit
+            (3, "a b c d"),            # four equiprobable -> 2 bits
+            (4, "a a a b"),            # H = 2 - 0.75*log2(3) ~ 0.811278
+            (5, "   "),                # zero tokens -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.token_entropy)
+        for r in token_entropy(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert got[3] == (4, 2.0)
+    assert got[4] == (4, 0.811278)
+    assert 5 not in got
+    # nano-quantized sum: identical under any partitioning
+    again = {
+        r.doc_id: (r.n_tokens, r.token_entropy)
+        for r in token_entropy(df.repartition(11), "doc_id", "text").collect()
+    }
+    assert got == again
