@@ -221,3 +221,103 @@ def knn_join(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def pca_fit(
+    df: "DataFrame",
+    vec_col: str,
+    k: int = 8,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Fit a PCA basis over an embedding column — the dimensionality-
+    reduction stage in front of ANN (project 1024-dim embeddings down to
+    k before IVF/LSH and the distance folds get k/d times cheaper).
+
+    Distributed shape: one ``mapInPandas`` pass emits a PARTIAL moment set
+    per Arrow batch — count, per-dim sum, and the d x d gram matrix
+    (numpy outer-product accumulation, the only sane way to build a gram
+    matrix; exploding d^2 terms per row through a shuffle is quadratic
+    fan-out for no benefit). Partials are d x d + d + 1 doubles per batch
+    — thousands of rows TOTAL at any corpus size — so the driver reduce +
+    eigendecomposition is trivially small. Train on a sample at the 100 TB
+    tier; projection stays full-data (``pca_transform``).
+
+    Returns (components [k][d] — orthonormal rows, sorted by descending
+    eigenvalue with a deterministic sign convention; mean [d];
+    explained_variance [k]). Float reduce order varies with partitioning,
+    so components are stable to ~1e-6, not bit-identical — fine for a
+    basis, which is why PCA queries are test-checked, not hash-oracled.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).reshape(-1).tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T
+    # deterministic sign: largest-|coefficient| entry of each component > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return (
+        comps.tolist(),
+        mean.tolist(),
+        eigvals[order].clip(min=0.0).tolist(),
+    )
+
+
+def pca_transform(
+    df: "DataFrame",
+    vec_col: str,
+    components: list[list[float]],
+    mean: list[float],
+    out_col: str = "pca",
+) -> "DataFrame":
+    """Project vectors onto a fitted PCA basis with pure column expressions:
+    center once (``zip_with`` against the broadcast mean literal), then one
+    JVM-side fold per component. No Python in the projection path — the
+    full-corpus pass stays codegen'd; only the k x d basis rides along as
+    literals."""
+    mu = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(_col(vec_col), mu, lambda a, b: a.cast("double") - b)
+    outs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(v)) for v in w]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for w in components
+    ]
+    return df.withColumn(out_col, F.array(*outs))

@@ -690,3 +690,26 @@ def t_token_entropy(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return token_entropy(docs, "doc_id", "text")
+
+
+@register("sim_pca_project", oracle=None, tags=["similarity", "pca", "no-oracle"])
+def sim_pca_project(spark, sf_dir):
+    """PCA dim-reduction in front of ANN (functions/similarity.py:pca_fit /
+    pca_transform): fit a k=8 basis from per-partition gram-matrix partials
+    (mapInPandas), project with JVM column folds. Rows-only check — float
+    reduce order makes the basis ~1e-6-stable, not bit-identical; the
+    numpy-parity and orthonormality assertions live in
+    tests/test_ann_simhash.py."""
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    comps, mean, _ = pca_fit(emb, "embedding", k=8)
+    out = pca_transform(emb, "embedding", comps, mean)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 4).alias("p1"),
+        F.round(F.element_at("pca", 2), 4).alias("p2"),
+    )

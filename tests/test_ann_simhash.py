@@ -112,3 +112,49 @@ def test_knn_join_bucket_invariant_and_self_match(spark, sf_dir):
     firsts = {p: v for p, v, s, rk in r1 if rk == 1}
     assert firsts == {0: 0, 1: 1, 2: 2}
     assert all(rk <= 4 for _, _, _, rk in r1)
+
+
+def test_pca_fit_matches_numpy_and_is_orthonormal(spark, sf_dir):
+    import numpy as np
+
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comps, mean, var = pca_fit(emb, "embedding", k=4)
+    W = np.asarray(comps)
+    # orthonormal basis, descending explained variance
+    assert np.allclose(W @ W.T, np.eye(4), atol=1e-8)
+    assert all(a >= b - 1e-12 for a, b in zip(var, var[1:]))
+
+    # parity with plain numpy PCA on the collected data
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    mu = X.mean(axis=0)
+    assert np.allclose(mu, mean, atol=1e-9)
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:4]].T
+    for i in range(4):  # same subspace: rows agree up to sign
+        dot = abs(float(np.dot(W[i], top[i])))
+        assert dot > 1 - 1e-6, (i, dot)
+    assert np.allclose(np.sort(evals)[::-1][:4], var, rtol=1e-6)
+
+    # projection path (JVM folds) == numpy projection
+    proj = {
+        r["vec_id"]: np.asarray(r["pca"])
+        for r in pca_transform(emb, "embedding", comps, mean).select(
+            "vec_id", "pca"
+        ).collect()
+    }
+    ref = (X - mu) @ W.T
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    got = np.stack([proj[i] for i in ids])
+    assert np.allclose(got, ref, atol=1e-8)
+
+    # partition invariance within float tolerance
+    comps2, mean2, _ = pca_fit(emb.repartition(7), "embedding", k=4)
+    assert np.allclose(np.asarray(comps2), W, atol=1e-6)
