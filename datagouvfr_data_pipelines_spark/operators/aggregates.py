@@ -145,6 +145,41 @@ def quantile_bins(df: DataFrame, col: str, probs: list[float], group_cols: list[
     return df.agg(agg)
 
 
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization) — the outlier gate in
+    front of means/variances that a heavy-tailed metric column needs
+    (the reference clips DVF price outliers the same way before its
+    monthly stats). Adds ``<col>_w`` clipped to the group's exact
+    [``lower``, ``upper``] quantiles.
+
+    Shape: one grouped exact-percentile aggregate (tiny — one row per
+    group) joined back; AQE broadcasts it when groups are few (the normal
+    case), so the data pass itself is a map. At 100 TB swap the inner
+    ``percentile`` for ``percentile_approx`` like every other quantile
+    site (module note above).
+    """
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(F.col(col), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(col), F.lit(upper)).alias("__hi"),
+    )
+    return (
+        df.join(bounds, group_cols)
+        .withColumn(
+            f"{col}_w",
+            F.least(F.greatest(F.col(col).cast("double"), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
 def top_k_by(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> DataFrame:
     """A9: top-K by metric — global sort-limit (Spark runs TakeOrdered, no full sort)."""
     key = F.col(order_col).asc() if ascending else F.col(order_col).desc()

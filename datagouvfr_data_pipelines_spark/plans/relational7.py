@@ -125,3 +125,31 @@ def w5_session_windows(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return session_window_counts(ev, "ts", ["user_id"], gap="30 minutes")
+
+
+@register(
+    "a18_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           least(greatest(CAST(o.o_totalprice AS DOUBLE), b.lo), b.hi)
+             AS o_totalprice_w
+    FROM orders o JOIN b USING (o_orderpriority)
+    """,
+    tags=["A18", "winsorize"],
+)
+def a18_winsorize(spark, sf_dir):
+    """Per-group percentile clipping (operators/aggregates.py:winsorize):
+    order totals clipped to each priority class's exact [p5, p95] — the
+    outlier gate in front of heavy-tailed aggregates."""
+    from datagouvfr_data_pipelines_spark.operators.aggregates import winsorize
+
+    orders = table(spark, sf_dir, "orders")
+    return winsorize(
+        orders, "o_totalprice", ["o_orderpriority"], lower=0.05, upper=0.95
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice_w")

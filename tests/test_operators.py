@@ -117,3 +117,22 @@ def test_ordered_cdc_apply(spark, tmp_path):
     )
     assert decisions2 == ["s3:full_replace"]
     assert {tuple(r) for r in spark.read.parquet(sink).collect()} == {("z", 9)}
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    import pytest as _pytest
+
+    from datagouvfr_data_pipelines_spark.operators.aggregates import winsorize
+
+    rows = [("g1", float(v)) for v in range(1, 11)] + [("g1", 1000.0), ("g2", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r.g, r.x): r.x_w for r in winsorize(df, "x", ["g"], 0.0, 0.5).collect()
+    }
+    # g1 median of [1..10, 1000] = 6.0 -> everything above clips to 6
+    assert out[("g1", 1000.0)] == 6.0
+    assert out[("g1", 10.0)] == 6.0
+    assert out[("g1", 1.0)] == 1.0   # lower=0.0 -> min, nothing clips below
+    assert out[("g2", 5.0)] == 5.0   # single-row group: p0 == p50 == value
+    with _pytest.raises(ValueError, match="lower"):
+        winsorize(df, "x", ["g"], 0.9, 0.1)
