@@ -84,19 +84,25 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(reps):
-            # clear + REBUILD each rep: clearCache drops cache-manager
-            # registrations, so a prebuilt DataFrame's persist() would sit
-            # in an ambiguous state; rebuilding outside the timer keeps the
-            # prepared-plan protocol (construction untimed) while giving
-            # persist()-based operators a fresh, honest cache lifecycle.
-            spark.catalog.clearCache()
-            df = qs[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.count()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(reps):
+                # clear + REBUILD each rep: clearCache drops cache-manager
+                # registrations, so a prebuilt DataFrame's persist() would sit
+                # in an ambiguous state; rebuilding outside the timer keeps the
+                # prepared-plan protocol (construction untimed) while giving
+                # persist()-based operators a fresh, honest cache lifecycle.
+                spark.catalog.clearCache()
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.count()
+                samples.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 - one bad query must not sink the suite
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(_median(samples), 3)
 
     total = round(sum(timings.values()), 3)
@@ -118,12 +124,16 @@ def main() -> None:
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         for name in HEADLINE:
-            if name in oracles:
+            if name in oracles and name in timings:
                 samples = []
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    con.execute(oracles[name]).fetchall()
-                    samples.append(time.perf_counter() - t0)
+                try:
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        con.execute(oracles[name]).fetchall()
+                        samples.append(time.perf_counter() - t0)
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench: oracle {name} FAILED: {e}", file=sys.stderr)
+                    continue
                 oracle_timings[name] = round(_median(samples), 3)
         con.close()
 
@@ -141,6 +151,7 @@ def main() -> None:
                 "oracle_duckdb_sec": oracle_timings,
                 "oracle_total_sec": round(sum(oracle_timings.values()), 3),
                 "oracle_comparable_spark_sec": comparable,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -31,7 +31,12 @@ def session_ids(
     """
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
     w_order = Window.partitionBy(partition_col).orderBy(*order)
-    us = F.unix_micros(F.col(ts_col))
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # unix_micros only accepts TIMESTAMP; the NTZ->TZ cast interprets
+        # wall time in the session tz, and gap DIFFERENCES are offset-free.
+        ts = ts.cast("timestamp")
+    us = F.unix_micros(ts)
     gap = us - F.lag(us).over(w_order)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)

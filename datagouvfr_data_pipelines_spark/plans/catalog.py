@@ -49,14 +49,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps regardless of the caller session's timezone config
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet written without isAdjustedToUTC reads as TIMESTAMP_NTZ under
+    # Spark 4's inferTimestampNTZ default. Normalize to TIMESTAMP so the
+    # instant-based function surface (unix_micros, to_utc_timestamp, window)
+    # resolves; with the session tz pinned UTC the cast preserves wall time,
+    # which is exactly DuckDB's naive-timestamp view of the same file.
+    ntz = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
