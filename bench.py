@@ -51,6 +51,9 @@ HEADLINE = [
     "asm_chunked_docs",       # token-window chunking (shuffle-free explode)
     "asm_packed_sequences",   # distributed prefix-sum packing
     "asm_hash_split",         # content-keyed train/val/test split
+    "h1_scd2_history",        # SCD2 run-collapse + validity intervals
+    "j15_interval_overlap",   # bin-bucketed interval-overlap self-join
+    "t_line_dedup",           # corpus-global line dedup + reassembly
 ]
 
 

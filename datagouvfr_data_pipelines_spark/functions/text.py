@@ -409,3 +409,92 @@ def pii_counts(col: Column | str) -> tuple[Column, Column, Column]:
         F.regexp_extract_all(after_ip, F.lit(PHONE_RE), F.lit(0))
     ).cast("int")
     return n_email, n_ip, n_phone
+
+
+def line_dedup(df, id_col: str, text_col: str, sep: str = "\n"):
+    """C4-style corpus-global line deduplication: keep only the FIRST
+    occurrence of each exact line across the corpus (total order = (doc id,
+    line position)), reassemble documents from their surviving lines.
+
+    Scale shape: posexplode (shuffle-free) -> one window shuffle keyed by
+    the line text itself (first-occurrence rank; skewed boilerplate lines
+    fall to AQE) -> one groupBy(doc) reassembly. Returns
+    (id, text_clean, n_lines, n_kept); a fully-deduplicated document comes
+    back with ``text_clean = ''`` so the caller's quality gate can drop it.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(_col(text_col), sep)).alias("pos", "line")
+    )
+    w = Window.partitionBy("line").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    ranked = lines.withColumn("__first", F.row_number().over(w) == 1)
+    return ranked.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__first"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__first").cast("long")).alias("n_kept"),
+    )
+
+
+def bigram_lm_scores(df, id_col: str, text_col: str, vocab_size: int):
+    """Bigram language-model scoring with add-one smoothing, trained on the
+    corpus itself: per-document mean log2 P(w_i | w_{i-1}) — the classic
+    n-gram perplexity quality signal (low = natural for the corpus,
+    very low = boilerplate, high = gibberish).
+
+    ``vocab_size`` is the corpus distinct-token count (a driver scalar —
+    same policy as k-means centroids: k-sized state may cross the driver).
+
+    Float determinism: each term is log2(c12 + 1) - log2(c1 + V) — log2 of
+    exact INTEGERS only (JVM and DuckDB agree bit-wise on those, proven by
+    ``token_entropy``), then nano-quantized before the per-doc sum, so the
+    result is partition-order independent and oracle-bit-identical.
+
+    Scale shape: explode bigrams once, cache-free two-branch reuse is
+    avoided by deriving unigram context counts FROM the bigram counts
+    (sum over w2) — one wide shuffle on the bigram key, one narrow re-agg
+    on w1, one shuffle join back to doc bigrams. All aggs partial.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+        F.size("__t") >= 2
+    )
+    doc_bg = toks.select(
+        F.col(id_col), F.explode(bigram_list(F.col("__t"))).alias("g")
+    ).withColumn("w1", F.split(F.col("g"), " ", 2)[0])
+    bg_counts = doc_bg.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    # context count = occurrences of w1 as a bigram PREFIX (standard bigram
+    # MLE denominator over the same event space as the numerator)
+    ctx_counts = (
+        bg_counts.withColumn("w1", F.split(F.col("g"), " ", 2)[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    term = F.log2(F.col("c12") + 1) - F.log2(F.col("c1") + F.lit(vocab_size))
+    scored = (
+        doc_bg.join(bg_counts, on="g")
+        .join(ctx_counts, on="w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.floor(term * F.lit(1e9)).cast("long")).alias("__q"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        F.round((F.col("__q") / F.lit(1e9)) / F.col("n_bigrams"), 6).alias(
+            "avg_log2_prob"
+        ),
+    )

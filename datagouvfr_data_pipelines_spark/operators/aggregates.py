@@ -184,3 +184,40 @@ def top_k_by(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> 
     """A9: top-K by metric — global sort-limit (Spark runs TakeOrdered, no full sort)."""
     key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     return df.orderBy(key).limit(k)
+
+
+def partial_agg_states(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Mergeable partial-aggregate state for incremental rollup maintenance:
+    per group, (count, exact decimal sum, min, max) — the algebraic-agg
+    state quartet that re-aggregates losslessly.
+
+    This is the read-side of incremental materialization: compute states
+    per ingest batch / partition / snapshot, persist them, and combine with
+    ``merge_agg_states`` instead of rescanning history. At 100 TB this
+    turns a full-history rescan into an O(groups) merge.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("st_count"),
+        F.sum(F.col(value_col).cast(MONEY)).alias("st_sum"),
+        F.min(value_col).alias("st_min"),
+        F.max(value_col).alias("st_max"),
+    )
+
+
+def merge_agg_states(
+    states: list[DataFrame], group_cols: list[str]
+) -> DataFrame:
+    """Combine per-batch states from ``partial_agg_states`` into the same
+    state shape (associative + commutative, so any merge tree is exact).
+    Finalize with e.g. ``st_sum / st_count`` for the mean."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*group_cols).agg(
+        F.sum("st_count").alias("st_count"),
+        F.sum("st_sum").alias("st_sum"),
+        F.min("st_min").alias("st_min"),
+        F.max("st_max").alias("st_max"),
+    )

@@ -168,3 +168,64 @@ def asof_join_backward(
         *[F.col("__left")[c].alias(c) for c in lcols],
         *[F.col(f"__rv_{c}").alias(c) for c in right_cols],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """J15: interval-overlap join — pairs where ``[left_start, left_end]``
+    and ``[right_start, right_end]`` overlap within the same ``key_cols``.
+
+    A naive range-predicate join plans a per-key cartesian (O(n_k^2) row
+    comparisons, BNL at the physical layer). This operator instead explodes
+    each interval to the coarse ``bin_width``-sized bins it spans (interval
+    columns must be numeric — epoch seconds/micros; callers convert), joins
+    on (keys, bin) as a REAL equi-join, verifies the exact overlap
+    predicate, and dedups pairs that met in several bins via the bin
+    equality trick: a pair is emitted only from the bin containing
+    ``greatest(start_l, start_r)`` — no distinct-shuffle needed.
+
+    Scale: one shuffle on (keys, bin); bin fan-out is interval_len/bin_width
+    per row (pick bin_width ~ the typical interval length). Skewed bins fall
+    to AQE skew-join.
+    """
+    def binned(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        lo = (F.col(start) / bin_width).cast("long")
+        hi = (F.col(end) / bin_width).cast("long")
+        return df.withColumn("__bin", F.explode(F.sequence(lo, hi))).withColumn(
+            "__side", F.lit(side)
+        )
+
+    lb = binned(left, left_start, left_end, "l")
+    rcols = [
+        (c, c if c not in set(left.columns) else f"{c}{suffix}")
+        for c in right.columns
+        if c not in key_cols
+    ]
+    renames = dict(rcols)
+    r_start = renames.get(right_start, right_start)
+    r_end = renames.get(right_end, right_end)
+    rb = binned(
+        right.select(*key_cols, *[F.col(c).alias(a) for c, a in rcols]),
+        r_start,
+        r_end,
+        "r",
+    )
+    joined = lb.drop("__side").join(
+        rb.drop("__side"), on=[*key_cols, "__bin"], how="inner"
+    )
+    overlap = (F.col(left_start) <= F.col(r_end)) & (
+        F.col(r_start) <= F.col(left_end)
+    )
+    anchor_bin = (
+        F.greatest(F.col(left_start), F.col(r_start)) / bin_width
+    ).cast("long")
+    return joined.where(overlap & (F.col("__bin") == anchor_bin)).drop("__bin")

@@ -1,0 +1,145 @@
+"""Round-3 operators: SCD2 history, mergeable agg states, interval-overlap
+join, corpus line dedup, bigram-LM scoring."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.operators.aggregates import (
+    merge_agg_states,
+    partial_agg_states,
+)
+from datagouvfr_data_pipelines_spark.operators.history import scd2_history
+from datagouvfr_data_pipelines_spark.operators.joins import interval_overlap_join
+from datagouvfr_data_pipelines_spark.functions.text import (
+    bigram_lm_scores,
+    line_dedup,
+)
+
+
+def test_scd2_collapses_runs_and_orders_intervals(spark):
+    rows = [
+        # key 1: A,A,B,A -> 3 intervals (run-aware, value can recur)
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"),
+        # key 2: single observation -> one open interval
+        (2, 10, "X"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, attr string")
+    out = scd2_history(df, ["k"], "ts", ["attr"], tiebreak_cols=[]).collect()
+    k1 = sorted([r for r in out if r.k == 1], key=lambda r: r.valid_from)
+    assert [(r.attr, r.valid_from, r.valid_to, r.n_observations) for r in k1] == [
+        ("A", 10, 30, 2), ("B", 30, 40, 1), ("A", 40, None, 1),
+    ]
+    assert [r.is_current for r in k1] == [False, False, True]
+    (k2,) = [r for r in out if r.k == 2]
+    assert (k2.attr, k2.valid_from, k2.valid_to, k2.is_current) == (
+        "X", 10, None, True,
+    )
+
+
+def test_scd2_same_instant_runs_stay_ordered(spark):
+    # two runs starting at the SAME ts: tiebreak column decides run order,
+    # and valid_to must chain through the runs, not self-reference
+    rows = [(1, 10, 1, "A"), (1, 10, 2, "B"), (1, 20, 3, "C")]
+    df = spark.createDataFrame(rows, "k int, ts int, tb int, attr string")
+    out = sorted(
+        scd2_history(df, ["k"], "ts", ["attr"], tiebreak_cols=["tb"]).collect(),
+        key=lambda r: (r.valid_from, not r.is_current, r.attr),
+    )
+    assert [(r.attr, r.valid_from, r.valid_to) for r in out] == [
+        ("A", 10, 10), ("B", 10, 20), ("C", 20, None),
+    ]
+
+
+def test_agg_state_merge_matches_direct(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(100)], "g int, v double"
+    )
+    parts = [
+        partial_agg_states(df.where(F.col("v") < 40), ["g"], "v"),
+        partial_agg_states(
+            df.where((F.col("v") >= 40) & (F.col("v") < 70)), ["g"], "v"
+        ),
+        partial_agg_states(df.where(F.col("v") >= 70), ["g"], "v"),
+    ]
+    merged = {
+        r.g: r for r in merge_agg_states(parts, ["g"]).collect()
+    }
+    direct = {r.g: r for r in partial_agg_states(df, ["g"], "v").collect()}
+    assert set(merged) == set(direct)
+    for g in direct:
+        for f in ("st_count", "st_sum", "st_min", "st_max"):
+            assert merged[g][f] == direct[g][f], (g, f)
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(3), rng.randrange(0, 1000))
+        for i in range(120)
+    ]
+    ivals = [(i, k, s, s + rng.randrange(1, 300)) for (i, k, s) in rows]
+    df = spark.createDataFrame(ivals, "id long, k int, s long, e long")
+    got = (
+        interval_overlap_join(
+            df, df, ["k"], "s", "e", "s", "e", bin_width=128
+        )
+        .where(F.col("id") < F.col("id_r"))
+        .select("id", "id_r")
+        .collect()
+    )
+    got_pairs = {(r.id, r.id_r) for r in got}
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(ivals, 2)
+        if a[1] == b[1] and a[2] <= b[3] and b[2] <= a[3] and a[0] < b[0]
+    }
+    # operator emits each pair exactly once (anchor-bin dedup)
+    assert len(got) == len(got_pairs)
+    assert got_pairs == want
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    docs = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),      # beta already seen in doc 1
+        (3, "alpha\nbeta"),      # fully duplicated -> empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r.doc_id: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[1].text_clean == "alpha\nbeta\ngamma"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 3)
+    assert out[2].text_clean == "delta"
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)
+    assert out[3].text_clean == ""
+    assert (out[3].n_lines, out[3].n_kept) == (2, 0)
+
+
+def test_bigram_lm_scores_known_values(spark):
+    import math
+
+    # corpus: "a b" x2 and "a c": bigrams ab(2), ac(1); context a(3); V=3
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in
+           bigram_lm_scores(df, "doc_id", "text", vocab_size=3).collect()}
+    assert 4 not in out  # <2 tokens -> excluded
+    def q(x):
+        return math.floor(x * 1e9) / 1e9
+    exp_ab = q(math.log2(2 + 1) - math.log2(3 + 3))
+    exp_ac = q(math.log2(1 + 1) - math.log2(3 + 3))
+    assert out[1].n_bigrams == 1
+    assert abs(out[1].avg_log2_prob - round(exp_ab, 6)) < 1e-9
+    assert abs(out[3].avg_log2_prob - round(exp_ac, 6)) < 1e-9
+
+
+def test_bigram_lm_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    a = bigram_lm_scores(docs.repartition(1), "doc_id", "text", 500)
+    b = bigram_lm_scores(docs.repartition(13), "doc_id", "text", 500)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
