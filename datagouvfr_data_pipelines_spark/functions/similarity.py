@@ -321,3 +321,121 @@ def pca_transform(
         for w in components
     ]
     return df.withColumn(out_col, F.array(*outs))
+
+
+def pq_fit(
+    df: "DataFrame",
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m`` subspaces
+    and k-means each independently (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search" — public method). Returns m codebooks of k
+    sub-centroids each.
+
+    At 100 TB this is the vector-compression tier: d floats -> m bytes
+    (k<=256) shrinks an embedding corpus ~4*d/m x, enough to keep the whole
+    index in executor memory for ADC scans. Train on a sample; encoding
+    stays full-data (``pq_encode``).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        kmeans_fit(
+            df.select(F.slice(_col(vec_col), j * sub + 1, sub).alias("__sub")),
+            "__sub",
+            k=k,
+            iterations=iterations,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: "DataFrame",
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    code_col: str = "pq_code",
+) -> "DataFrame":
+    """Encode vectors to ``m`` sub-centroid ids (array<int>). Pure JVM
+    column expressions (literal codebooks + distance folds) — no UDF, no
+    shuffle; the encode pass is a map over the corpus."""
+    sub = len(codebooks[0][0])
+    codes = [
+        nearest_centroid(F.slice(_col(vec_col), j * sub + 1, sub), cb)
+        for j, cb in enumerate(codebooks)
+    ]
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_search(
+    encoded: "DataFrame",
+    id_col: str,
+    probe: list[float],
+    codebooks: list[list[list[float]]],
+    top_k: int = 10,
+    code_col: str = "pq_code",
+) -> "DataFrame":
+    """ADC (asymmetric distance) top-k: precompute the probe->sub-centroid
+    distance table per subspace on the driver (m x k doubles), then the
+    distance of every encoded vector is m table lookups — a shuffle-free
+    map + TakeOrdered, never touching the original floats.
+    """
+    sub = len(codebooks[0][0])
+    dist = F.lit(0.0)
+    for j, cb in enumerate(codebooks):
+        pj = probe[j * sub : (j + 1) * sub]
+        table = [
+            sum((pj[t] - c[t]) ** 2 for t in range(sub)) for c in cb
+        ]
+        tarr = F.array(*[F.lit(float(x)) for x in table])
+        dist = dist + F.element_at(
+            tarr, F.element_at(F.col(code_col), j + 1) + 1
+        )
+    return (
+        encoded.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def pq_search_rerank(
+    df: "DataFrame",
+    vec_col: str,
+    id_col: str,
+    probe: list[float],
+    codebooks: list[list[list[float]]],
+    top_k: int = 10,
+    shortlist: int = 50,
+    code_col: str = "pq_code",
+) -> "DataFrame":
+    """Two-stage PQ ANN: ADC shortlist (compressed scan, ``shortlist``
+    candidates) -> exact L2 re-rank of the shortlist against the original
+    vectors. This is the production PQ shape — the compressed pass prunes
+    the corpus, the exact pass restores recall; only ``shortlist`` original
+    vectors are ever touched, via a broadcast semi-join (no shuffle of the
+    corpus)."""
+    enc = df if code_col in df.columns else pq_encode(df, vec_col, codebooks, code_col)
+    short = pq_search(
+        enc, id_col, probe, codebooks, top_k=shortlist, code_col=code_col
+    ).select(id_col)
+    parr = F.array(*[F.lit(float(x)) for x in probe])
+    exact_d = F.aggregate(
+        F.zip_with(
+            _col(vec_col),
+            parr,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.join(F.broadcast(short), on=id_col)
+        .select(F.col(id_col), F.round(exact_d, 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

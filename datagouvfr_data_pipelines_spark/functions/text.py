@@ -498,3 +498,55 @@ def bigram_lm_scores(df, id_col: str, text_col: str, vocab_size: int):
             "avg_log2_prob"
         ),
     )
+
+
+def ngram_list(tk: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity and positions preserved (generalizes
+    ``bigram_list``); <n tokens -> empty array. Built as a JVM transform
+    over an index sequence — no UDF, no explode fan-out until the caller
+    asks for it."""
+    length = F.size(tk) - (n - 1)
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), length),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_span_stats(df, id_col: str, text_col: str, n: int = 8):
+    """Within-corpus duplicated-span detection (the signal behind
+    suffix-array training-data dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" — public method, n-gram
+    approximation): an n-token span is "duplicated" when its exact text
+    occurs more than once across the corpus. Returns per-document
+    (n_spans, n_dup_spans, dup_span_frac) for quality gating — a high
+    fraction means the document is mostly boilerplate shared with others.
+
+    Scale shape: one explode -> groupBy(span) count (partial-agg; the span
+    string is the key, skewed boilerplate spans fall to AQE) -> join back
+    -> per-doc aggregate. The integer-ratio output is exact-binary double,
+    so the DuckDB oracle hash-matches without quantization.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+        F.size("__t") >= n
+    )
+    spans = toks.select(
+        F.col(id_col), F.explode(ngram_list(F.col("__t"), n)).alias("g")
+    )
+    counts = spans.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        spans.join(counts, on="g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__c") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )

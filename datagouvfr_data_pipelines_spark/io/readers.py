@@ -143,3 +143,10 @@ def read_binary_archives(spark: SparkSession, path_glob: str) -> DataFrame:
     unpack happens in a mapInPandas stage downstream (rna/task_functions.py
     :49-84). Returns (path, modificationTime, length, content)."""
     return spark.read.format("binaryFile").load(path_glob)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same native columnar path as parquet (vectorized reader,
+    predicate pushdown, column pruning); the engine treats ORC as a
+    first-class interchange format for Hive-era lakes."""
+    return spark.read.orc(path)

@@ -303,3 +303,17 @@ def geojson_feature_collection(
     )
     row = collected.collect()[0]
     return '{"type": "FeatureCollection", "features": [' + row["features"] + "]}"
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (zstd) — parity with the parquet sink for Hive-era lakes."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -238,3 +238,66 @@ def t_bigram_logprob(spark, sf_dir):
         .collect()[0][0]
     )
     return bigram_lm_scores(docs, "doc_id", "text", vocab_size=vocab)
+
+
+@register(
+    "t_dup_span_stats",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+      WHERE length(trim(text)) > 0
+        AND len(string_split_regex(lower(trim(text)), '\s+')) >= 8
+    ), sp AS (
+      SELECT doc_id,
+             unnest(t[1:len(t)-7]) || ' ' || unnest(t[2:len(t)-6]) || ' ' ||
+             unnest(t[3:len(t)-5]) || ' ' || unnest(t[4:len(t)-4]) || ' ' ||
+             unnest(t[5:len(t)-3]) || ' ' || unnest(t[6:len(t)-2]) || ' ' ||
+             unnest(t[7:len(t)-1]) || ' ' || unnest(t[8:len(t)]) AS g
+      FROM tk
+    ), c AS (
+      SELECT g, COUNT(*) AS cnt FROM sp GROUP BY g
+    )
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_frac
+    FROM sp JOIN c ON sp.g = c.g
+    GROUP BY sp.doc_id
+    """,
+    tags=["text", "dedup", "span"],
+)
+def t_dup_span_stats(spark, sf_dir):
+    """Within-corpus duplicated 8-token-span detection (functions/text.py:
+    duplicated_span_stats) — the n-gram approximation of suffix-array
+    training-data dedup; per-doc duplicated-span fraction for gating."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        duplicated_span_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "doc_id", "text", n=8)
+
+
+@register("sim_pq_search", oracle=None, tags=["similarity", "pq", "no-oracle"])
+def sim_pq_search(spark, sf_dir):
+    """Product-quantization ANN: m=4 sub-codebooks (k=16 each, seeded
+    Lloyd's with decimal-exact updates -> deterministic), encode to 4
+    sub-centroid ids, ADC top-10 via driver-side distance tables
+    (functions/similarity.py:pq_fit/pq_encode/pq_search). Rows-only check;
+    the recall-vs-brute-force assertion lives in tests/test_pq.py."""
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_search,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, "embedding", m=4, k=16, iterations=2)
+    enc = pq_encode(emb, "embedding", books)
+    probe = [
+        float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    return pq_search(enc, "vec_id", probe, books, top_k=10)
