@@ -229,3 +229,39 @@ def interval_overlap_join(
         F.greatest(F.col(left_start), F.col(r_start)) / bin_width
     ).cast("long")
     return joined.where(overlap & (F.col("__bin") == anchor_bin)).drop("__bin")
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    num_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Pre-join runtime filtering: drop ``fact`` rows that cannot match
+    ``dim`` BEFORE the join shuffle, using a broadcast set of the dim keys'
+    hash buckets — the semi-join-reduction / Bloom-pruning technique with
+    one hash function (no false negatives; false-positive rate ~
+    |dim keys| / num_buckets, tunable).
+
+    When the dim side's ROWS are too wide to broadcast but its distinct
+    key-bucket set is small (<= num_buckets ids), the fact table is
+    filtered map-side by a BroadcastHashJoin(LeftSemi) on the bucket id and
+    only plausible rows pay the real join's exchange. False positives pass
+    through to the real join — correctness unaffected (test-pinned).
+
+    Spark's optimizer has an internal bloom_filter_agg for this
+    (runtime row-level filtering), but it is not in the public function
+    registry; the distinct-bucket broadcast is the public-API equivalent
+    and stays entirely JVM-side.
+    """
+    dk = dim_key if dim_key is not None else fact_key
+    buckets = dim.select(
+        F.pmod(F.xxhash64(F.col(dk)), F.lit(num_buckets)).alias("__bucket")
+    ).distinct()
+    fact_bucket = F.pmod(F.xxhash64(F.col(fact_key)), F.lit(num_buckets))
+    return fact.join(
+        F.broadcast(buckets),
+        on=[fact_bucket == F.col("__bucket")],
+        how="left_semi",
+    )

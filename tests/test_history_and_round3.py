@@ -143,3 +143,28 @@ def test_bigram_lm_partition_invariant(spark, sf_dir):
     a = bigram_lm_scores(docs.repartition(1), "doc_id", "text", 500)
     b = bigram_lm_scores(docs.repartition(13), "doc_id", "text", 500)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    from datagouvfr_data_pipelines_spark.operators.joins import bloom_prune
+
+    fact = spark.range(0, 20000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 20000, 100).withColumnRenamed("id", "k")  # 200 keys
+    pruned = bloom_prune(fact, dim, "k", num_buckets=1 << 16)
+    kept = {r.k for r in pruned.collect()}
+    want = {r.k for r in dim.collect()}
+    # the bucket filter never drops a true match...
+    assert want <= kept
+    # ...and at 200 keys vs 64k buckets must prune almost every miss
+    assert len(kept) < 400
+    # exact join result is identical with and without the pre-prune
+    direct = fact.join(dim, on="k").count()
+    via_bloom = pruned.join(dim, on="k").count()
+    assert direct == via_bloom == 200
+    # the prune itself must be a broadcast semi-join (map-side, no shuffle
+    # of the fact table)
+    plan = pruned._jdf.queryExecution().explainString(
+        pruned.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
