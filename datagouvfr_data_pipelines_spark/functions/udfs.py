@@ -368,9 +368,11 @@ def resize_images(
     df: DataFrame, id_col: str, content_col: str, max_side: int
 ) -> DataFrame:
     """Thumbnail pass over a multimodal binary column via Arrow-batched
-    ``mapInPandas``: 24-bit BMPs get a REAL nearest-neighbor downscale
-    (``resize_bmp_nearest``); compressed codecs (PNG/JPEG/GIF — full decode
-    needs PIL/ffmpeg, not in this container) pass through unchanged with an
+    ``mapInPandas``: 24-bit BMPs and 8-bit truecolor PNGs get a REAL
+    nearest-neighbor downscale (``resize_bmp_nearest`` /
+    ``resize_png_nearest`` — the PNG path is a full stdlib inflate +
+    un-filter decode); codecs needing external libs (JPEG's DCT, GIF's
+    LZW — PIL/ffmpeg not in this container) pass through unchanged with an
     honest 'passthrough:<fmt>' status and their REAL header dimensions.
     Schema and batch shape are identical in every path, so swapping in a
     full codec never touches the Spark plan. Shuffle-free: one narrow map
@@ -381,18 +383,27 @@ def resize_images(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 blob_b = bytes(blob) if blob is not None else b""
-                resized = resize_bmp_nearest(blob_b, max_side)
-                if resized is not None:
-                    fmt, w, h = parse_image_dimensions(resized)
-                    status = "resized:bmp" if resized != blob_b else "kept:bmp"
-                    rows.append((mid, resized, w, h, status))
-                    continue
-                parsed = parse_image_dimensions(blob_b)
-                if parsed is not None:
-                    fmt, w, h = parsed
-                    rows.append((mid, blob_b, w, h, f"passthrough:{fmt}"))
+                for codec, resize in (
+                    ("bmp", resize_bmp_nearest),
+                    ("png", resize_png_nearest),
+                ):
+                    resized = resize(blob_b, max_side)
+                    if resized is not None:
+                        fmt, w, h = parse_image_dimensions(resized)
+                        status = (
+                            f"resized:{codec}"
+                            if resized != blob_b
+                            else f"kept:{codec}"
+                        )
+                        rows.append((mid, resized, w, h, status))
+                        break
                 else:
-                    rows.append((mid, blob_b, None, None, "unsupported"))
+                    parsed = parse_image_dimensions(blob_b)
+                    if parsed is not None:
+                        fmt, w, h = parsed
+                        rows.append((mid, blob_b, w, h, f"passthrough:{fmt}"))
+                    else:
+                        rows.append((mid, blob_b, None, None, "unsupported"))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "content", "width", "height", "resize_status"],
@@ -554,3 +565,129 @@ def check_urls(
     return df.select(F.col(url_col).alias(url_col)).mapInPandas(
         run, schema=URL_CHECK_SCHEMA
     )
+
+
+def _png_chunks(data: bytes):
+    i = 8
+    while i + 8 <= len(data):
+        size = int.from_bytes(data[i : i + 4], "big")
+        ctype = data[i + 4 : i + 8]
+        yield ctype, data[i + 8 : i + 8 + size]
+        if ctype == b"IEND":
+            return
+        i += 12 + size  # length + type + data + crc
+
+
+def decode_png_rgb24(data: bytes | None) -> tuple[int, int, list[list[tuple[int, int, int]]]] | None:
+    """REAL PNG pixel decode, pure stdlib (zlib is built in — the 'needs
+    PIL' limitation only applies to JPEG's DCT): 8-bit-depth truecolor
+    (type 2) and truecolor+alpha (type 6), non-interlaced, full scanline
+    un-filtering (None/Sub/Up/Average/Paeth per the PNG spec). Returns
+    (width, height, rgb_rows) with alpha dropped, or None for any variant
+    outside that envelope (palette, 16-bit, Adam7)."""
+    import zlib as _zlib
+
+    if not data or len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = None
+    bpp = 0
+    idat = b""
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            if len(body) < 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+            if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+                return None
+            bpp = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = _zlib.decompress(idat)
+    except _zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    rows: list[list[tuple[int, int, int]]] = []
+    prev = bytearray(stride)
+    pos = 0
+    for _y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append(
+            [tuple(line[x * bpp : x * bpp + 3]) for x in range(w)]
+        )
+        prev = line
+    return (w, h, rows)
+
+
+def encode_png_rgb24(
+    width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]
+) -> bytes:
+    """Serialize 8-bit truecolor non-interlaced PNG (filter 0 scanlines,
+    one zlib IDAT), pure stdlib — the writer half of the PNG codec."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = _zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return _struct.pack(">I", len(body)) + ctype + body + _struct.pack(">I", crc)
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(px) for px in row) for row in rgb_rows
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png_nearest(data: bytes | None, max_side: int) -> bytes | None:
+    """REAL PNG thumbnail: decode (stdlib inflate + un-filter), nearest-
+    neighbor downscale to ``max_side``, re-encode. Returns input unchanged
+    when it already fits, None when the payload is outside the pure-stdlib
+    PNG envelope (JPEG, palette PNG, Adam7, ...)."""
+    decoded = decode_png_rgb24(data)
+    if decoded is None:
+        return None
+    w, h, rows = decoded
+    if max(w, h) <= max_side:
+        return data
+    scale = max_side / max(w, h)
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out = [
+        [rows[min(h - 1, int(y / scale))][min(w - 1, int(x / scale))]
+         for x in range(nw)]
+        for y in range(nh)
+    ]
+    return encode_png_rgb24(nw, nh, out)

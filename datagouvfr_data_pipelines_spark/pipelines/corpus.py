@@ -38,6 +38,8 @@ def curate_corpus(
     neardup_threshold: float = 0.8,
     max_cluster_iterations: int = 25,
     max_top_bigram_frac: float | None = None,
+    max_dup_span_frac: float | None = None,
+    dedup_lines: bool = False,
     scrub_pii: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
@@ -47,6 +49,23 @@ def curate_corpus(
     the reference's report/synthesis habit (consolidation.py:1867-1949)
     applied to corpus curation.
     """
+    # C4 ordering: corpus-global line dedup rewrites documents FIRST, so
+    # every downstream signal (quality, hashes, shingles) sees the cleaned
+    # text; fully-deduplicated documents drop here with their own stage.
+    ld_dropped = None
+    if dedup_lines:
+        from datagouvfr_data_pipelines_spark.functions.text import line_dedup
+
+        cleaned = line_dedup(docs, id_col, text_col)
+        survivors = cleaned.where(F.col("n_kept") > 0).select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
+        ld_dropped = (
+            cleaned.where(F.col("n_kept") == 0)
+            .select(F.col(id_col).alias("doc_id"), F.lit("line_dedup").alias("stage"))
+        )
+        docs = survivors
+
     annotated = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -93,6 +112,28 @@ def curate_corpus(
         "doc_id", F.lit("exact_dup").alias("stage")
     )
 
+    # duplicated-span gate: docs that are mostly 8-token spans shared with
+    # the rest of the corpus are boilerplate composites — cheaper to drop
+    # on the exact span signal than to let the LSH tier discover them
+    if max_dup_span_frac is not None:
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            duplicated_span_stats,
+        )
+
+        sp = duplicated_span_stats(e_ok, "doc_id", "text").select(
+            "doc_id", "dup_span_frac"
+        )
+        s_ok = e_ok.join(sp, "doc_id", "left").where(
+            F.col("dup_span_frac").isNull()
+            | (F.col("dup_span_frac") <= max_dup_span_frac)
+        ).drop("dup_span_frac")
+    else:
+        s_ok = e_ok
+    s_dropped = e_ok.join(s_ok, "doc_id", "left_anti").select(
+        "doc_id", F.lit("dup_spans").alias("stage")
+    )
+    e_ok = s_ok
+
     # near-dup clusters -> keep the minimum id of each cluster, via true
     # connected components (alternating star): every node of a cluster
     # collapses to the component min regardless of how deep the duplicate
@@ -116,8 +157,11 @@ def curate_corpus(
         q_dropped.unionByName(r_dropped)
         .unionByName(l_dropped)
         .unionByName(e_dropped)
+        .unionByName(s_dropped)
         .unionByName(nd_dropped)
     )
+    if ld_dropped is not None:
+        dropped = ld_dropped.unionByName(dropped)
     stats = nd_ok.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),

@@ -75,3 +75,41 @@ def test_curate_corpus_repetition_and_pii_stages(spark):
     assert "<EMAIL>" in kept[3] and "someone@example.org" not in kept[3]
     assert kept[1] == GOOD  # no-PII text unchanged
     assert out["kept"].count() + out["dropped"].count() == docs.count()
+
+
+def test_curate_corpus_line_dedup_and_span_stages(spark):
+    from datagouvfr_data_pipelines_spark.pipelines.corpus import curate_corpus
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            # survives everything; its lines are the canonical copies
+            (1, f"unique opening line words here\n{boiler}"),
+            # all lines already seen in doc 1 -> dropped at line_dedup
+            (2, f"unique opening line words here\n{boiler}"),
+            # one fresh line + one seen line -> survives with fresh line only
+            (3, f"{boiler}\nanother totally different closing line here now"),
+            # mostly duplicated 8-token spans of doc 1's boilerplate
+            (4, f"{boiler} {boiler}"),
+        ],
+        "doc_id int, text string",
+    )
+    out = curate_corpus(
+        docs,
+        min_quality=0.0,
+        neardup_threshold=0.95,
+        dedup_lines=True,
+        # doc 1 scores exactly 10/20=0.5 (its boilerplate line is copied by
+        # doc 4), doc 4 scores 10/17~0.588 — the threshold splits them
+        max_dup_span_frac=0.55,
+    )
+    kept = {r.doc_id: r.text for r in out["kept"].collect()}
+    stages = {r.doc_id: r.stage for r in out["dropped"].collect()}
+    assert stages[2] == "line_dedup"
+    assert 1 in kept
+    # doc 3 kept, rewritten to only its surviving line
+    assert kept[3] == "another totally different closing line here now"
+    # doc 4 is a span-composite of doc 1's text -> dup_spans stage
+    assert stages[4] == "dup_spans"
+    # ledger conservation still holds with the new stages
+    assert len(kept) + len(stages) == 4
