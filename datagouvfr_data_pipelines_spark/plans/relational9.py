@@ -1,0 +1,157 @@
+"""Catalog batch 9 (round 3): time-series windows — event-time rolling
+aggregate, the full rank family, and regular-grid gap filling with linear
+interpolation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+
+
+@register(
+    "w6_rolling_window_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_30d
+    FROM orders WHERE o_custkey < 300
+    """,
+    tags=["window", "timeseries", "range-frame"],
+)
+def w6_rolling_window_sum(spark, sf_dir):
+    """Trailing-30-day order total per customer: event-time RANGE frame on
+    epoch micros (operators/timeseries.py:rolling_time_sum) — same-instant
+    peers aggregate together, so the result is total-order independent."""
+    from datagouvfr_data_pipelines_spark.operators.timeseries import (
+        rolling_time_sum,
+    )
+
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    out = rolling_time_sum(
+        orders, ["o_custkey"], "o_orderdate", "o_totalprice",
+        window_seconds=30 * 86400, alias="rolling_30d",
+    )
+    return out.select("o_orderkey", "o_custkey", "rolling_30d")
+
+
+@register(
+    "a20_rank_family",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           round(PERCENT_RANK() OVER w, 6) AS prnk,
+           round(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w2 AS INT) AS quartile
+    FROM customer
+    WINDOW w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC),
+           w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=["window", "rank"],
+)
+def a20_rank_family(spark, sf_dir):
+    """The full analytic-rank family per nation by account balance.
+    rank/dense_rank/percent_rank/cume_dist use the VALUE ordering (peers
+    tie); ntile needs a TOTAL order (tiles are positional), so its window
+    adds the key tiebreak — same split as the oracle."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    w2 = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w2).alias("quartile"),
+    )
+
+
+@register(
+    "w7_gap_fill_interpolate",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_nationkey AS k,
+             CAST(date_diff('month', TIMESTAMP '1992-01-01',
+                            date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS slot,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT k, MIN(slot) AS mn, MAX(slot) AS mx FROM m GROUP BY k
+    ), grid AS (
+      SELECT b.k, unnest(generate_series(b.mn, b.mx)) AS slot FROM b
+    ), j AS (
+      SELECT g.k, g.slot, m.total FROM grid g
+      LEFT JOIN m ON m.k = g.k AND m.slot = g.slot
+    ), c AS (
+      SELECT k, slot, total,
+             last_value(total IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN total IS NOT NULL THEN slot END
+                        IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+             first_value(total IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY slot
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN total IS NOT NULL THEN slot END
+                         IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY slot
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+      FROM j
+    )
+    SELECT k AS c_nationkey, slot,
+           round(CASE WHEN total IS NOT NULL THEN total
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * ((slot - ps) / (ns - ps))
+                 END, 6) AS filled,
+           total IS NOT NULL AS is_observed
+    FROM c
+    """,
+    tags=["window", "timeseries", "gap-fill"],
+)
+def w7_gap_fill_interpolate(spark, sf_dir):
+    """Monthly urgent-order totals per nation, densified to every month in
+    each nation's observed range with linear interpolation over the gaps
+    (operators/timeseries.py:gap_fill_interpolate)."""
+    from datagouvfr_data_pipelines_spark.operators.timeseries import (
+        gap_fill_interpolate,
+    )
+
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.lit("1992-01-01").cast("timestamp"),
+            )
+            .cast("long")
+            .alias("slot"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total")
+        )
+    )
+    return gap_fill_interpolate(
+        monthly, ["c_nationkey"], "slot", "total", filled_alias="filled"
+    )

@@ -1,0 +1,65 @@
+"""Time-series operators: rolling event-time sums and gap-fill
+interpolation edge cases."""
+
+from __future__ import annotations
+
+import datetime
+
+from datagouvfr_data_pipelines_spark.operators.timeseries import (
+    gap_fill_interpolate,
+    rolling_time_sum,
+)
+
+
+def _ts(day):
+    return datetime.datetime(2024, 1, day)
+
+
+def test_rolling_time_sum_window_bounds(spark):
+    rows = [
+        (1, _ts(1), 10.0),
+        (1, _ts(5), 20.0),
+        (1, _ts(12), 40.0),   # day-5 row is 7 days back -> still inside
+        (1, _ts(20), 80.0),   # everything else has aged out
+        (2, _ts(5), 5.0),     # other key never mixes in
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = {
+        (r.k, r.ts.day): r.rolling
+        for r in rolling_time_sum(
+            df, ["k"], "ts", "v", window_seconds=7 * 86400, alias="rolling"
+        ).collect()
+    }
+    assert out[(1, 1)] == 10.0
+    assert out[(1, 5)] == 30.0     # day 1 within 7 days of day 5
+    assert out[(1, 12)] == 60.0    # day 5 inside (exactly 7d), day 1 aged out
+    assert out[(1, 20)] == 80.0
+    assert out[(2, 5)] == 5.0
+
+
+def test_rolling_time_sum_same_instant_peers_aggregate_together(spark):
+    rows = [(1, _ts(3), 1.0), (1, _ts(3), 2.0), (1, _ts(3), 4.0)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = rolling_time_sum(df, ["k"], "ts", "v", 86400).collect()
+    # RANGE frame: all same-instant rows see the full peer sum — no
+    # row-order dependence
+    assert [r.rolling_sum for r in out] == [7.0, 7.0, 7.0]
+
+
+def test_gap_fill_interpolates_and_extrapolates_edges(spark):
+    rows = [(1, 2, 10.0), (1, 5, 40.0), (1, 7, None), (2, 3, 9.0)]
+    df = spark.createDataFrame(rows, "k int, slot long, v double")
+    out = {
+        (r.k, r.slot): (r.filled, r.is_observed)
+        for r in gap_fill_interpolate(df, ["k"], "slot", "v").collect()
+    }
+    assert out[(1, 2)] == (10.0, True)
+    assert out[(1, 3)] == (20.0, False)   # linear between 10 and 40
+    assert out[(1, 4)] == (30.0, False)
+    assert out[(1, 5)] == (40.0, True)
+    # slots 6-7: no later observation -> constant extrapolation from 40
+    assert out[(1, 6)] == (40.0, False)
+    # slot 7 exists in input with NULL value: grid row is "not observed"
+    assert out[(1, 7)][0] == 40.0
+    assert out[(2, 3)] == (9.0, True)
+    assert len(out) == 7  # key 1 densified 2..7, key 2 single slot
