@@ -157,3 +157,30 @@ def spatially_ordered(
     ``curve``: 'hilbert' (reference parity, best locality) or 'morton'."""
     key = {"hilbert": hilbert_key, "morton": morton_key}[curve]
     return df.orderBy(key(lon_col, lat_col))
+
+
+def point_in_polygon(
+    lon: Column | str, lat: Column | str, polygon: list[tuple[float, float]]
+) -> Column:
+    """Ray-casting point-in-polygon test against a LITERAL polygon (the
+    broadcast-dim case: admin boundaries, a few hundred vertices) as one
+    unrolled JVM boolean expression — no UDF, no spatial lib.
+
+    Standard even-odd rule: a horizontal ray to +inf crosses edge
+    (p1, p2) when the edge spans the point's latitude and the crossing
+    longitude lies right of the point. Points exactly on an edge follow
+    the half-open convention (top vertex excluded), matching the classic
+    PNPOLY formulation.
+    """
+    x, y = _c(lon), _c(lat)
+    inside = F.lit(False)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses the horizontal ray
+        spans = (F.lit(y1) > y) != (F.lit(y2) > y)
+        x_cross = F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        inside = F.when(spans & (x < x_cross), ~inside).otherwise(inside)
+    return inside

@@ -271,3 +271,53 @@ def pack_sequences(
         .withColumn("pack_offset", F.pmod(F.col("__goff"), F.lit(budget)).cast("long"))
         .drop("__bucket", "__local_off", "__goff")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum, fully
+    deterministic (Efraimidis-Spirakis A-Res, public method): each row gets
+    u_i in (0,1) from the engine-portable rolling hash of (seed, id) and
+    sort key ln(u_i)/w_i; the top-k keys per stratum are exactly a
+    probability-proportional-to-weight draw.
+
+    Determinism policy: u_i comes from a hash, not rand() — rebuilds and
+    repartitions can never change the sample; ln stays on INTEGER inputs
+    (ln(h+1) - ln(M+1)) so the key is bit-identical in the DuckDB oracle.
+    Scale shape: one narrow map + one top-k window per stratum.
+    """
+    from pyspark.sql import Window
+
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+    )
+
+    s = F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string"))
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(
+            acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)
+        ),
+    )
+    wkey = (F.log(h + 1) - F.log(F.lit(float(ROLLING_HASH_MOD + 1)))) / F.col(
+        weight_col
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__wkey").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__wkey", wkey)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+        .withColumn("sample_key", F.round(F.col("__wkey"), 6))
+        .drop("__wkey")
+    )

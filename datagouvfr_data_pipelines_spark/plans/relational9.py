@@ -155,3 +155,52 @@ def w7_gap_fill_interpolate(spark, sf_dir):
     return gap_fill_interpolate(
         monthly, ["c_nationkey"], "slot", "total", filled_alias="filled"
     )
+
+
+@register(
+    "asm_weighted_sample",
+    oracle="""
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   string_split('42-' || CAST(doc_id AS VARCHAR), ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647
+             ) AS hh
+      FROM documents WHERE n_chars > 0
+    ), sk AS (
+      SELECT lang, doc_id, n_chars,
+             (ln(hh + 1) - ln(2147483648.0)) / n_chars AS wkey
+      FROM h
+    )
+    SELECT lang, doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY wkey DESC, doc_id
+           ) AS BIGINT) AS sample_rank,
+           round(wkey, 6) AS sample_key
+    FROM sk
+    QUALIFY sample_rank <= 15
+    """,
+    tags=["assembly", "sampling", "weighted"],
+)
+def asm_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement, 15 docs per
+    language, probability proportional to length (operators/assembly.py:
+    weighted_sample — Efraimidis-Spirakis keys from the portable rolling
+    hash; ln stays on integer inputs for oracle bit-parity)."""
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        weighted_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    out = weighted_sample(
+        docs.select("lang", "doc_id", "n_chars"),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=15,
+        strata_cols=["lang"],
+        seed=42,
+    )
+    return out.select("lang", "doc_id", "n_chars", "sample_rank", "sample_key")

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime
 
+import pyspark.sql.functions as F
+
 from datagouvfr_data_pipelines_spark.operators.timeseries import (
     gap_fill_interpolate,
     rolling_time_sum,
@@ -63,3 +65,56 @@ def test_gap_fill_interpolates_and_extrapolates_edges(spark):
     assert out[(1, 7)][0] == 40.0
     assert out[(2, 3)] == (9.0, True)
     assert len(out) == 7  # key 1 densified 2..7, key 2 single slot
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    import math
+
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        weighted_sample,
+    )
+
+    rows = [("s", i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    out = weighted_sample(df, "id", "w", k=10, strata_cols=["g"])
+    got = sorted(r.id for r in out.collect())
+    # heavy rows (w=1000, ids 0-9) dominate a PPS draw of k=10 vs 190
+    # feather-weight rows
+    assert len(got) == 10
+    assert len([i for i in got if i < 10]) >= 8
+    # repartitioning never changes the sample (hash keys, not rand)
+    again = sorted(
+        r.id
+        for r in weighted_sample(
+            df.repartition(17), "id", "w", k=10, strata_cols=["g"]
+        ).collect()
+    )
+    assert again == got
+    # keys match the A-Res formula on a spot row
+    row = out.where(F.col("id") == got[0]).collect()[0]
+    assert row.sample_key <= 0.0 and not math.isnan(row.sample_key)
+
+
+def test_point_in_polygon_concave(spark):
+    from datagouvfr_data_pipelines_spark.functions.geo import point_in_polygon
+
+    # concave "arrow": notch at the right side
+    poly = [(0.0, 0.0), (4.0, 0.0), (2.0, 2.0), (4.0, 4.0), (0.0, 4.0)]
+    pts = [
+        (1.0, 2.0, True),    # deep inside
+        (3.5, 2.0, False),   # inside the notch -> outside
+        (2.0, 1.0, True),
+        (5.0, 2.0, False),   # right of everything
+        (-1.0, 2.0, False),
+        (1.0, 3.9, True),
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in pts], "x double, y double"
+    )
+    got = [
+        r.inside
+        for r in df.select(
+            point_in_polygon("x", "y", poly).alias("inside")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in pts]
