@@ -154,3 +154,74 @@ def ancestors_per_node(closure: DataFrame) -> DataFrame:
         F.sort_array(F.collect_set("ancestor")).alias("ancestors"),
         F.count(F.lit(1)).alias("n_ancestors"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank with dangling-mass redistribution — the
+    link-quality signal a web-scale corpus curation pipeline ranks domains
+    and pages by (public method, Page et al. 1999).
+
+    Per iteration: contributions flow src -> dst through one shuffled
+    equi-join + groupBy (both partial-aggregated); the dangling-node mass
+    (rank parked on nodes with no out-edges) is a DRIVER SCALAR per
+    iteration (k-state policy) redistributed uniformly, so total rank mass
+    is conserved at every step (test-pinned). Ranks are cached per
+    iteration to cut lineage — same recipe as connected_components.
+
+    Returns (node, rank). Float note: the per-dst double sum is shuffle-
+    order dependent at the ulp level, so PageRank is test-checked with
+    tolerance, not hash-oracled.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    nodes.cache()
+    n = nodes.count()
+    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks.cache()
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("__dst"))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, on="node", how="left")
+        dangling = (
+            with_deg.where(F.col("__deg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(with_deg.where(F.col("__deg").isNotNull()), on="node")
+            .select(
+                F.col("__dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        new_ranks.cache()
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    return ranks

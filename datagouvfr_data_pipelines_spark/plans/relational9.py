@@ -204,3 +204,23 @@ def asm_weighted_sample(spark, sf_dir):
         seed=42,
     )
     return out.select("lang", "doc_id", "n_chars", "sample_rank", "sample_key")
+
+
+@register("g_pagerank", oracle=None, tags=["graph", "pagerank", "no-oracle"])
+def g_pagerank(spark, sf_dir):
+    """PageRank over the customer->supplier purchase graph (edges from
+    lineitem x orders), 6 iterations with dangling-mass redistribution
+    (operators/graph.py:pagerank). Iterative algorithm -> rows-only check;
+    the power-iteration parity test lives in tests/test_timeseries.py."""
+    from datagouvfr_data_pipelines_spark.operators.graph import pagerank
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+    ).distinct()
+    out = pagerank(edges, "src", "dst", iterations=6)
+    return out.select("node", F.round("rank", 9).alias("rank"))

@@ -118,3 +118,34 @@ def test_point_in_polygon_concave(spark):
         ).collect()
     ]
     assert got == [e for _, _, e in pts]
+
+
+def test_pagerank_matches_power_iteration_and_conserves_mass(spark):
+    from datagouvfr_data_pipelines_spark.operators.graph import pagerank
+
+    # 4-node graph with a dangling node (3 has no out-edges)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=12).collect()}
+
+    # reference: dense power iteration with the same update rule
+    import numpy as np
+
+    n, d = 4, 0.85
+    out = {0: [1, 2], 1: [2, 3], 2: [0]}
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        nxt += d * dangling / n
+        for s, ds in out.items():
+            for t in ds:
+                nxt[t] += d * r[s] / len(ds)
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    # rank mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # structure sanity: the argmax agrees with the dense reference (node 0
+    # ends highest — it receives ALL of node 2's mass through the 2->0 edge)
+    assert max(got, key=got.get) == int(np.argmax(r)) == 0
