@@ -550,3 +550,83 @@ def duplicated_span_stats(df, id_col: str, text_col: str, n: int = 8):
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
         )
     )
+
+
+def tfidf_weights(df, id_col: str, text_col: str, n_docs: int):
+    """TF-IDF term weights per (document, token): tf * (ln(N+1) - ln(df+1)
+    + 1) with add-one smoothing. ``n_docs`` is the corpus size (driver
+    scalar, one count job — k-state policy).
+
+    Determinism: tf and df are integers and ln stays on INTEGER inputs, so
+    weights are bit-identical in the DuckDB oracle. Scale shape: one
+    explode -> (doc, tok) count -> token-keyed df re-agg (derived FROM the
+    tf counts, no second corpus scan) -> join back. All partial-agg.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .where(F.length("tok") > 0)
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1))) - F.log(F.col("df") + 1) + F.lit(1.0)
+    return tf.join(dfreq, on="tok").select(
+        F.col(id_col),
+        "tok",
+        F.col("tf"),
+        F.col("df"),
+        (F.col("tf") * idf).alias("tfidf"),
+    )
+
+
+def tfidf_cosine_pairs(
+    weights, id_col: str, min_cosine: float = 0.5
+):
+    """All-pairs sparse cosine similarity over TF-IDF vectors through the
+    INVERTED INDEX: pairs only materialize for documents sharing a token
+    (one shuffle on the token key), never as an all-pairs cartesian — the
+    lexical twin of the embedding near-dup tier.
+
+    Determinism: per-token partial products and per-doc squared norms are
+    nano-quantized before their float sums (engine policy), so cosine is
+    bit-identical across shuffle orders and in the DuckDB oracle. Skewed
+    stop-tokens are the hot keys here — run AFTER a df-based stopword cut
+    (or quality gate) at the 100 TB tier.
+    """
+    w = weights.select(
+        F.col(id_col).alias("id"), "tok", F.col("tfidf").cast("double").alias("w")
+    )
+    norms = w.groupBy("id").agg(
+        (
+            F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e9)).cast("long"))
+            / F.lit(1e9)
+        ).alias("norm2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, on="tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("a.w") * F.col("b.w") * F.lit(1e9)).cast("long")
+                )
+                / F.lit(1e9)
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

@@ -265,3 +265,39 @@ def bloom_prune(
         on=[fact_bucket == F.col("__bucket")],
         how="left_semi",
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_edit: int = 2,
+    block_chars: int = 4,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Blocked fuzzy string join (entity resolution): candidate pairs come
+    from an EQUI-join on a cheap blocking key (lowercased first
+    ``block_chars``), then the exact Levenshtein predicate verifies only
+    the candidates — the standard blocking+verify shape that keeps fuzzy
+    matching off the all-pairs cliff. Recall bound: matches whose first
+    characters differ are missed; widen with multiple blocking passes
+    (prefix + sorted-token prefix) when that matters.
+    """
+    rcols = [
+        (c, c if c not in set(left.columns) else f"{c}{suffix}")
+        for c in right.columns
+    ]
+    r = right.select(*[F.col(c).alias(a) for c, a in rcols])
+    r_col = dict(rcols).get(right_col, right_col)
+    lb = left.withColumn(
+        "__blk", F.substring(F.lower(F.col(left_col)), 1, block_chars)
+    )
+    rb = r.withColumn(
+        "__blk", F.substring(F.lower(F.col(r_col)), 1, block_chars)
+    )
+    return (
+        lb.join(rb, on="__blk")
+        .where(F.levenshtein(F.col(left_col), F.col(r_col)) <= max_edit)
+        .drop("__blk")
+    )

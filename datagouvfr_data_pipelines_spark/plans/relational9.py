@@ -224,3 +224,129 @@ def g_pagerank(spark, sf_dir):
     ).distinct()
     out = pagerank(edges, "src", "dst", iterations=6)
     return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "t_tfidf_weights",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk WHERE length(tok) > 0 GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+           tf.tf * (ln((SELECT nd FROM n) + 1) - ln(dfq.df + 1) + 1)
+             AS tfidf
+    FROM tf JOIN dfq ON tf.tok = dfq.tok
+    WHERE tf.doc_id < 100
+    """,
+    tags=["text", "tfidf"],
+)
+def t_tfidf_weights(spark, sf_dir):
+    """TF-IDF term weights (functions/text.py:tfidf_weights) — integer-
+    domain ln keeps every weight bit-identical to the oracle; emitted for
+    doc_id < 100 to bound the driver compare."""
+    from datagouvfr_data_pipelines_spark.functions.text import tfidf_weights
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    w = tfidf_weights(docs, "doc_id", "text", n_docs=n)
+    return w.where(F.col("doc_id") < 100)
+
+
+@register(
+    "d_tfidf_neardups",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk WHERE length(tok) > 0 GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS nd FROM documents),
+    w AS (
+      SELECT tf.doc_id AS id, tf.tok,
+             tf.tf * (ln((SELECT nd FROM n) + 1) - ln(dfq.df + 1) + 1) AS w
+      FROM tf JOIN dfq ON tf.tok = dfq.tok
+      WHERE dfq.df * 10 <= (SELECT nd FROM n)
+    ), norms AS (
+      SELECT id,
+             SUM(CAST(floor(w * w * 1e9) AS BIGINT)) / 1e9 AS norm2
+      FROM w GROUP BY id
+    ), dots AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             SUM(CAST(floor(a.w * b.w * 1e9) AS BIGINT)) / 1e9 AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT d.id_a, d.id_b,
+           round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON d.id_a = na.id
+    JOIN norms nb ON d.id_b = nb.id
+    WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= 0.3
+    """,
+    tags=["dedup", "tfidf", "inverted-index"],
+)
+def d_tfidf_neardups(spark, sf_dir):
+    """Lexical near-duplicate pairs via TF-IDF sparse cosine through the
+    inverted index (functions/text.py:tfidf_cosine_pairs) — pairs only
+    materialize for documents sharing a DISCRIMINATIVE token (df <= N/10
+    stop-token cut = the scale practice that keeps hot keys out of the
+    token shuffle)."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        tfidf_cosine_pairs,
+        tfidf_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    w = tfidf_weights(docs, "doc_id", "text", n_docs=n).where(
+        F.col("df") * 10 <= F.lit(n)
+    )
+    return tfidf_cosine_pairs(w, "doc_id", min_cosine=0.3)
+
+
+@register(
+    "j16_fuzzy_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey <= 400
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON substring(lower(a.p_name), 1, 6) = substring(lower(b.p_name), 1, 6)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+    tags=["join", "fuzzy", "entity-resolution"],
+)
+def j16_fuzzy_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy self-join on part names: 6-char prefix
+    blocking -> Levenshtein <= 6 verify (operators/joins.py:fuzzy_join) —
+    blocked equi-join, never all-pairs."""
+    from datagouvfr_data_pipelines_spark.operators.joins import fuzzy_join
+
+    parts = table(spark, sf_dir, "part").select("p_partkey", "p_name").where(
+        F.col("p_partkey") <= 400
+    )
+    out = fuzzy_join(
+        parts, parts, "p_name", "p_name", max_edit=6, block_chars=6
+    ).where(F.col("p_partkey") < F.col("p_partkey_r"))
+    return out.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_partkey_r").alias("key_b"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_name_r").alias("name_b"),
+        F.levenshtein(F.col("p_name"), F.col("p_name_r"))
+        .cast("int")
+        .alias("edit_dist"),
+    )

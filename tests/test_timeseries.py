@@ -149,3 +149,62 @@ def test_pagerank_matches_power_iteration_and_conserves_mass(spark):
     # structure sanity: the argmax agrees with the dense reference (node 0
     # ends highest — it receives ALL of node 2's mass through the 2->0 edge)
     assert max(got, key=got.get) == int(np.argmax(r)) == 0
+
+
+def test_tfidf_and_sparse_cosine_known_values(spark):
+    import math
+
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        tfidf_cosine_pairs,
+        tfidf_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple banana"), (3, "cherry date")],
+        "doc_id int, text string",
+    )
+    w = tfidf_weights(docs, "doc_id", "text", n_docs=3)
+    got = {(r.doc_id, r.tok): (r.tf, r.df, r.tfidf) for r in w.collect()}
+    idf = lambda df: math.log(4) - math.log(df + 1) + 1
+    # ~1e-16 tolerance: JVM log and Python libm log differ in the last ulp
+    assert got[(1, "apple")][:2] == (2, 2)
+    assert abs(got[(1, "apple")][2] - 2 * idf(2)) < 1e-12
+    assert got[(3, "cherry")][:2] == (1, 1)
+    assert abs(got[(3, "cherry")][2] - 1 * idf(1)) < 1e-12
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(w, "doc_id", min_cosine=0.0).collect()
+    }
+    # docs 1 and 2 share their whole vocabulary -> high cosine; 3 shares
+    # nothing -> pair never materializes (inverted index, not cartesian)
+    assert pairs[(1, 2)] > 0.9
+    assert all(3 not in p for p in pairs)
+
+
+def test_fuzzy_join_blocks_and_verifies(spark):
+    from datagouvfr_data_pipelines_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "chartreuse"), (2, "charcoal"), (3, "violet")], "id int, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "chartreuze"), (11, "charcola"), (12, "magenta"),
+         (13, "chartres")], "id int, name string"
+    )
+    got = {
+        (r.id, r.id_r)
+        for r in fuzzy_join(
+            left, right, "name", "name", max_edit=1, block_chars=4
+        ).collect()
+    }
+    # chartreuse~chartreuze (1 edit) kept; charcoal~charcola (2 edits) and
+    # chartreuse~chartres (2 edits) share the block but fail the verify;
+    # violet~magenta (different block) is never even a candidate
+    assert got == {(1, 10)}
+    wider = {
+        (r.id, r.id_r)
+        for r in fuzzy_join(
+            left, right, "name", "name", max_edit=2, block_chars=4
+        ).collect()
+    }
+    assert wider == {(1, 10), (1, 13), (2, 11)}
