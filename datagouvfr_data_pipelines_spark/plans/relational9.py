@@ -350,3 +350,103 @@ def j16_fuzzy_pairs(spark, sf_dir):
         .cast("int")
         .alias("edit_dist"),
     )
+
+
+@register(
+    "q_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    tags=["quality", "profiling"],
+)
+def q_profile_orders(spark, sf_dir):
+    """One-pass column profile (operators/profiling.py:profile_columns):
+    every statistic for every column in a single partial-aggregated job,
+    unpivoted with stack — the pre-publish inspection the reference does
+    with report notebooks."""
+    from datagouvfr_data_pipelines_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0
+    ), cur AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 1
+    ), e AS (
+      SELECT [quantile_cont(v, 0.25), quantile_cont(v, 0.5),
+              quantile_cont(v, 0.75)] AS edges
+      FROM base
+    ), ab AS (
+      SELECT len(list_filter((SELECT edges FROM e), x -> v >= x)) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1
+    ), cb AS (
+      SELECT len(list_filter((SELECT edges FROM e), x -> v >= x)) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM cur GROUP BY 1
+    ), bins AS (
+      SELECT coalesce(ab.bin, cb.bin) AS bin,
+             coalesce(ab.c, 0) + 1 AS ca,
+             coalesce(cb.c, 0) + 1 AS cb
+      FROM ab FULL JOIN cb ON ab.bin = cb.bin
+    ), t AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM bins
+    )
+    SELECT (SELECT na FROM t) AS n_base_smoothed,
+           (SELECT nb FROM t) AS n_current_smoothed,
+           round(SUM(CAST(floor(
+             ((ca / CAST((SELECT na FROM t) AS DOUBLE))
+              - (cb / CAST((SELECT nb FROM t) AS DOUBLE)))
+             * (ln(ca * (SELECT nb FROM t)) - ln(cb * (SELECT na FROM t)))
+             * 1e9) AS BIGINT)) / 1e9, 6) AS psi
+    FROM bins
+    """,
+    tags=["quality", "drift", "psi"],
+)
+def q_psi_drift(spark, sf_dir):
+    """PSI drift between two order snapshots (even vs odd orderkeys) over
+    o_totalprice, quartile bins from the base snapshot's EXACT percentiles
+    (a2 precedent: Spark percentile hash-matches DuckDB quantile_cont), so
+    the whole score is oracle-bit-identical
+    (operators/profiling.py:psi_drift)."""
+    from datagouvfr_data_pipelines_spark.operators.profiling import psi_drift
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 2 == 0)
+    cur = orders.where(F.col("o_orderkey") % 2 == 1)
+    edges = list(
+        base.agg(
+            F.percentile(F.col("o_totalprice"), F.lit(0.25)).alias("q1"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("q2"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.75)).alias("q3"),
+        ).collect()[0]
+    )
+    return psi_drift(base, cur, "o_totalprice", edges=edges)

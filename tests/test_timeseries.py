@@ -208,3 +208,33 @@ def test_fuzzy_join_blocks_and_verifies(spark):
         ).collect()
     }
     assert wider == {(1, 10), (1, 13), (2, 11)}
+
+
+def test_profile_columns_counts_nulls_and_distinct(spark):
+    from datagouvfr_data_pipelines_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x int, s string"
+    )
+    out = {r.column: r for r in profile_columns(df, ["x", "s"]).collect()}
+    assert (out["x"].n_rows, out["x"].n_null, out["x"].n_distinct) == (4, 1, 3)
+    assert (out["x"].min_value, out["x"].max_value) == ("1", "3")
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 2)
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from datagouvfr_data_pipelines_spark.operators.profiling import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "v double"
+    )
+    same = psi_drift(base, base, "v", n_bins=5).collect()[0]
+    assert abs(same.psi) < 1e-6
+    shifted = spark.createDataFrame(
+        [(float(i) + 700.0,) for i in range(1000)], "v double"
+    )
+    drift = psi_drift(base, shifted, "v", n_bins=5).collect()[0]
+    assert drift.psi > 0.25  # conventional "action required" threshold
