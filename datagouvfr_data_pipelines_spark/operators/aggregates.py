@@ -221,3 +221,23 @@ def merge_agg_states(
         F.min("st_min").alias("st_min"),
         F.max("st_max").alias("st_max"),
     )
+
+
+def distinct_count_two_phase(
+    df: DataFrame, group_cols: list[str], value_col: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """Skew-safe distinct count per group: phase 1 dedups on
+    (group, value) — the shuffle key carries the VALUE, so a hot group's
+    rows spread over many reducers — phase 2 counts the deduped rows per
+    group with ordinary partial aggregation.
+
+    ``countDistinct`` plans a distinct-aggregate whose final stage gathers
+    each group's full value set onto ONE reducer; on a skewed group that
+    reducer is the job. The two-phase form is the standard rewrite (it is
+    what optimizers do for count(distinct) under skew) and returns exactly
+    the same numbers — pinned by test.
+    """
+    deduped = df.select(*group_cols, value_col).distinct()
+    return deduped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(alias)
+    )

@@ -324,3 +324,98 @@ def test_interval_join_streams(spark, tmp_path):
         rschema, rsrc, "r2.parquet",
     )
     assert drain() == [("a", "click", "in-window"), ("b", "view", "second-drain")]
+
+
+def test_incremental_rollup_stream_matches_direct_and_survives_replay(
+    spark, tmp_path
+):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.aggregates import (
+        partial_agg_states,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.incremental import (
+        incremental_rollup_stream,
+        merge_states_into,
+    )
+
+    src = str(tmp_path / "arrivals")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "g string, v double"
+    )
+    batch1.write.parquet(src)
+    schema = batch1.schema
+
+    def drain():
+        incremental_rollup_stream(
+            spark, src, schema, ["g"], "v", state, ckpt
+        )
+
+    drain()
+    all_so_far = spark.read.parquet(src)
+    direct = {r.g: r for r in partial_agg_states(all_so_far, ["g"], "v").collect()}
+    got = {r.g: r for r in spark.read.parquet(state).collect()}
+    assert {g: (r.st_count, r.st_sum, r.st_min, r.st_max) for g, r in got.items()} == {
+        g: (r.st_count, r.st_sum, r.st_min, r.st_max) for g, r in direct.items()
+    }
+
+    # second arrival batch -> state folds it in WITHOUT rescanning batch 1
+    spark.createDataFrame(
+        [("a", 5.0), ("c", -1.0)], "g string, v double"
+    ).write.mode("append").parquet(src)
+    drain()
+    all_so_far = spark.read.parquet(src)
+    direct = {r.g: r for r in partial_agg_states(all_so_far, ["g"], "v").collect()}
+    got = {r.g: r for r in spark.read.parquet(state).collect()}
+    assert {g: (r.st_count, float(r.st_sum), r.st_min, r.st_max) for g, r in got.items()} == {
+        g: (r.st_count, float(r.st_sum), r.st_min, r.st_max) for g, r in direct.items()
+    }
+
+    # drain with nothing new: ledger sees zero files, state unchanged
+    drain()
+    again = {r.g: r for r in spark.read.parquet(state).collect()}
+    assert {g: r.st_count for g, r in again.items()} == {
+        g: r.st_count for g, r in got.items()
+    }
+
+    # replayed batch id (foreachBatch retry after a completed swap) must
+    # merge ZERO times: the watermark beside the state dir gates the sink
+    marker = state.rstrip("/") + "__last_batch"
+    last = int(open(marker).read())
+    before = {r.g: r.st_count for r in spark.read.parquet(state).collect()}
+
+    def guarded_sink(batch_df, batch_id):
+        if int(open(marker).read()) >= batch_id:
+            return
+        merge_states_into(
+            spark, partial_agg_states(batch_df, ["g"], "v"), state, ["g"]
+        )
+
+    guarded_sink(spark.createDataFrame([("a", 99.0)], "g string, v double"), last)
+    after = {r.g: r.st_count for r in spark.read.parquet(state).collect()}
+    assert after == before
+
+
+def test_distinct_count_two_phase_matches_count_distinct(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.aggregates import (
+        distinct_count_two_phase,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r.n_distinct
+        for r in distinct_count_two_phase(
+            li, ["l_returnflag"], "l_partkey"
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: r.nd
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("nd"))
+        .collect()
+    }
+    assert got == want
