@@ -69,3 +69,27 @@ def null_policy(df: DataFrame, drop_subset: list[str] | None = None,
     if fills:
         df = df.na.fill(fills)
     return df
+
+
+def melt(
+    df,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+):
+    """Unpivot (pandas melt / SQL UNPIVOT): wide measure columns to long
+    (id, measure, value) rows via a single stack projection — shuffle-free,
+    the row-count multiplies by len(value_cols) at the scan. Values are
+    cast to double (stack requires a uniform type across measures).
+    """
+    import pyspark.sql.functions as F
+
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS DOUBLE)" for c in value_cols
+    )
+    stacked = df.selectExpr(
+        *id_cols,
+        f"stack({len(value_cols)}, {pairs}) AS (`{var_name}`, `{value_name}`)",
+    )
+    return stacked

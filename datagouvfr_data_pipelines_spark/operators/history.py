@@ -63,3 +63,36 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__run")
     )
+
+
+def effective_dated_join(
+    fact: "DataFrame",
+    history: "DataFrame",
+    key_col: str,
+    fact_ts_col: str,
+    valid_from_col: str = "valid_from",
+    attr_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Join each fact row to the SCD2 version in effect at its timestamp:
+    the history row with the latest ``valid_from <= fact_ts`` per key —
+    exactly backward as-of semantics, so this is a thin composition over
+    ``joins.asof_join_backward`` (one key-partitioned window shuffle, no
+    per-interval explode and no range-predicate join).
+    """
+    from datagouvfr_data_pipelines_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    attrs = attr_cols or [
+        c
+        for c in history.columns
+        if c not in {key_col, valid_from_col}
+    ]
+    return asof_join_backward(
+        fact,
+        history,
+        partition_key=key_col,
+        left_ts=fact_ts_col,
+        right_ts=valid_from_col,
+        right_cols=attrs,
+    )

@@ -450,3 +450,143 @@ def q_psi_drift(spark, sf_dir):
         ).collect()[0]
     )
     return psi_drift(base, cur, "o_totalprice", edges=edges)
+
+
+@register(
+    "a21_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 300
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=["unpivot", "melt"],
+)
+def a21_unpivot(spark, sf_dir):
+    """Unpivot/melt — wide measures to long (id, measure, value) rows with
+    one shuffle-free stack projection (operators/cleaning.py:melt), the
+    inverse of the a1 pivot."""
+    from datagouvfr_data_pipelines_spark.operators.cleaning import melt
+
+    part = table(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
+    return melt(part, ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+@register(
+    "a22_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_nationkey,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, month, total,
+           round(
+             (total - LAG(total) OVER w) / LAG(total) OVER w, 6
+           ) AS mom_growth
+    FROM m WINDOW w AS (PARTITION BY c_nationkey ORDER BY month)
+    """,
+    tags=["window", "timeseries", "growth"],
+)
+def a22_mom_growth(spark, sf_dir):
+    """Month-over-month growth per nation: decimal-exact monthly totals,
+    lag window, exact-binary ratio (NULL for each nation's first month)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("month").asc())
+    prev = F.lag("total").over(w)
+    return m.select(
+        "c_nationkey",
+        "month",
+        "total",
+        F.round((F.col("total") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+@register(
+    "j17_effective_dated_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
+             o_orderstatus AS st
+      FROM orders
+    ), m AS (
+      SELECT o_custkey, ts, tb, st,
+             CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                  WHEN st IS DISTINCT FROM LAG(st) OVER w THEN 1
+                  ELSE 0 END AS is_new
+      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tb)
+    ), r AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY o_custkey ORDER BY ts, tb ROWS UNBOUNDED PRECEDING
+      ) AS run FROM m
+    ), g AS (
+      SELECT o_custkey, run, st, MIN(ts) AS valid_from
+      FROM r GROUP BY o_custkey, run, st
+    ), h AS (
+      SELECT o_custkey, st, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from, run
+             ) AS valid_to
+      FROM g
+    ), live AS (
+      SELECT * FROM h WHERE valid_to IS NULL OR valid_to > valid_from
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           live.st AS status_in_effect
+    FROM orders o JOIN live
+      ON live.o_custkey = o.o_custkey AND live.valid_from <= o.o_orderdate
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o.o_orderkey ORDER BY live.valid_from DESC
+    ) = 1
+    """,
+    tags=["join", "scd2", "as-of", "history"],
+)
+def j17_effective_dated_join(spark, sf_dir):
+    """Effective-dated dimension join: each order joined to the SCD2 status
+    version in effect on its date (operators/history.py:
+    effective_dated_join = scd2_history + backward as-of, one window
+    shuffle — no range-predicate join). Zero-length intervals (same-instant
+    run splits) are never 'in effect' and are excluded on both sides."""
+    from datagouvfr_data_pipelines_spark.operators.history import (
+        effective_dated_join,
+        scd2_history,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    ).where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select(
+        "o_custkey", F.col("o_orderstatus").alias("status_in_effect"), "valid_from"
+    )
+    fact = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    out = effective_dated_join(
+        fact, hist, "o_custkey", "o_orderdate", attr_cols=["status_in_effect"]
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "status_in_effect"
+    )
