@@ -241,3 +241,45 @@ def distinct_count_two_phase(
     return deduped.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(alias)
     )
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    fan_buckets: int = 8,
+    tiebreak_col: str | None = None,
+    rank_alias: str = "rank",
+) -> DataFrame:
+    """Skew-safe top-k per group: the plain window form funnels every row
+    of a group through ONE reducer — a wall when one group dominates. Here
+    a deterministic salt (hash of the tiebreak column) splits each group
+    across ``fan_buckets`` reducers for a partial top-k; only the
+    group x fan x k survivors reach the final exact top-k. Both stages use
+    the same total order, so the result equals the single-window form for
+    ANY bucket count (the knn_join two-stage recipe, generalized).
+
+    ``order_cols`` must define a total order within each group (append the
+    tiebreak column). ``tiebreak_col`` defaults to the first group-external
+    column and feeds only the salt.
+    """
+    from pyspark.sql import Window
+
+    tb = tiebreak_col or next(
+        c for c in df.columns if c not in set(group_cols)
+    )
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(tb)), F.lit(fan_buckets))
+    )
+    w_partial = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w_partial))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w_final = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_alias, F.row_number().over(w_final))
+        .where(F.col(rank_alias) <= k)
+    )

@@ -238,3 +238,36 @@ def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
     )
     drift = psi_drift(base, shifted, "v", n_bins=5).collect()[0]
     assert drift.psi > 0.25  # conventional "action required" threshold
+
+
+def test_grouped_top_k_matches_window_form_any_fan(spark):
+    import random
+
+    from datagouvfr_data_pipelines_spark.operators.aggregates import (
+        grouped_top_k,
+    )
+    from pyspark.sql import Window
+
+    rng = random.Random(11)
+    # one hot group (g=0 carries 80% of rows) — the case the salt exists for
+    rows = [
+        (0 if rng.random() < 0.8 else rng.randrange(1, 5), i, rng.random())
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        (r.g, r.id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+        .collect()
+    )
+    for fan in (1, 3, 16):
+        got = sorted(
+            (r.g, r.id, r.rank)
+            for r in grouped_top_k(
+                df, ["g"], order, k=7, fan_buckets=fan, tiebreak_col="id"
+            ).collect()
+        )
+        assert got == want, f"fan={fan}"
