@@ -181,3 +181,47 @@ def a11_preferred_row(spark, sf_dir):
             F.col("c_custkey").asc(),
         ],
     ).select("c_nationkey", "c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "emb_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT vec_id, embedding, {_CELL} AS cell FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_DOT} / ({_NA} * {_NB}), 6) >= 0.35
+    ), und AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM und
+    ), r AS (
+      SELECT node, node AS reach FROM nodes
+      UNION
+      SELECT r.node, u.dst AS reach FROM r JOIN und u ON u.src = r.reach
+    )
+    SELECT node AS vec_id, CAST(min(reach) AS BIGINT) AS component
+    FROM r GROUP BY node
+    """,
+    tags=["similarity", "dedup-embedding", "connected-components"],
+)
+def emb_neardup_clusters(spark, sf_dir):
+    """Embedding near-dup CLUSTERS: the IVF-bucketed pair generation of
+    ``emb_neardup_pairs`` fed through true connected components
+    (operators/graph.py), so transitively-linked duplicates collapse to one
+    canonical (minimum) vec_id even across chains the pairwise view never
+    joins directly. The oracle replays the pair SQL through a recursive
+    reachability CTE."""
+    from datagouvfr_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+    from datagouvfr_data_pipelines_spark.plans.catalog import CATALOG
+
+    pairs = CATALOG["emb_neardup_pairs"].fn(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("vec_id"), "component"
+    )
