@@ -283,3 +283,35 @@ def grouped_top_k(
         survivors.withColumn(rank_alias, F.row_number().over(w_final))
         .where(F.col(rank_alias) <= k)
     )
+
+
+def standardize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    alias: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score standardization with DECIMAL-EXACT moments (the
+    a15 variance policy): mean and sample variance come from exact decimal
+    sum/sum-of-squares, so the group statistics — and therefore every
+    z-score — are shuffle-order independent and oracle-reproducible.
+    Single-value groups (stddev undefined) yield NULL. One groupBy + one
+    AQE-broadcast join back; the fact table is never shuffled twice.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("__n"),
+        F.sum(F.col(value_col).cast(MONEY)).alias("__s"),
+        F.sum(
+            F.col(value_col).cast(MONEY) * F.col(value_col).cast(MONEY)
+        ).alias("__s2"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = (
+        F.col("__s2").cast("double") - F.col("__n") * mean * mean
+    ) / (F.col("__n") - 1)
+    enriched = df.join(stats, on=group_cols)
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    return enriched.withColumn(
+        alias,
+        F.when(F.col("__n") > 1, F.round(z, 6)).otherwise(F.lit(None)),
+    ).drop("__n", "__s", "__s2")

@@ -102,3 +102,29 @@ def psi_drift(
             F.sum(F.floor(term * F.lit(1e9)).cast("long")) / F.lit(1e9), 6
         ).alias("psi"),
     )
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight join-cardinality diagnostic: per key, the exact output
+    contribution of an inner join (rows_left x rows_right) — the keys that
+    would explode the join surface to the top. Two per-side key counts
+    (partial-agg) + one tiny count-to-count join; the FACT tables are never
+    joined. Run this before a new fact-fact join at scale: a single key
+    contributing 10^10 pairs is a modeling bug, not a tuning problem
+    (pairs with diagnostics.key_skew_report, which profiles one side).
+    """
+    lc = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_right"))
+    contrib = lc.join(rc, on=key_cols).select(
+        *key_cols,
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("est_pairs"),
+    )
+    order = [F.col("est_pairs").desc()] + [F.col(c).asc() for c in key_cols]
+    return contrib.orderBy(*order).limit(top_n)

@@ -98,3 +98,48 @@ def section_ids(
     )
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(alias, F.sum(is_new).over(w_cum))
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, how far the event sequence
+    ``steps[0] -> steps[1] -> ...`` progresses, where step k must occur
+    STRICTLY AFTER the completion of step k-1.
+
+    Earliest-completion greedy: each step's anchor is the minimum
+    qualifying timestamp; by the standard exchange argument this finds an
+    ordered subsequence whenever one exists, so ``stage`` is exact. One
+    filtered partial-agg + one key join per step (len(steps) is small);
+    users who never perform the first step are absent (stage 0).
+
+    Returns (user, t_1..t_k timestamps — NULL once the funnel breaks,
+    stage = number of completed steps).
+    """
+    result = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        cand = df.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        nxt = (
+            cand.join(
+                result.select(user_col, f"t_{i - 1}"), on=user_col
+            )
+            .where(F.col("__ts") > F.col(f"t_{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t_{i}"))
+        )
+        result = result.join(nxt, on=user_col, how="left")
+    stage = sum(
+        F.col(f"t_{i}").isNotNull().cast("int")
+        for i in range(1, len(steps) + 1)
+    )
+    return result.withColumn("stage", stage)

@@ -590,3 +590,111 @@ def j17_effective_dated_join(spark, sf_dir):
     return out.select(
         "o_orderkey", "o_custkey", "o_orderdate", "status_in_effect"
     )
+
+
+@register(
+    "a23_standardize",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN s.n > 1 THEN round(
+             (l.l_extendedprice - s.sm / s.n)
+             / sqrt((s.s2 - s.n * (s.sm / s.n) * (s.sm / s.n)) / (s.n - 1)),
+             6) END AS zscore
+    FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    WHERE l.l_orderkey <= 2000
+    """,
+    tags=["aggregation", "standardize", "ml-prep"],
+)
+def a23_standardize(spark, sf_dir):
+    """Per-group z-score standardization with decimal-exact moments
+    (operators/aggregates.py:standardize — the a15 variance policy applied
+    row-wise); bounded to l_orderkey <= 2000 for the driver compare."""
+    from datagouvfr_data_pipelines_spark.operators.aggregates import (
+        standardize,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    out = standardize(li, ["l_returnflag"], "l_extendedprice")
+    return out.where(F.col("l_orderkey") <= 2000).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "zscore"
+    )
+
+
+@register(
+    "q_join_explosion",
+    oracle="""
+    WITH lc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left
+      FROM lineitem GROUP BY l_partkey
+    ), rc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT lc.l_partkey, lc.n_left, rc.n_right,
+           lc.n_left * rc.n_right AS est_pairs
+    FROM lc JOIN rc ON lc.l_partkey = rc.l_partkey
+    ORDER BY est_pairs DESC, lc.l_partkey
+    LIMIT 10
+    """,
+    tags=["quality", "diagnostics", "join-cardinality"],
+)
+def q_join_explosion(spark, sf_dir):
+    """Pre-flight join-cardinality diagnostic (operators/profiling.py:
+    join_explosion_report): the 10 keys that would contribute the most
+    pairs to a lineitem self-join on l_partkey — count-to-count join, the
+    fact table is never joined."""
+    from datagouvfr_data_pipelines_spark.operators.profiling import (
+        join_explosion_report,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    return join_explosion_report(li, li, ["l_partkey"], top_n=10)
+
+
+@register(
+    "w8_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+           CAST((s1.t_1 IS NOT NULL)::INT + (s2.t_2 IS NOT NULL)::INT
+                + (s3.t_3 IS NOT NULL)::INT AS INT) AS stage
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    tags=["window", "funnel", "events"],
+)
+def w8_funnel_stages(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase per user
+    (operators/windows.py:funnel_stages): earliest-completion greedy, each
+    step strictly after the previous step's anchor — exact stage count by
+    the exchange argument."""
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        funnel_stages,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = funnel_stages(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.select("user_id", "t_1", "t_2", "t_3", "stage")
