@@ -141,3 +141,36 @@ def apply_cdc_full_replace_heuristic(
     """
     n_del = diff.deletions.count()
     return "full_replace" if n_del > full_replace_threshold else "merge"
+
+
+def field_change_stats(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Column-level CDC diagnostics: for keys present in BOTH snapshots,
+    how many values changed per column (null-safe comparison). One key
+    join; every column's change flag is summed in the same
+    partial-aggregated pass, then unpivoted with stack. The row-level
+    companion is ``cdc_diff`` — this answers 'WHICH fields drive the
+    churn' before deciding between targeted updates and full replace.
+    """
+    o = old.select(*key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*key_cols, *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    joined = o.join(n, on=key_cols)
+    aggs = [F.count(F.lit(1)).alias("__n_compared")]
+    for c in compare_cols:
+        aggs.append(
+            F.sum(
+                (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))).cast("long")
+            ).alias(f"__chg_{c}")
+        )
+    wide = joined.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __chg_{c}, __n_compared" for c in compare_cols
+    )
+    return wide.selectExpr(
+        f"stack({len(compare_cols)}, {stack_args}) AS "
+        "(column, n_changed, n_compared)"
+    )

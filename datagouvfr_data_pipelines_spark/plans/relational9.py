@@ -698,3 +698,117 @@ def w8_funnel_stages(spark, sf_dir):
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
     return out.select("user_id", "t_1", "t_2", "t_3", "stage")
+
+
+@register(
+    "w9_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort,
+             CAST(date_diff('month', f.cohort,
+                            date_trunc('month', e.ts)) AS BIGINT) AS month_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort, month_offset, CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort, month_offset
+    """,
+    tags=["window", "cohort", "retention", "events"],
+)
+def w9_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-activity month,
+    counted once per (cohort, month-offset) they were active in. Two
+    partial-aggregated groupBys + one key join — the classic retention
+    triangle, distributed."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("month", F.min("ts"))).alias("cohort")
+    )
+    activity = (
+        ev.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.col("ts")),
+                F.col("cohort").cast("timestamp"),
+            )
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "month_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@register(
+    "u5_field_change_stats",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 != 0
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 2 != 0
+    ), joined AS (
+      SELECT a.o_orderkey,
+             (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)::INT AS c1,
+             (a.o_totalprice IS DISTINCT FROM b.o_totalprice)::INT AS c2,
+             (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)::INT AS c3
+      FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT col AS column, n_changed, n_compared FROM (
+      SELECT 'o_orderstatus' AS col,
+             CAST(SUM(c1) AS BIGINT) AS n_changed,
+             CAST(COUNT(*) AS BIGINT) AS n_compared FROM joined
+      UNION ALL
+      SELECT 'o_totalprice', CAST(SUM(c2) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM joined
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(SUM(c3) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM joined
+    )
+    """,
+    tags=["setops", "cdc", "diff", "diagnostics"],
+)
+def u5_field_change_stats(spark, sf_dir):
+    """Per-FIELD change statistics between two snapshots of a keyed table
+    (operators/setops.py:field_change_stats): one key join, every column's
+    null-safe change flag summed in the same partial-aggregated pass, stack
+    unpivot — the column-level companion to u2's row-level CDC diff.
+    Snapshots here are synthesized from orders with deterministic edits."""
+    from datagouvfr_data_pipelines_spark.operators.setops import (
+        field_change_stats,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    a = orders.where(F.col("o_orderkey") % 3 != 0)
+    b = orders.where(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return field_change_stats(
+        a, b, ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
