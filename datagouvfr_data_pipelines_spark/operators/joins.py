@@ -301,3 +301,70 @@ def fuzzy_join(
         .where(F.levenshtein(F.col(left_col), F.col(r_col)) <= max_edit)
         .drop("__blk")
     )
+
+
+def nearest_neighbor_join(
+    probes: DataFrame,
+    points: DataFrame,
+    probe_id: str,
+    point_id: str,
+    x: str = "lon",
+    y: str = "lat",
+    cell_size: float = 10.0,
+    suffix: str = "_p",
+) -> DataFrame:
+    """Grid-bucketed nearest-neighbor join (the geocoding "closest station"
+    shape, utils/geo.py nearest-match semantics re-expressed distributed).
+
+    Each point lands in one (floor(x/c), floor(y/c)) grid cell; each probe
+    fans out to its 3x3 cell neighborhood (explode factor 9 on the PROBE
+    side only), candidates meet in ONE equi-join shuffle on the cell key,
+    and the per-probe argmin is a plain min(struct(dist, id)) aggregate —
+    no window, no all-pairs cross join. At 100 TB both sides shuffle once
+    on a key whose cardinality you control via ``cell_size``; hot cells are
+    AQE-splittable because the agg is partial-aggregated.
+
+    Distance is squared planar distance (dx*dx + dy*dy) in pure IEEE
+    arithmetic — deterministic and engine-portable (no transcendentals).
+    For geographic accuracy at production scale substitute haversine; the
+    plan shape is identical. Probes with no point in their 3x3
+    neighborhood are dropped (choose ``cell_size`` >= the max match radius
+    you care about, or run a coarser fallback pass over the misses).
+
+    Ties break on the smaller point id (min over the (dist, id) struct).
+    """
+    pid = point_id if point_id not in set(probes.columns) else f"{point_id}{suffix}"
+    pts = points.select(
+        F.col(point_id).alias(pid),
+        F.col(x).alias("__px"),
+        F.col(y).alias("__py"),
+        F.floor(F.col(x) / cell_size).alias("__cx"),
+        F.floor(F.col(y) / cell_size).alias("__cy"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    pr = (
+        probes.select(
+            probe_id,
+            F.col(x).alias("__qx"),
+            F.col(y).alias("__qy"),
+            F.floor(F.col(x) / cell_size).alias("__qcx"),
+            F.floor(F.col(y) / cell_size).alias("__qcy"),
+        )
+        .withColumn("__dx", off)
+        .withColumn("__dy", off)
+        .withColumn("__cx", F.col("__qcx") + F.col("__dx"))
+        .withColumn("__cy", F.col("__qcy") + F.col("__dy"))
+    )
+    dx = F.col("__qx") - F.col("__px")
+    dy = F.col("__qy") - F.col("__py")
+    cand = pr.join(pts, on=["__cx", "__cy"]).withColumn(
+        "__sqdist", dx * dx + dy * dy
+    )
+    best = cand.groupBy(probe_id).agg(
+        F.min(F.struct(F.col("__sqdist"), F.col(pid))).alias("__best")
+    )
+    return best.select(
+        probe_id,
+        F.col(f"__best.{pid}").alias(pid),
+        F.col("__best.__sqdist").alias("sqdist"),
+    )
