@@ -54,6 +54,11 @@ HEADLINE = [
     "h1_scd2_history",        # SCD2 run-collapse + validity intervals
     "j15_interval_overlap",   # bin-bucketed interval-overlap self-join
     "t_line_dedup",           # corpus-global line dedup + reassembly
+    "q3_shipping_priority",   # TPC-H Q3: 3-way join + top-10
+    "q5_local_supplier_volume",  # TPC-H Q5: 6-table join, dims broadcast
+    "geo_nearest_join",       # grid-bucketed nearest-neighbor join
+    "j18_brand_affinity",     # market-basket pair co-occurrence
+    "rfm_segments",           # RFM segmentation (agg + ntile windows)
 ]
 
 

@@ -184,3 +184,27 @@ def point_in_polygon(
         x_cross = F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
         inside = F.when(spans & (x < x_cross), ~inside).otherwise(inside)
     return inside
+
+
+def haversine_km(
+    lon1: Column | str, lat1: Column | str, lon2: Column | str, lat2: Column | str
+) -> Column:
+    """Great-circle distance in kilometres (haversine, R = 6371.0088 km —
+    the IUGG mean Earth radius). Pure JVM column expression (sin/cos/
+    asin/sqrt inside whole-stage codegen) — the production distance for
+    `nearest_neighbor_join`'s verify stage when planar squares aren't
+    accurate enough (reference: utils/geo.py nearest-match semantics).
+
+    Not oracle-gated: transcendental libm results may differ from another
+    engine's in the last ulp; parity is pinned by unit tests against
+    known city distances instead.
+    """
+    rlon1, rlat1 = F.radians(_c(lon1)), F.radians(_c(lat1))
+    rlon2, rlat2 = F.radians(_c(lon2)), F.radians(_c(lat2))
+    dlat = rlat2 - rlat1
+    dlon = rlon2 - rlon1
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))

@@ -1,0 +1,243 @@
+"""Catalog batch 11 (round 3): skew-safe grouped top-N under the oracle
+gate, RFM customer segmentation, session path analysis, and a Benford
+first-digit data-quality check.
+
+Determinism notes: ntile/row_number windows always order on a TOTAL order
+(value + key tiebreak); Benford expected probabilities are inlined as the
+same double literals in both engines (computed once in Python) so the
+chi-square arithmetic is bit-identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from datagouvfr_data_pipelines_spark.operators.aggregates import dsum
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+
+
+@register(
+    "a27_grouped_topn",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rnk
+      FROM lineitem
+    ) WHERE rnk <= 5
+    """,
+    tags=["A9", "window", "skew", "top-k"],
+)
+def a27_grouped_topn(spark, sf_dir):
+    """Skew-safe per-group top-N (operators/aggregates.py:grouped_top_k)
+    under the driver gate: the salted two-stage form whose result is
+    proven equal to the single-window form for any fan count — here the
+    oracle IS the single-window form, so the equivalence is driver-
+    checked, not just unit-tested. The hot-group wall this avoids: a
+    3-value group key funnels a 100 TB table through 3 reducers."""
+    from datagouvfr_data_pipelines_spark.operators.aggregates import (
+        grouped_top_k,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    out = grouped_top_k(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=5,
+        tiebreak_col="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2002-01-01')
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+             CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS nb_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    tags=["window", "rfm", "segmentation", "ml-prep"],
+)
+def rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency/frequency/monetary per customer,
+    quartile scores via ntile on TOTAL orders (value + custkey tiebreak —
+    ntile is positional, so the order must be total for determinism),
+    then segment-level rollup. One agg shuffle + three global-order
+    windows over the already-aggregated (small) customer table — the
+    windows never see fact-table volume. At 100 TB the per-customer agg
+    is the only big shuffle; the scored table is |customers| rows."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", "monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("nb_customers"),
+        dsum("monetary", "segment_value"),
+    )
+
+
+@register(
+    "w11_session_paths",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS nb_sessions
+    FROM paths GROUP BY path
+    HAVING COUNT(*) >= 5
+    """,
+    tags=["W1", "window", "path-analysis", "events"],
+)
+def w11_session_paths(spark, sf_dir):
+    """Session path analysis: sessionize (the W1 cumsum operator), build
+    each session's ordered event-type path, count path shapes. The path
+    string is assembled from an ORDERED struct collect (ts, event_id
+    total order) so it is shuffle-order independent; the per-path count
+    is an ordinary partial-aggregated groupBy. HAVING >= 5 keeps the
+    result set the popular-shapes summary, not per-session rows."""
+    from datagouvfr_data_pipelines_spark.operators.windows import session_ids
+
+    ev = table(spark, sf_dir, "events")
+    sess = session_ids(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_cols=["event_id"]
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("nb_sessions"))
+        .where(F.col("nb_sessions") >= 5)
+    )
+
+
+# Benford expected first-digit probabilities, inlined identically into both
+# engines so the chi-square arithmetic is bit-for-bit reproducible.
+_BENFORD = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "q_benford_check",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, COUNT(*) AS nb FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(nb) AS n FROM obs)
+    SELECT digit, nb,
+           CASE digit {' '.join(f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items())} END
+             AS expected_p,
+           (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)
+              - CASE digit {' '.join(f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items())} END)
+             AS deviation
+    FROM obs, tot
+    """,
+    tags=["quality", "benford", "fraud"],
+)
+def q_benford_check(spark, sf_dir):
+    """Benford's-law first-digit audit over order amounts (the classic
+    anomalous-data screen): observed digit frequencies vs the log10(1+1/d)
+    expectation. Expected probabilities are the SAME double literals in
+    both engines (computed once here), and the deviation is pure IEEE
+    arithmetic on counts — so even this statistical check is hash-exact.
+    One tiny shuffle (9 groups); the scan is a single integer-string map."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("nb"))
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )[F.col("digit")]
+    total = obs.agg(F.sum("nb").alias("n"))
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .withColumn("expected_p", expected)
+        .withColumn(
+            "deviation",
+            F.col("nb").cast("double") / F.col("n").cast("double")
+            - F.col("expected_p"),
+        )
+        .select("digit", "nb", "expected_p", "deviation")
+    )
