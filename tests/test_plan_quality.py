@@ -159,6 +159,31 @@ def test_lint_plan_flags_antipatterns_and_passes_clean(spark, sf_dir):
     assert_plan_clean(clean, expect_pushdown_on=["l_shipdate"])
 
 
+def test_tpch_flagship_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical shapes of the relational12 flagship batch:
+    q6 never shuffles a row (scan -> partial -> single-row final agg);
+    q19's part side broadcasts; q13's left join survives as a real join;
+    q21 runs entirely on key-bounded hash joins/aggs (no cartesian);
+    q18's survivor side broadcasts back onto orders."""
+    q6 = plan_of(QUERIES["q6_forecast_revenue"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in q6.split("HashAggregate")[0], q6  # final agg only
+    assert "Join" not in q6
+
+    q19 = plan_of(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q19
+    assert "SortMergeJoin" not in q19
+
+    q13 = plan_of(QUERIES["q13_order_count_distribution"](spark, sf_dir))
+    assert "LeftOuter" in q13, q13
+
+    q21 = plan_of(QUERIES["q21_waiting_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in q21
+    assert "BroadcastNestedLoopJoin" not in q21
+
+    q18 = plan_of(QUERIES["q18_large_volume_customers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q18, q18
+
+
 def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
     """Every catalog plan passes the linter, except the known broadcast-tiny
     cartesians (dim grids, single-row bound broadcasts, probe batches) —
@@ -172,6 +197,14 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "d_ngram_jaccard_pairs",  # id-bounded exact-verify kernel
         "sim_topk_cosine",        # single probe vector broadcast
         "sim_knn_join",           # 5-probe batch broadcast
+        "q22_idle_rich_customers",  # single-row avg-balance cutoff broadcast
+        "q_benford_check",        # single-row digit-total broadcast
+    }
+    # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
+    # (|groups| rows, never fact volume) — the global-order window is the
+    # operator's semantics (positional quartiles), not a missing partition key.
+    INTENDED_GLOBAL_WINDOW = {
+        "rfm_segments",           # ntile(4) over the per-customer agg
     }
     flagged = {}
     for name, fn in QUERIES.items():
@@ -179,6 +212,8 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         kinds = {w.split(":")[0] for w in warns}
         if name in INTENDED_CARTESIAN:
             kinds.discard("cartesian")
+        if name in INTENDED_GLOBAL_WINDOW:
+            kinds.discard("global-sort-window")
         if kinds:
             flagged[name] = sorted(kinds)
     assert flagged == {}, flagged
