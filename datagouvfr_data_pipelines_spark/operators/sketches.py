@@ -1,0 +1,138 @@
+"""Approximate distinct-count sketches (HLL / Theta) — the 100 TB scale
+path for distinct-heavy rollups.
+
+Exact distinct counts (`distinct_count_two_phase`, A7) re-shuffle the full
+(group, value) universe on every rebuild. At 100 TB the right design is a
+MERGEABLE sketch state per ingest partition, persisted next to the
+algebraic quartet of ``partial_agg_states``:
+
+- **HLL** (``hll_sketch_agg``): ~1.5 KB per group at lgK=12 for ~1.6%
+  relative error, union-mergeable — daily states roll up to months/years
+  without rescanning history.
+- **Theta** (``theta_sketch_agg``): supports UNION, INTERSECTION and
+  DIFFERENCE — set-overlap analytics (audience reach, cross-segment
+  overlap, churn deltas) with NO join over the raw keys.
+
+Both are Apache DataSketches implementations surfaced as Spark built-in
+aggregates (JVM-side, partial-aggregated map-side like any other agg), so
+a sketch rollup plans exactly like a sum rollup: one shuffle of
+group+state, never the value universe.
+
+Estimates are deterministic functions of the input SET (hash-based,
+order/partitioning independent — pinned by test), but NOT portable to
+other engines' HLL variants, so the catalog queries built on these are
+rows-only checks; error bounds and merge-vs-direct equivalence are pinned
+by unit tests instead (tests/test_sketches.py).
+
+Reference behavior: the site-metrics pipeline counts distinct visitors
+per day and re-aggregates to months (dgv/metrics/sql/create_tables.sql)
+— exact at reference scale, sketch-backed here for the 1000-executor
+path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_LGK = 12  # 2^12 buckets ≈ 1.6% rel. error, ~1.5 KB dense state
+
+
+def hll_states(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Per-group HLL distinct-count state (binary, mergeable).
+
+    One partial-aggregated shuffle of (group, ~1.5 KB state); the value
+    column itself never crosses the wire pre-hashed. Persist these per
+    batch/day and combine with :func:`hll_merge` — incremental distinct
+    without history rescans.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("st_hll")
+    )
+
+
+def hll_merge(states: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Union per-batch HLL states into one state per group (associative +
+    commutative — any merge tree yields the same sketch estimate)."""
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*group_cols).agg(
+        F.hll_union_agg("st_hll").alias("st_hll")
+    )
+
+
+def hll_estimate(states: DataFrame, alias: str = "n_distinct_est") -> DataFrame:
+    """Finalize: estimated distinct count per group (BIGINT)."""
+    return states.withColumn(alias, F.hll_sketch_estimate("st_hll")).drop(
+        "st_hll"
+    )
+
+
+def theta_states(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Per-group Theta distinct-count state — like HLL but closed under
+    intersection/difference as well as union."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col, F.lit(lgk)).alias("st_theta")
+    )
+
+
+def theta_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Set-overlap analytics between two keyed datasets WITHOUT joining
+    their raw keys: per group, estimated |A|, |B|, |A ∪ B|, |A ∩ B| and
+    |A \\ B| from two theta sketches.
+
+    The raw value universes reduce to one ~KB state per group per side
+    before the (tiny) full-outer state join — at 100 TB this replaces a
+    massive distinct-key join with two sketch rollups. Groups present on
+    one side only get an empty sketch on the other (estimates 0 / full).
+    """
+    sa = theta_states(a, group_cols, value_col, lgk).withColumnRenamed(
+        "st_theta", "st_a"
+    )
+    sb = theta_states(b, group_cols, value_col, lgk).withColumnRenamed(
+        "st_theta", "st_b"
+    )
+    joined = sa.join(sb, on=group_cols, how="full_outer")
+    # theta_union/intersection need non-null sketches: groups missing on
+    # one side coalesce to the empty sketch (theta agg over zero rows),
+    # broadcast as a one-row constant.
+    spark = a.sparkSession
+    empty_df = (
+        spark.range(1)
+        .select(F.lit(None).cast("long").alias("v"))
+        .where(F.col("v").isNotNull())
+        .agg(F.theta_sketch_agg("v", F.lit(lgk)).alias("st_empty"))
+    )
+    joined = joined.crossJoin(F.broadcast(empty_df))
+    a_sk = F.coalesce(F.col("st_a"), F.col("st_empty"))
+    b_sk = F.coalesce(F.col("st_b"), F.col("st_empty"))
+    return joined.select(
+        *group_cols,
+        F.theta_sketch_estimate(a_sk).alias(f"n{suffixes[0]}"),
+        F.theta_sketch_estimate(b_sk).alias(f"n{suffixes[1]}"),
+        F.theta_sketch_estimate(F.theta_union(a_sk, b_sk)).alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection(a_sk, b_sk)).alias(
+            "n_intersect"
+        ),
+        F.theta_sketch_estimate(F.theta_difference(a_sk, b_sk)).alias(
+            f"n_only{suffixes[0]}"
+        ),
+    )

@@ -1,0 +1,78 @@
+"""Catalog batch 13 (round 3): approximate-sketch rollups — the scale
+path for distinct-heavy analytics (operators/sketches.py).
+
+Both queries are rows-only: DataSketches HLL/Theta estimates are
+deterministic functions of the input SET (order/partitioning independent
+— pinned by tests/test_sketches.py along with error bounds and
+merge-vs-direct equivalence) but not bit-portable to DuckDB's HLL
+variant, so there is no SQL oracle. The EXACT versions of these
+aggregations are already oracle-checked elsewhere (a7_distinct_counts,
+a16_monthly_rollup); this tier is their 100 TB replacement.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_states,
+    theta_overlap,
+)
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+
+
+@register(
+    "sk_user_reach_rollup",
+    tags=["sketch", "hll", "A7", "A16", "no-oracle"],
+)
+def sk_user_reach_rollup(spark, sf_dir):
+    """Monthly distinct-user reach per event type via MERGED DAILY HLL
+    states — the incremental form of the metrics pipeline's
+    visitors-per-month rollup. Daily states are built once (one
+    partial-aggregated shuffle of ~KB states), then the month merge is
+    O(groups): at 100 TB this is the difference between rescanning a year
+    of history and unioning 365 sketch rows per group. Estimate equals
+    the direct single-pass sketch exactly (union associativity, pinned
+    by test)."""
+    ev = table(spark, sf_dir, "events")
+    daily = hll_states(
+        ev.withColumn("day", F.to_date("ts")).withColumn(
+            "month", F.date_trunc("month", "ts").cast("date")
+        ),
+        ["event_type", "month", "day"],
+        "user_id",
+    )
+    monthly = hll_merge([daily.drop("day")], ["event_type", "month"])
+    return hll_estimate(monthly, alias="n_users_est").orderBy(
+        "event_type", "month"
+    )
+
+
+@register(
+    "sk_customer_cohort_overlap",
+    tags=["sketch", "theta", "A7", "overlap", "no-oracle"],
+)
+def sk_customer_cohort_overlap(spark, sf_dir):
+    """Cross-period audience overlap per market segment WITHOUT a key
+    join: Theta sketches of 1996-vs-1999 ordering customers, giving
+    |1996|, |1999|, union, intersection (retained customers) and
+    difference (churned) per segment from two ~KB states. The raw
+    custkey universes never meet in a shuffle — the 100 TB replacement
+    for a distinct-key full-outer join."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    def cohort(year: int):
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_mktsegment", "o_custkey")
+        )
+    return theta_overlap(
+        cohort(1996),
+        cohort(1999),
+        ["c_mktsegment"],
+        "o_custkey",
+        suffixes=("_1996", "_1999"),
+    ).orderBy("c_mktsegment")

@@ -199,6 +199,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "sim_knn_join",           # 5-probe batch broadcast
         "q22_idle_rich_customers",  # single-row avg-balance cutoff broadcast
         "q_benford_check",        # single-row digit-total broadcast
+        "sk_customer_cohort_overlap",  # single-row empty-sketch broadcast
     }
     # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
     # (|groups| rows, never fact volume) — the global-order window is the
