@@ -51,6 +51,35 @@ def sk_user_reach_rollup(spark, sf_dir):
 
 
 @register(
+    "t_bpe_tokens",
+    tags=["text", "bpe", "tokenizer", "no-oracle"],
+)
+def t_bpe_tokens(spark, sf_dir):
+    """Distributed BPE subword tokenization (functions/bpe.py): learn 8
+    merges from the corpus word-frequency table (per-round pair counts are
+    vocabulary-sized, never corpus-sized), then tokenize every document
+    with the learned table via an Arrow-batched mapInPandas. Rows-only:
+    the learned merges are deterministic (count-desc/pair-asc tiebreak,
+    partition-invariant — pinned by tests/test_bpe.py parity vs a pure-
+    Python reference) but the iterative trainer is not SQL-expressible."""
+    from datagouvfr_data_pipelines_spark.functions.bpe import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    merges = bpe_train(docs, "text", num_merges=8)
+    toked = bpe_apply(docs, merges, "text")
+    return toked.select(
+        "doc_id",
+        "n_chars",
+        F.size("bpe_tokens").cast("int").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
     "sk_customer_cohort_overlap",
     tags=["sketch", "theta", "A7", "overlap", "no-oracle"],
 )
