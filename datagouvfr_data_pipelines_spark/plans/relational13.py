@@ -51,6 +51,44 @@ def sk_user_reach_rollup(spark, sf_dir):
 
 
 @register(
+    "st8_sliding_windows",
+    oracle="""
+    WITH base AS (
+      SELECT epoch_us(ts) AS t, event_type FROM events
+    ),
+    expanded AS (
+      SELECT event_type,
+             (t // 900000000) * 900000000 - i * 900000000 AS ws
+      FROM base CROSS JOIN (SELECT UNNEST(range(4)) AS i)
+    )
+    SELECT make_timestamp(ws) AS window_start,
+           make_timestamp(ws + 3600000000) AS window_end,
+           event_type,
+           COUNT(*) AS nb
+    FROM expanded GROUP BY 1, 2, 3
+    """,
+    tags=["ST4", "streaming", "sliding-window"],
+)
+def st8_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (1 h size / 15 min hop): every event
+    counts in 4 overlapping windows. The built-in window() expands
+    assignments BEFORE the partial aggregate, so the shuffle carries
+    (window, type) partials — the oracle reproduces the same epoch-aligned
+    window starts with integer micros arithmetic, making even this
+    streaming-shaped aggregate hash-exact. Streaming form is the same
+    expression behind a watermark (streaming/availablenow.py:
+    sliding_window_counts)."""
+    from datagouvfr_data_pipelines_spark.streaming.availablenow import (
+        sliding_window_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return sliding_window_counts(
+        ev, "ts", ["event_type"], window="1 hour", slide="15 minutes"
+    )
+
+
+@register(
     "t_bpe_tokens",
     tags=["text", "bpe", "tokenizer", "no-oracle"],
 )

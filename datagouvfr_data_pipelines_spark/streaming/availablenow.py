@@ -103,6 +103,38 @@ def session_window_counts(
     )
 
 
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping windows (built-in ``window`` with a slide —
+    the JVM expands events to their window assignments before the partial
+    aggregate, so the shuffle carries pre-combined (window, key) partials,
+    never the raw fan-out).
+
+    Complements ``tumbling_window_counts`` (slide == window) and
+    ``session_window_counts`` (variable length). Works on batch frames
+    as-is; on streams add ``withWatermark(ts_col, ...)`` so closed windows
+    finalize and state stays bounded.
+    """
+    import pyspark.sql.functions as F
+
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *key_cols,
+            "nb",
+        )
+    )
+
+
 def dedup_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -419,3 +419,64 @@ def test_distinct_count_two_phase_matches_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_sliding_window_counts_batch_and_stream(spark, tmp_path):
+    """Sliding 1h/15min windows: each event lands in 4 overlapping windows;
+    on a watermarked stream, windows finalize in append mode once passed."""
+    import datetime as dt
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.availablenow import (
+        sliding_window_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [("a", t0), ("a", t0 + dt.timedelta(minutes=20))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = sliding_window_counts(df, "ts", ["k"]).collect()
+    # event@10:00 -> starts 09:15..10:00; event@10:20 -> 09:30..10:15;
+    # union = 5 windows, the 3 shared (09:30, 09:45, 10:00) count 2
+    counts = {str(r.window_start): r.nb for r in got}
+    assert len(got) == 5
+    assert counts["2024-01-01 09:15:00"] == 1
+    assert counts["2024-01-01 09:30:00"] == 2
+    assert counts["2024-01-01 10:00:00"] == 2
+    assert counts["2024-01-01 10:15:00"] == 1
+    for r in got:
+        assert (r.window_end - r.window_start) == dt.timedelta(hours=1)
+
+    # streaming parity: drain, advance watermark, expect the early windows
+    src = tmp_path / "swsrc"
+    src.mkdir()
+
+    def land(rs, name):
+        stage = str(tmp_path / "swstage")
+        spark.createDataFrame(rs, "k string, ts timestamp") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(globmod.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    land(rows, "w1.parquet")
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(str(src))
+    agg = sliding_window_counts(
+        stream.withWatermark("ts", "5 minutes"), "ts", ["k"]
+    )
+    emitted = []
+
+    def drain():
+        q = (
+            agg.writeStream.foreachBatch(lambda b, i: emitted.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "swckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    land([("a", t0 + dt.timedelta(hours=3))], "w2.parquet")
+    drain()
+    closed = {(str(r.window_start), r.nb) for r in emitted}
+    assert ("2024-01-01 09:30:00", 2) in closed
+    assert ("2024-01-01 09:15:00", 1) in closed
