@@ -197,6 +197,43 @@ class LocalDirTransport:
         shutil.copyfile(src, local_path)
 
 
+class FtpTransport:
+    """Plain-FTP transport for ``sftp_land_and_read`` built on stdlib
+    ``ftplib`` — NO optional dependency, so the S14 land-and-read flow is
+    executable out of the box against any FTP source (the reference pulls
+    Meteo-France archives over FTP). Same two-method surface as the
+    paramiko client: ``listdir`` / ``get``.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        user: str = "anonymous",
+        password: str = "",
+        port: int = 21,
+        timeout: int = 60,
+        ftp_factory=None,
+    ):
+        import ftplib
+
+        factory = ftp_factory or ftplib.FTP
+        self.ftp = factory()
+        self.ftp.connect(host, port, timeout=timeout)
+        self.ftp.login(user, password)
+
+    def listdir(self, remote_dir: str) -> list[str]:
+        import posixpath
+
+        return [posixpath.basename(p) for p in self.ftp.nlst(remote_dir)]
+
+    def get(self, remote_path: str, local_path: str) -> None:
+        with open(local_path, "wb") as f:
+            self.ftp.retrbinary(f"RETR {remote_path}", f.write)
+
+    def close(self) -> None:
+        self.ftp.quit()
+
+
 def read_sftp(*args, **kwargs):  # pragma: no cover
     """S14 legacy alias: see ``sftp_land_and_read`` (the executable path).
     Direct no-transport calls stay gated on paramiko."""

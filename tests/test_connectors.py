@@ -125,3 +125,43 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     write_jdbc(df.limit(5), url, "items", mode="append", properties=DERBY_PROPS)
     two = read_jdbc(spark, url, 'SELECT COUNT(*) AS "n" FROM items', properties=DERBY_PROPS)
     assert two.collect()[0].n == 105
+
+
+def test_ftp_transport_lands_via_fake_server(spark, tmp_path):
+    """FtpTransport drives the same land-and-read flow over stdlib ftplib:
+    a fake FTP object verifies the nlst/retrbinary protocol mapping, no
+    network needed."""
+    from datagouvfr_data_pipelines_spark.io.connectors import (
+        FtpTransport,
+        sftp_land_and_read,
+    )
+
+    payload = b"a;b\n1;2\n"
+
+    class FakeFTP:
+        def connect(self, host, port, timeout=None):
+            assert host == "ftp.example.test"
+
+        def login(self, user, password):
+            self.user = user
+
+        def nlst(self, remote_dir):
+            return [remote_dir + "/data1.csv", remote_dir + "/skip.txt"]
+
+        def retrbinary(self, cmd, cb):
+            assert cmd.startswith("RETR ") and cmd.endswith("data1.csv")
+            cb(payload)
+
+        def quit(self):
+            pass
+
+    t = FtpTransport("ftp.example.test", ftp_factory=FakeFTP)
+    landing = str(tmp_path / "landed")
+
+    def reader(sp, paths):
+        return sp.read.option("sep", ";").option("header", True).csv(paths)
+
+    df = sftp_land_and_read(spark, "/pub", "*.csv", landing, reader, transport=t)
+    assert df.count() == 1
+    assert df.columns == ["a", "b"]
+    t.close()
