@@ -691,3 +691,136 @@ def resize_png_nearest(data: bytes | None, max_side: int) -> bytes | None:
         for y in range(nh)
     ]
     return encode_png_rgb24(nw, nh, out)
+
+
+def _bmp_rgb_sampler(data: bytes):
+    """Random-access pixel sampler for 24bpp uncompressed BMP: returns
+    (w, h, get(x, y) -> (r, g, b)) without materializing all rows — dHash
+    needs only 72 samples per image."""
+    import struct as _struct
+
+    if not data or len(data) < 54 or data[:2] != b"BM":
+        return None
+    pix_off = _struct.unpack("<I", data[10:14])[0]
+    hdr_size = _struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h = _struct.unpack("<ii", data[18:26])
+    bpp = _struct.unpack("<H", data[28:30])[0]
+    comp = _struct.unpack("<I", data[30:34])[0]
+    top_down = h < 0
+    h = abs(h)
+    if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        return None
+    stride = (w * 3 + 3) & ~3
+    if len(data) < pix_off + stride * h:
+        return None
+
+    def get(x: int, y: int) -> tuple[int, int, int]:
+        sy = y if top_down else h - 1 - y
+        base = pix_off + stride * sy + x * 3
+        b, g, r = data[base : base + 3]
+        return (r, g, b)
+
+    return (w, h, get)
+
+
+def dhash64_py(data: bytes | None) -> int | None:
+    """Perceptual difference hash (dHash) of an image payload: sample a
+    9x8 luminance grid, emit one bit per horizontal gradient
+    (gray[x] > gray[x+1]) — 64 bits total. Robust to re-encoding, scaling
+    and small edits; Hamming distance between hashes approximates visual
+    difference. Decodes 24bpp BMP (random-access sampling) and stdlib
+    PNG (type 2/6); returns None for payloads outside the codec envelope
+    (the honest-gate policy of parse_image_dimensions).
+
+    Luminance is integer ITU-R 601 (299r + 587g + 114b) — no floats, so
+    the hash is bit-stable across platforms.
+    """
+    sampler = _bmp_rgb_sampler(data) if data else None
+    if sampler is not None:
+        w, h, get = sampler
+    else:
+        decoded = decode_png_rgb24(data)
+        if decoded is None:
+            return None
+        w, h, rows = decoded
+        get = lambda x, y: rows[y][x]  # noqa: E731
+    bits = 0
+    for gy in range(8):
+        sy = min(gy * h // 8, h - 1)
+        grays = []
+        for gx in range(9):
+            sx = min(gx * w // 9, w - 1)
+            r, g, b = get(sx, sy)
+            grays.append(299 * r + 587 * g + 114 * b)
+        for gx in range(8):
+            bits = (bits << 1) | (1 if grays[gx] > grays[gx + 1] else 0)
+    # fold into a signed 64-bit value (Spark LongType)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(df, id_col: str, content_col: str):
+    """Distributed perceptual hashing: (id, dhash, decode_status) per
+    image, Arrow-batched mapInPandas (procedural codec — the documented
+    Pandas-UDF escape hatch). Feed the result to
+    ``operators.dedup.banded_hamming_pairs`` for near-duplicate image
+    pairs with ONE shuffle — the multimodal twin of SimHash text dedup."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("media_id", id_field.dataType),
+            StructField("dhash", LongType()),
+            StructField("decode_status", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "dhash": [], "decode_status": []}
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                hv = dhash64_py(bytes(payload) if payload is not None else None)
+                out["media_id"].append(mid)
+                out["dhash"].append(hv)
+                out["decode_status"].append(
+                    "decoded" if hv is not None else "unsupported"
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def make_test_pattern_bmp(
+    seed: int, width: int = 16, height: int = 16, perturb: bool = False
+) -> bytes:
+    """Deterministic pseudo-random test image (24bpp BMP): per-pixel
+    integer hash mixing, so DIFFERENT seeds give visually unrelated images
+    (dHash distance ~32) while ``perturb=True`` nudges one sampled pixel
+    (a near-duplicate, dHash distance <= a few bits). Shared by the
+    mm_image_neardups catalog query and its tests — pure integer
+    arithmetic, platform-stable."""
+
+    def px(x: int, y: int, salt: int) -> int:
+        h = (seed * 1000003 + x * 4091 + y * 64969 + salt * 9176) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 2654435761) & 0xFFFFFFFF
+        h ^= h >> 16
+        return h & 255
+
+    rows = [
+        [(px(x, y, 1), px(x, y, 2), px(x, y, 3)) for x in range(width)]
+        for y in range(height)
+    ]
+    if perturb:  # nudge two sampled pixels — a visible-but-minor edit
+        r, g, b = rows[2][3]
+        rows[2][3] = ((r + 64) % 256, g, b)
+        r, g, b = rows[4][5]
+        rows[4][5] = (r, (g + 48) % 256, b)
+    return make_bmp(width, height, rows)

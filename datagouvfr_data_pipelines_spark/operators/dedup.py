@@ -344,6 +344,33 @@ def simhash_neardup_pairs(
     chosen automatically; an EXPLICIT unsound ``bands`` raises ValueError
     rather than silently losing recall.
     """
+    fp = simhash64(df, id_col, text_col)
+    return banded_hamming_pairs(
+        fp,
+        "doc",
+        "simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def banded_hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Generic banded-Hamming near-dup pairing over any 64-bit fingerprint
+    column (SimHash text fingerprints, image dHash, audio chromaprints…).
+
+    Same pigeonhole machinery as ``simhash_neardup_pairs`` (which
+    delegates here): band the signature, pair bucket-locally under a size
+    cap, verify ``bit_count(xor) <= max_hamming``. One shuffle on the
+    (band, band-hash) key — never O(n²) in the table.
+    """
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
     if max_hamming >= bands:
@@ -355,18 +382,17 @@ def simhash_neardup_pairs(
         )
     if 64 % bands != 0:
         raise ValueError(f"bands ({bands}) must divide 64")
-    fp = simhash64(df, id_col, text_col)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = fp.select(
-        "doc",
-        "simhash",
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        F.shiftrightunsigned(F.col(sig_col), i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bh"),
                     )
@@ -374,12 +400,12 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "simhash", "bk.band", "bk.bh")
+    ).select("doc", "sig", "bk.band", "bk.bh")
     buckets = (
         banded.groupBy("band", "bh")
         .agg(
             F.sort_array(
-                F.collect_set(F.struct(F.col("doc"), F.col("simhash")))
+                F.collect_set(F.struct(F.col("doc"), F.col("sig")))
             ).alias("ds")
         )
         .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket_size))
@@ -392,7 +418,7 @@ def simhash_neardup_pairs(
                 lambda y: F.struct(
                     x["doc"].alias("id_a"),
                     y["doc"].alias("id_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
                 ),
             ),
         )

@@ -118,6 +118,60 @@ def t_bpe_tokens(spark, sf_dir):
 
 
 @register(
+    "mm_image_neardups",
+    tags=["multimodal", "dedup-image", "dhash", "no-oracle"],
+)
+def mm_image_neardups(spark, sf_dir):
+    """Perceptual image near-dup detection end to end: deterministic 16x16
+    BMPs are synthesized per document (ids 2k and 2k+1 share a base
+    pattern, the odd twin carries a small pixel perturbation), hashed with
+    the REAL dHash codec (9x8 luminance gradients over the stdlib BMP
+    decoder), and paired via the generic banded-Hamming search — the
+    multimodal twin of SimHash text dedup, one shuffle, never all-pairs.
+    Rows-only: the expected (2k, 2k+1) pairing is pinned exactly by
+    tests/test_image_dedup.py; dhash bits are integer-only arithmetic, so
+    the pair set is platform-stable."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        image_dhash,
+        make_test_pattern_bmp,
+    )
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("img", BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, imgs = [], []
+            for did in pdf["doc_id"]:
+                ids.append(int(did))
+                imgs.append(
+                    make_test_pattern_bmp(
+                        int(did) // 2, perturb=bool(did % 2)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    imgs = docs.mapInPandas(synth, schema=schema)
+    fp = image_dhash(imgs, "doc_id", "img").where(F.col("dhash").isNotNull())
+    return banded_hamming_pairs(
+        fp, "media_id", "dhash", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "sk_customer_cohort_overlap",
     tags=["sketch", "theta", "A7", "overlap", "no-oracle"],
 )
