@@ -824,3 +824,143 @@ def make_test_pattern_bmp(
         r, g, b = rows[4][5]
         rows[4][5] = (r, (g + 48) % 256, b)
     return make_bmp(width, height, rows)
+
+
+def make_wav(rate: int, channels: int, samples: list[int]) -> bytes:
+    """Serialize 16-bit PCM WAV (interleaved if channels > 1), pure
+    stdlib — fixture writer for the audio codec paths."""
+    import struct as _struct
+
+    body = b"".join(_struct.pack("<h", max(-32768, min(32767, s))) for s in samples)
+    byte_rate = rate * channels * 2
+    fmt = _struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+
+
+def wav_pcm_samples(data: bytes | None) -> tuple[int, int, list[int]] | None:
+    """REAL WAV sample decode (the body half of ``parse_wav_metadata``):
+    returns (sample_rate, channels, mono_samples) for 16-bit PCM payloads
+    — multi-channel frames average to mono in integer arithmetic. None
+    outside the 16-bit PCM envelope (compressed, float, 8/24-bit)."""
+    import struct as _struct
+
+    if not data or len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(data)
+    rate = channels = bits = audio_fmt = None
+    pcm = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = _struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= n:
+            audio_fmt, channels, rate = _struct.unpack("<HHI", data[i + 8 : i + 16])
+            bits = _struct.unpack("<H", data[i + 22 : i + 24])[0]
+        elif cid == b"data":
+            pcm = data[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if audio_fmt != 1 or bits != 16 or not rate or not channels or pcm is None:
+        return None
+    count = len(pcm) // 2
+    vals = _struct.unpack(f"<{count}h", pcm[: count * 2])
+    if channels > 1:
+        frames = count // channels
+        vals = [
+            sum(vals[f * channels : (f + 1) * channels]) // channels
+            for f in range(frames)
+        ]
+    else:
+        vals = list(vals)
+    return (rate, channels, vals)
+
+
+def audio_envelope_hash_py(data: bytes | None, frames: int = 65) -> int | None:
+    """Perceptual audio fingerprint (chromaprint-lite): split the decoded
+    mono signal into ``frames`` equal windows, take integer energy
+    (sum |sample|) per window, emit one bit per energy delta
+    (e[i] > e[i+1]) — 64 bits. The audio twin of image dHash: robust to
+    volume-preserving re-encodes and small edits, integer-only (bit-stable),
+    Hamming distance ~ envelope dissimilarity. None outside the 16-bit PCM
+    envelope."""
+    decoded = wav_pcm_samples(data)
+    if decoded is None:
+        return None
+    _, _, samples = decoded
+    n = len(samples)
+    if n < frames:
+        return None
+    energies = []
+    for i in range(frames):
+        lo, hi = i * n // frames, (i + 1) * n // frames
+        energies.append(sum(abs(s) for s in samples[lo:hi]))
+    bits = 0
+    for i in range(frames - 1):
+        bits = (bits << 1) | (1 if energies[i] > energies[i + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_envelope_hash(df, id_col: str, content_col: str):
+    """Distributed audio fingerprinting: (media_id, ahash, decode_status),
+    Arrow-batched mapInPandas. Pair with
+    ``operators.dedup.banded_hamming_pairs`` for near-duplicate audio —
+    same one-shuffle shape as SimHash/dHash dedup."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", df.schema[id_col].dataType),
+            StructField("ahash", LongType()),
+            StructField("decode_status", StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "ahash": [], "decode_status": []}
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                hv = audio_envelope_hash_py(
+                    bytes(payload) if payload is not None else None
+                )
+                out["media_id"].append(mid)
+                out["ahash"].append(hv)
+                out["decode_status"].append(
+                    "decoded" if hv is not None else "unsupported"
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def make_test_wav(
+    seed: int, n_samples: int = 6500, rate: int = 8000, perturb: bool = False
+) -> bytes:
+    """Deterministic pseudo-random 16-bit PCM WAV fixture: hash-mixed
+    samples so different seeds have independent energy envelopes (ahash
+    distance ~32 bits) while ``perturb=True`` boosts two narrow windows
+    (a near-duplicate edit, distance <= a few bits). Shared by the
+    mm_audio_neardups query and its tests."""
+
+    def samp(i: int) -> int:
+        h = (seed * 1000003 + i * 40503 + 7) & 0xFFFFFFFF
+        h ^= h >> 13
+        h = (h * 2654435761) & 0xFFFFFFFF
+        h ^= h >> 16
+        return (h % 16384) - 8192
+
+    samples = [samp(i) for i in range(n_samples)]
+    if perturb:
+        w = n_samples // 65
+        for i in range(3 * w, 4 * w):
+            samples[i] = min(32767, samples[i] + 3000)
+        for i in range(40 * w, 41 * w):
+            samples[i] = max(-32768, samples[i] - 3000)
+    return make_wav(rate, 1, samples)

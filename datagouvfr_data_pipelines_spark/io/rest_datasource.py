@@ -1,0 +1,103 @@
+"""Custom Python DataSource: paginated JSON APIs as a first-class,
+PARTITIONED ``spark.read`` format (Spark 4 DataSource API).
+
+The reference consumes the data.gouv API through a driver-side generator
+that walks ``next_page`` links one request at a time
+(utils/datagouv.py:134-151) — fine for metadata, a bottleneck for bulk.
+Re-expressed Spark-native: each page (or page block) is an
+``InputPartition``, so the cluster fetches pages in parallel and the rows
+land directly in executors — no driver materialization, no single-machine
+memory ceiling. ``fetch_url_to_dataframe`` (io/connectors.py) remains the
+one-shot driver-side path for small payloads.
+
+Transport is stdlib ``urllib`` — it speaks http(s):// AND file://, so
+tests (and local replays of landed API snapshots) run the exact
+production code path with zero network and zero optional dependencies.
+
+Usage::
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (spark.read.format("paged_api")
+          .schema("id BIGINT, name STRING")
+          .option("url", "https://api.example/items?page={page}&size={page_size}")
+          .option("pages", 40)
+          .option("page_size", 200)
+          .option("data_path", "data")   # unwrap {"data": [...]} envelopes
+          .load())
+
+Scale note: one partition per page block (``pages_per_partition``) keeps
+task counts sane when an API has thousands of pages; politeness is
+bounded by executor-side parallelism, which the caller controls with the
+usual Spark knobs (a paginated API is one server — cap cores, not unlike
+the SFTP posture in io/connectors.py).
+"""
+
+from __future__ import annotations
+
+import json
+from urllib.request import urlopen
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _fetch_page(url_template: str, page: int, page_size: int, timeout: int):
+    url = url_template.format(page=page, page_size=page_size)
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310 - scheme chosen by caller
+        return json.loads(resp.read().decode("utf-8"))
+
+
+class PagedApiDataSource(DataSource):
+    """``format("paged_api")`` — see module docstring for options."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api"
+
+    def schema(self):
+        # Schema is normally passed by the caller via .schema(...); this
+        # fallback lets an options-only load() still resolve.
+        ddl = self.options.get("schema")
+        if not ddl:
+            raise ValueError(
+                "paged_api needs a schema: pass .schema(ddl) on the reader "
+                "or option('schema', ddl)"
+            )
+        return ddl
+
+    def reader(self, schema) -> "PagedApiReader":
+        return PagedApiReader(schema, self.options)
+
+
+class PagedApiReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.url = options["url"]
+        self.pages = int(options.get("pages", 1))
+        self.page_size = int(options.get("page_size", 100))
+        self.first_page = int(options.get("first_page", 0))
+        self.per_part = int(options.get("pages_per_partition", 1))
+        self.data_path = options.get("data_path")
+        self.timeout = int(options.get("timeout", 60))
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        starts = range(
+            self.first_page, self.first_page + self.pages, self.per_part
+        )
+        return [InputPartition((s, min(self.per_part, self.first_page + self.pages - s))) for s in starts]
+
+    def read(self, partition):
+        start, count = partition.value
+        for page in range(start, start + count):
+            payload = _fetch_page(self.url, page, self.page_size, self.timeout)
+            records = payload
+            if self.data_path:
+                for key in self.data_path.split("."):
+                    records = records[key]
+            for rec in records:
+                yield tuple(rec.get(f) for f in self.fields)
+
+
+def register_paged_api(spark) -> None:
+    """Register the format on a session: ``spark.read.format('paged_api')``."""
+    spark.dataSource.register(PagedApiDataSource)

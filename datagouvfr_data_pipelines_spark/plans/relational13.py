@@ -172,6 +172,59 @@ def mm_image_neardups(spark, sf_dir):
 
 
 @register(
+    "mm_audio_neardups",
+    tags=["multimodal", "dedup-audio", "ahash", "no-oracle"],
+)
+def mm_audio_neardups(spark, sf_dir):
+    """Audio near-dup detection: deterministic 16-bit PCM WAVs are
+    synthesized per document (2k / 2k+1 twins, the odd one carries a
+    narrow energy boost), fingerprinted with the REAL envelope hash
+    (65-window integer energies over the stdlib PCM decoder), and paired
+    via the generic banded-Hamming search — one shuffle, the audio twin
+    of dHash image dedup. Rows-only: exact twin-pair recovery is pinned
+    by tests/test_audio_dedup.py; integer-only arithmetic keeps the pair
+    set platform-stable."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        audio_envelope_hash,
+        make_test_wav,
+    )
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("audio", BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                ids.append(int(did))
+                blobs.append(
+                    make_test_wav(int(did) // 2, perturb=bool(did % 2))
+                )
+            yield pd.DataFrame({"doc_id": ids, "audio": blobs})
+
+    wavs = docs.mapInPandas(synth, schema=schema)
+    fp = audio_envelope_hash(wavs, "doc_id", "audio").where(
+        F.col("ahash").isNotNull()
+    )
+    return banded_hamming_pairs(
+        fp, "media_id", "ahash", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "sk_customer_cohort_overlap",
     tags=["sketch", "theta", "A7", "overlap", "no-oracle"],
 )

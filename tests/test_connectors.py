@@ -165,3 +165,55 @@ def test_ftp_transport_lands_via_fake_server(spark, tmp_path):
     assert df.count() == 1
     assert df.columns == ["a", "b"]
     t.close()
+
+
+def test_paged_api_datasource_partitioned_read(spark, tmp_path):
+    """Spark 4 Python DataSource: pages become InputPartitions (parallel
+    fetch), urllib speaks file:// so the production code path runs with no
+    network. Covers envelope unwrapping, page blocking, and null fill for
+    missing keys."""
+    import json as jsonmod
+
+    from datagouvfr_data_pipelines_spark.io.rest_datasource import (
+        register_paged_api,
+    )
+
+    api = tmp_path / "api"
+    api.mkdir()
+    # 5 pages of 2 records wrapped in a data.gouv-style envelope
+    for p in range(5):
+        recs = [
+            {"id": p * 2 + i, "name": f"rec-{p}-{i}"} for i in range(2)
+        ]
+        if p == 4:
+            recs[1].pop("name")  # missing key -> NULL
+        (api / f"page-{p}.json").write_text(
+            jsonmod.dumps({"data": recs, "next_page": p + 1})
+        )
+
+    register_paged_api(spark)
+    df = (
+        spark.read.format("paged_api")
+        .schema("id BIGINT, name STRING")
+        .option("url", f"file://{api}/page-{{page}}.json")
+        .option("pages", 5)
+        .option("data_path", "data")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    assert {r["id"] for r in rows} == set(range(10))
+    assert [r["name"] for r in rows if r["id"] == 9] == [None]
+    # one task per page by default; blocked -> ceil(5/2) partitions
+    assert df.rdd.getNumPartitions() == 5
+    blocked = (
+        spark.read.format("paged_api")
+        .schema("id BIGINT, name STRING")
+        .option("url", f"file://{api}/page-{{page}}.json")
+        .option("pages", 5)
+        .option("pages_per_partition", 2)
+        .option("data_path", "data")
+        .load()
+    )
+    assert blocked.rdd.getNumPartitions() == 3
+    assert blocked.count() == 10
