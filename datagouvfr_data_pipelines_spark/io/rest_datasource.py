@@ -37,7 +37,12 @@ from __future__ import annotations
 import json
 from urllib.request import urlopen
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _fetch_page(url_template: str, page: int, page_size: int, timeout: int):
@@ -66,6 +71,9 @@ class PagedApiDataSource(DataSource):
 
     def reader(self, schema) -> "PagedApiReader":
         return PagedApiReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> "PagedApiStreamReader":
+        return PagedApiStreamReader(schema, self.options)
 
 
 class PagedApiReader(DataSourceReader):
@@ -98,6 +106,62 @@ class PagedApiReader(DataSourceReader):
                 yield tuple(rec.get(f) for f in self.fields)
 
 
+class PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of ``paged_api``: the OFFSET is the next unread page
+    index, so ``spark.readStream.format('paged_api')`` incrementally
+    consumes an append-only paginated feed — each micro-batch drains the
+    pages that appeared since the last checkpointed offset (capped by
+    ``max_pages_per_batch``), and ``readBetweenOffsets`` replays an exact
+    page range on recovery. The Spark-native form of the reference's
+    driver-side ``next_page`` walker, with exactly-once delivery via the
+    checkpoint instead of hand-rolled ledgers."""
+
+    def __init__(self, schema, options):
+        self.url = options["url"]
+        self.page_size = int(options.get("page_size", 100))
+        self.first_page = int(options.get("first_page", 0))
+        self.max_batch = int(options.get("max_pages_per_batch", 10))
+        self.data_path = options.get("data_path")
+        self.timeout = int(options.get("timeout", 60))
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"page": self.first_page}
+
+    def _records(self, page: int):
+        payload = _fetch_page(self.url, page, self.page_size, self.timeout)
+        records = payload
+        if self.data_path:
+            for key in self.data_path.split("."):
+                records = records[key]
+        return [tuple(rec.get(f) for f in self.fields) for rec in records]
+
+    def read(self, start: dict):
+        from urllib.error import URLError
+
+        page = int(start["page"])
+        rows: list[tuple] = []
+        fetched = 0
+        while fetched < self.max_batch:
+            try:
+                rows.extend(self._records(page))
+            except (URLError, OSError, KeyError):
+                break  # next page not published yet
+            page += 1
+            fetched += 1
+        return iter(rows), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for page in range(int(start["page"]), int(end["page"])):
+            rows.extend(self._records(page))  # replay gap = data loss: raise
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint owns progress; the source keeps no state
+
+
 def register_paged_api(spark) -> None:
-    """Register the format on a session: ``spark.read.format('paged_api')``."""
+    """Register the format on a session: ``spark.read.format('paged_api')``
+    and ``spark.readStream.format('paged_api')``."""
     spark.dataSource.register(PagedApiDataSource)

@@ -217,3 +217,49 @@ def test_paged_api_datasource_partitioned_read(spark, tmp_path):
     )
     assert blocked.rdd.getNumPartitions() == 3
     assert blocked.count() == 10
+
+
+def test_paged_api_stream_incremental_pages(spark, tmp_path):
+    """Streaming paged_api: the checkpointed offset is the next unread
+    page — a second drain after new pages land emits ONLY the new rows."""
+    import json as jsonmod
+
+    from datagouvfr_data_pipelines_spark.io.rest_datasource import (
+        register_paged_api,
+    )
+
+    api = tmp_path / "feed"
+    api.mkdir()
+
+    def land(p, recs):
+        (api / f"page-{p}.json").write_text(jsonmod.dumps({"data": recs}))
+
+    land(0, [{"id": 0}, {"id": 1}])
+    land(1, [{"id": 2}])
+
+    register_paged_api(spark)
+    stream = (
+        spark.readStream.format("paged_api")
+        .schema("id BIGINT")
+        .option("url", f"file://{api}/page-{{page}}.json")
+        .option("data_path", "data")
+        .load()
+    )
+    emitted = []
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, i: emitted.extend(r["id"] for r in b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert sorted(emitted) == [0, 1, 2]
+    land(2, [{"id": 3}, {"id": 4}])
+    drain()
+    assert sorted(emitted) == [0, 1, 2, 3, 4]  # no re-emission of pages 0-1
