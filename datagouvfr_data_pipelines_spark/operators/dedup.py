@@ -498,3 +498,31 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for i in range(64):
         fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(0)
     return agg.select("doc", fp.alias("simhash"))
+
+
+def minhash_merge_states(states: list[DataFrame], id_col: str = "doc") -> DataFrame:
+    """Merge per-batch MinHash signatures: MinHash is a MERGEABLE sketch —
+    the signature of A ∪ B is the elementwise minimum of the signatures,
+    exactly (min is associative/commutative per permutation slot).
+
+    This is the incremental path for near-dup index maintenance at
+    100 TB: sign each ingest batch with ``minhash_signatures`` (touching
+    only new/changed docs), persist the per-doc states, and fold batches
+    with one groupBy + zip_with(min) here — the LSH banding then runs on
+    merged signatures without ever rescanning historical text. Same
+    mergeable-state discipline as ``aggregates.partial_agg_states`` and
+    the HLL tier (operators/sketches.py); merge == direct is pinned by
+    test (tests/test_custom_ops.py::test_minhash_merge_equals_direct).
+    """
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(F.col(id_col).alias("doc")).agg(
+        F.reduce(
+            F.collect_list("sig"),
+            F.lit(None).cast("array<bigint>"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.zip_with(acc, x, lambda a, b: F.least(a, b))
+            ),
+        ).alias("sig")
+    )

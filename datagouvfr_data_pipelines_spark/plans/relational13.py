@@ -51,6 +51,41 @@ def sk_user_reach_rollup(spark, sf_dir):
 
 
 @register(
+    "v1_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS nb_with_k,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    tags=["variant", "semi-structured", "S7", "scalar-json"],
+)
+def v1_variant_extract(spark, sf_dir):
+    """Semi-structured analytics through Spark 4's VARIANT type: JSON
+    ingests ONCE via parse_json into the binary variant encoding, typed
+    fields come out with try_variant_get — no schema declaration, no
+    repeated string parsing (the scale advantage over j13's per-access
+    get_json_object: at 100 TB the parse cost is paid at ingest, and
+    shredded variant columns prune like ordinary ones). Integer-typed
+    extraction keeps the aggregate bit-exact against DuckDB's JSON
+    reader."""
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("nb_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        )
+    )
+
+
+@register(
     "st8_sliding_windows",
     oracle="""
     WITH base AS (

@@ -112,3 +112,36 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     # session 2 opened with 1 event
     assert by_session[1]["n_events"] == 3
     assert by_session[2]["n_events"] == 1
+
+
+def test_minhash_merge_equals_direct(spark):
+    """MinHash signatures are mergeable states: elementwise min. Pins
+    (1) the defining min property, (2) single-batch passthrough, and
+    (3) merge-tree associativity — so incremental signature maintenance
+    gives the same index as a full rebuild."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        minhash_merge_states,
+        minhash_signatures,
+    )
+
+    def sig_of(rows):
+        df = spark.createDataFrame(rows, "id long, text string")
+        return minhash_signatures(df, "id", "text", k=16)
+
+    b1 = sig_of([(1, "alpha beta gamma delta epsilon zeta"),
+                 (2, "one two three four five six seven")])
+    b2 = sig_of([(1, "eta theta iota kappa lambda mu nu"),
+                 (3, "eight nine ten eleven twelve thirteen")])
+    b3 = sig_of([(1, "xi omicron pi rho sigma tau upsilon")])
+
+    s1 = {r["doc"]: r["sig"] for r in b1.collect()}
+    s2 = {r["doc"]: r["sig"] for r in b2.collect()}
+    merged = {r["doc"]: r["sig"] for r in minhash_merge_states([b1, b2]).collect()}
+    # defining property: elementwise min for shared docs
+    assert merged[1] == [min(a, b) for a, b in zip(s1[1], s2[1])]
+    # passthrough for one-sided docs
+    assert merged[2] == s1[2] and merged[3] == s2[3]
+    # associativity: any merge tree gives the same state
+    left = minhash_merge_states([minhash_merge_states([b1, b2]), b3])
+    flat = minhash_merge_states([b1, b2, b3])
+    assert sorted(map(tuple, left.collect())) == sorted(map(tuple, flat.collect()))
