@@ -117,3 +117,31 @@ def quarantine_split(
         .drop("__fails")
     )
     return passed, violations
+
+
+def observe_quality(
+    df: DataFrame, rules: dict[str, Column], name: str = "quality"
+):
+    """Zero-cost inline quality metrics via the Observation API: row count
+    plus one violation count per rule are accumulated DURING whatever
+    action the caller already runs — no extra scan, no extra job (the
+    production alternative to count()-per-assertion, which doubles the
+    read at 100 TB).
+
+    Returns ``(df, observation)``; after the caller's first action,
+    ``observation.get`` yields ``{"n_rows": ..., "bad_<rule>": ...}``.
+    NULL rule results count as violations (fail-closed, same policy as
+    ``quarantine_split``). Works on batch frames; for streams use the
+    same expressions with ``df.observe(name, ...)`` and a streaming query
+    listener.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(
+            F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"bad_{rule}")
+        for rule, cond in rules.items()
+    ]
+    return df.observe(obs, *metrics), obs
