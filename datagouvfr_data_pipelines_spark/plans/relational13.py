@@ -51,6 +51,79 @@ def sk_user_reach_rollup(spark, sf_dir):
 
 
 @register(
+    "w12_survival_curve",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             (EXTRACT(YEAR FROM MAX(o_orderdate)) - EXTRACT(YEAR FROM MIN(o_orderdate))) * 12
+               + (EXTRACT(MONTH FROM MAX(o_orderdate)) - EXTRACT(MONTH FROM MIN(o_orderdate))) AS dur,
+             CASE WHEN MAX(o_orderdate) < TIMESTAMP '2001-02-01' THEN 1 ELSE 0 END AS churned
+      FROM orders GROUP BY o_custkey
+    ),
+    per_t AS (
+      SELECT dur AS t, COUNT(*) AS total, SUM(churned) AS d
+      FROM span GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d,
+             SUM(total) OVER (ORDER BY t DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      FROM per_t
+    )
+    SELECT t AS months_active,
+           CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           EXP(SUM(CASE WHEN d > 0
+                        THEN LN(CAST(n - d AS DOUBLE)) - LN(CAST(n AS DOUBLE))
+                        ELSE 0.0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS survival
+    FROM risk
+    """,
+    tags=["window", "survival", "kaplan-meier", "churn", "ml-prep"],
+)
+def w12_survival_curve(spark, sf_dir):
+    """Kaplan-Meier customer-survival curve with right censoring: per
+    customer, months between first and last order; customers whose last
+    order predates the 6-month churn horizon are events, the rest are
+    censored at their observed span. S(t) = prod(1 - d/n) computed as
+    exp(cumsum(ln(n-d) - ln(n))) — ln over INTEGER counts and an
+    ORDER-BY-pinned cumulative sum make even this statistical estimator
+    hash-exact across engines (same trick as the PSI/bigram-LM tiers).
+    The per-customer agg is the only fact-sized shuffle; the KM windows
+    run over the ~|distinct durations| table."""
+    o = table(spark, sf_dir, "orders")
+    span = o.groupBy("o_custkey").agg(
+        (
+            (F.year(F.max("o_orderdate")) - F.year(F.min("o_orderdate"))) * 12
+            + (F.month(F.max("o_orderdate")) - F.month(F.min("o_orderdate")))
+        ).alias("dur"),
+        F.when(
+            F.max("o_orderdate") < F.lit("2001-02-01").cast("timestamp"), 1
+        ).otherwise(0).alias("churned"),
+    )
+    per_t = span.groupBy(F.col("dur").alias("t")).agg(
+        F.count(F.lit(1)).alias("total"), F.sum("churned").alias("d")
+    )
+    from pyspark.sql import Window as W
+
+    w_desc = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = per_t.withColumn("n", F.sum("total").over(w_desc))
+    log_term = F.when(
+        F.col("d") > 0,
+        F.log((F.col("n") - F.col("d")).cast("double"))
+        - F.log(F.col("n").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return risk.select(
+        F.col("t").alias("months_active"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.exp(F.sum(log_term).over(w_asc)).alias("survival"),
+    )
+
+
+@register(
     "v1_variant_extract",
     oracle="""
     SELECT event_type,

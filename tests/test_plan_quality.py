@@ -206,6 +206,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
     # operator's semantics (positional quartiles), not a missing partition key.
     INTENDED_GLOBAL_WINDOW = {
         "rfm_segments",           # ntile(4) over the per-customer agg
+        "w12_survival_curve",     # KM cumsums over the |durations| table
     }
     flagged = {}
     for name, fn in QUERIES.items():
