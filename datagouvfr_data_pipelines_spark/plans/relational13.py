@@ -21,6 +21,7 @@ from datagouvfr_data_pipelines_spark.operators.sketches import (
     theta_overlap,
 )
 from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+from datagouvfr_data_pipelines_spark.plans.relational6 import _lat, _lon
 
 
 @register(
@@ -47,6 +48,115 @@ def sk_user_reach_rollup(spark, sf_dir):
     monthly = hll_merge([daily.drop("day")], ["event_type", "month"])
     return hll_estimate(monthly, alias="n_users_est").orderBy(
         "event_type", "month"
+    )
+
+
+@register(
+    "geo_grid_clusters",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT (CAST(value AS DOUBLE)*7 - FLOOR(CAST(value AS DOUBLE)*7/360)*360) - 180 AS lon,
+             (CAST(value AS DOUBLE)*3 - FLOOR(CAST(value AS DOUBLE)*3/180)*180) - 90 AS lat
+      FROM events WHERE event_type = 'signup'
+    ),
+    cells AS (
+      SELECT CAST(FLOOR(lon / 5) AS BIGINT) AS cx,
+             CAST(FLOOR(lat / 5) AS BIGINT) AS cy,
+             COUNT(*) AS n
+      FROM pts GROUP BY 1, 2
+      HAVING COUNT(*) >= 12
+    ),
+    ids AS (
+      SELECT cx, cy, (cx + 100) * 1000 + (cy + 100) AS id, n FROM cells
+    ),
+    e AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM ids a JOIN ids b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND (a.cx <> b.cx OR a.cy <> b.cy)
+    ),
+    r AS (
+      SELECT id AS node, id AS reach FROM ids
+      UNION
+      SELECT r.node, e.dst AS reach FROM r JOIN e ON e.src = r.reach
+    ),
+    comp AS (SELECT node, MIN(reach) AS cluster_id FROM r GROUP BY node)
+    SELECT CAST(comp.cluster_id AS BIGINT) AS cluster_id,
+           COUNT(*) AS n_cells,
+           CAST(SUM(ids.n) AS BIGINT) AS n_points
+    FROM comp JOIN ids ON ids.id = comp.node
+    GROUP BY comp.cluster_id
+    """,
+    tags=["geo", "clustering", "dbscan", "connected-components"],
+)
+def geo_grid_clusters(spark, sf_dir):
+    """Grid-density spatial clustering (DBSCAN-lite, the distributed
+    recipe): bucket points into 5-degree cells, keep dense cells
+    (>= 12 points), connect 8-neighboring dense cells with an equi-join
+    on shifted cell keys (never a distance cross-join), and collapse the
+    tiny cell graph with the large-star/small-star connected-components
+    operator. Per cluster: cell count + point mass. The only fact-sized
+    work is one partial-aggregated cell count; clustering runs on the
+    |dense cells| graph. Oracle = recursive reachability CTE over the
+    same adjacency."""
+    from datagouvfr_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    pts = ev.select(_lon().alias("lon"), _lat().alias("lat"))
+    cells = (
+        pts.groupBy(
+            F.floor(F.col("lon") / 5).cast("bigint").alias("cx"),
+            F.floor(F.col("lat") / 5).cast("bigint").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 12)
+    )
+    ids = cells.withColumn(
+        "id", (F.col("cx") + 100) * 1000 + (F.col("cy") + 100)
+    )
+    # 8-neighbor adjacency: explode each cell to its 9 neighbor slots and
+    # equi-join on the slot key (the nearest_neighbor_join trick).
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probes = ids.select(
+        F.col("id").alias("src"),
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("ncx"),
+                        (F.col("cy") + dy).alias("ncy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nb"),
+    ).select("src", "acx", "acy", "nb.ncx", "nb.ncy")
+    edges = (
+        probes.join(
+            ids.select(
+                F.col("id").alias("dst"),
+                F.col("cx").alias("bcx"),
+                F.col("cy").alias("bcy"),
+            ),
+            (F.col("ncx") == F.col("bcx")) & (F.col("ncy") == F.col("bcy")),
+        )
+        .where((F.col("acx") != F.col("bcx")) | (F.col("acy") != F.col("bcy")))
+        .select("src", "dst")
+    )
+    cc = connected_components(edges, "src", "dst")
+    clustered = ids.join(
+        cc.withColumnRenamed("node", "id"), "id", "left"
+    ).select(
+        "n", F.coalesce("component", F.col("id")).cast("bigint").alias("cluster_id")
+    )
+    return clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
     )
 
 
