@@ -170,6 +170,92 @@ def asof_join_backward(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    partition_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join, direction='nearest' (the pandas/polars merge_asof
+    completion of J14's backward form): for each left row, the right row
+    with the smallest |right_ts - left_ts| within the key; ties prefer
+    the backward (<=) side. Optional ``tolerance_seconds`` nulls matches
+    farther than the bound.
+
+    Same single-shuffle union strategy as ``asof_join_backward``: probes
+    and states co-partition on the key once; the backward candidate is a
+    carry-forward ``last(ignorenulls)`` and the forward candidate a
+    ``first(ignorenulls)`` over the following frame — two window sorts
+    over ONE exchange, never a range join. The right side must be unique
+    per (key, ts) (pre-dedup with ``keep_best_row``) so the carried
+    struct is total-order deterministic.
+
+    Adds ``__asof_delta_s`` (BIGINT seconds to the matched row, NULL on
+    no match) alongside the requested ``right_cols``.
+    """
+    lcols = left.columns
+    rstruct = F.struct(
+        F.col("__ts").alias("__rts"),
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+    probe = left.select(
+        F.col(partition_key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+    )
+    state = right.select(
+        F.col(partition_key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(probe.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = state.unionByName(probe).withColumn(
+        "__state", F.when(F.col("__is_probe") == 0, rstruct)
+    )
+    base = Window.partitionBy("__k").orderBy(
+        F.col("__ts").asc(), F.col("__is_probe").asc()
+    )
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = (
+        unioned.select(
+            "__k",
+            "__ts",
+            "__is_probe",
+            "__left",
+            F.last("__state", ignorenulls=True).over(w_back).alias("__b"),
+            F.first("__state", ignorenulls=True).over(w_fwd).alias("__f"),
+        )
+        .where(F.col("__is_probe") == 1)
+    )
+    us = F.unix_micros(F.col("__ts"))
+    bdelta = us - F.unix_micros(F.col("__b")["__rts"])
+    fdelta = F.unix_micros(F.col("__f")["__rts"]) - us
+    pick_back = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (bdelta <= fdelta)
+    )
+    chosen = F.when(pick_back, F.col("__b")).otherwise(F.col("__f"))
+    delta_s = F.when(pick_back, bdelta).otherwise(fdelta) / F.lit(1_000_000)
+    delta_s = F.floor(delta_s).cast("bigint")
+    if tolerance_seconds is not None:
+        chosen = F.when(delta_s <= tolerance_seconds, chosen)
+        delta_s = F.when(delta_s <= tolerance_seconds, delta_s)
+    return carried.select(
+        *[F.col("__left")[c].alias(c) for c in lcols],
+        *[chosen[c].alias(c) for c in right_cols],
+        delta_s.alias("__asof_delta_s"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -52,6 +52,154 @@ def sk_user_reach_rollup(spark, sf_dir):
 
 
 @register(
+    "j19_asof_nearest_signup",
+    oracle="""
+    WITH sig AS (
+      SELECT user_id, ts, MIN(event_id) AS sid
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ),
+    pur AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, s.sid AS bsid, s.ts AS bts
+      FROM pur p ASOF LEFT JOIN sig s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+    ),
+    f AS (
+      SELECT p.event_id, s.sid AS fsid, s.ts AS fts
+      FROM pur p ASOF LEFT JOIN sig s
+        ON p.user_id = s.user_id AND p.ts <= s.ts
+    )
+    SELECT p.event_id,
+           CASE WHEN b.bsid IS NOT NULL AND (f.fsid IS NULL OR
+                     epoch_us(p.ts) - epoch_us(b.bts)
+                       <= epoch_us(f.fts) - epoch_us(p.ts))
+                THEN b.bsid ELSE f.fsid END AS signup_id,
+           CASE WHEN b.bsid IS NOT NULL AND (f.fsid IS NULL OR
+                     epoch_us(p.ts) - epoch_us(b.bts)
+                       <= epoch_us(f.fts) - epoch_us(p.ts))
+                THEN (epoch_us(p.ts) - epoch_us(b.bts)) // 1000000
+                ELSE (epoch_us(f.fts) - epoch_us(p.ts)) // 1000000
+           END AS delta_s
+    FROM pur p
+    LEFT JOIN b ON b.event_id = p.event_id
+    LEFT JOIN f ON f.event_id = p.event_id
+    """,
+    tags=["J14", "asof", "nearest", "events"],
+)
+def j19_asof_nearest_signup(spark, sf_dir):
+    """Nearest as-of join (operators/joins.py:asof_join_nearest): each
+    purchase matched to the user's temporally CLOSEST signup — either
+    direction, ties to the backward side. One co-partitioned union +
+    two window passes over a single exchange; the oracle is DuckDB's
+    native ASOF JOIN run both directions with the same tie rule. Right
+    side pre-deduped per (user, ts) so the carried struct is total-order
+    deterministic."""
+    from datagouvfr_data_pipelines_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sig = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("sid"))
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join_nearest(pur, sig, "user_id", "ts", "ts", ["sid"])
+    return out.select(
+        "event_id",
+        F.col("sid").alias("signup_id"),
+        F.col("__asof_delta_s").alias("delta_s"),
+    )
+
+
+@register(
+    "w13_linear_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcount
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_type AS channel, pcount + 1 AS target
+      FROM seq WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+      SELECT DISTINCT user_id, pcount AS pidx FROM seq
+      WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT t.user_id, t.channel, t.target
+      FROM touches t
+      JOIN purchases p ON p.user_id = t.user_id AND p.pidx = t.target
+    ),
+    per_purchase AS (
+      SELECT user_id, target, COUNT(*) AS k
+      FROM matched GROUP BY user_id, target
+    )
+    SELECT m.channel,
+           COUNT(*) AS nb_touches,
+           CAST(SUM(1000000000 // pp.k) AS BIGINT) AS credit_nanos
+    FROM matched m
+    JOIN per_purchase pp
+      ON pp.user_id = m.user_id AND pp.target = m.target
+    GROUP BY m.channel
+    """,
+    tags=["window", "attribution", "multi-touch", "events"],
+)
+def w13_linear_attribution(spark, sf_dir):
+    """Multi-touch LINEAR attribution (complements w10's last-touch):
+    every touchpoint between consecutive purchases splits that purchase's
+    credit equally (1/k). The running purchase counter assigns each touch
+    to its following purchase in ONE window pass; credits are integer
+    nano-units (1e9 div k) so the per-channel sums are exact and
+    order-independent — the same quantization policy as the float-sum
+    tiers. Unconverted trailing touches drop out via the purchase join."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w).alias("pcount"),
+    )
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        (F.col("pcount") + 1).alias("target"),
+    )
+    purchases = (
+        seq.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("pcount").alias("pidx"))
+        .distinct()
+    )
+    matched = touches.join(
+        purchases,
+        (touches.user_id == purchases.user_id) & (F.col("target") == F.col("pidx")),
+    ).select(touches.user_id, "channel", "target")
+    per_purchase = matched.groupBy("user_id", "target").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    credited = matched.join(per_purchase, on=["user_id", "target"])
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("nb_touches"),
+        F.sum(F.expr("1000000000 div k")).cast("bigint").alias("credit_nanos"),
+    )
+
+
+@register(
     "geo_grid_clusters",
     oracle="""
     WITH RECURSIVE pts AS (

@@ -145,3 +145,48 @@ def test_minhash_merge_equals_direct(spark):
     left = minhash_merge_states([minhash_merge_states([b1, b2]), b3])
     flat = minhash_merge_states([b1, b2, b3])
     assert sorted(map(tuple, left.collect())) == sorted(map(tuple, flat.collect()))
+
+
+def test_asof_join_nearest_directions_ties_and_tolerance(spark):
+    import datetime as dt
+
+    from datagouvfr_data_pipelines_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            ("k", t(10), "back_nearer"),    # states at 09 and 13 -> 09 (1m vs 3m)
+            ("k", t(12), "fwd_nearer"),     # states at 09 and 13 -> 13 (3m vs 1m)
+            ("k", t(11), "tie_prefers_back"),  # 09 vs 13 = 2m both -> 09
+            ("k", t(0), "no_back"),         # before all states -> 09 (forward)
+            ("k", t(50), "no_fwd"),         # after all states -> 13 (backward)
+            ("q", t(30), "no_match"),       # key with no states at all
+        ],
+        "k string, ts timestamp, label string",
+    )
+    right = spark.createDataFrame(
+        [("k", t(9), "s9"), ("k", t(13), "s13")],
+        "k string, ts timestamp, sid string",
+    )
+    out = {
+        r["label"]: (r["sid"], r["__asof_delta_s"])
+        for r in asof_join_nearest(left, right, "k", "ts", "ts", ["sid"]).collect()
+    }
+    assert out["back_nearer"] == ("s9", 60)
+    assert out["fwd_nearer"] == ("s13", 60)
+    assert out["tie_prefers_back"] == ("s9", 120)
+    assert out["no_back"] == ("s9", 540)
+    assert out["no_fwd"] == ("s13", 2220)
+    assert out["no_match"] == (None, None)
+
+    # tolerance: 90s keeps only the 60s matches
+    tol = {
+        r["label"]: r["sid"]
+        for r in asof_join_nearest(
+            left, right, "k", "ts", "ts", ["sid"], tolerance_seconds=90
+        ).collect()
+    }
+    assert tol["back_nearer"] == "s9" and tol["fwd_nearer"] == "s13"
+    assert tol["tie_prefers_back"] is None and tol["no_back"] is None
