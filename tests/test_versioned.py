@@ -1,0 +1,61 @@
+"""Snapshot-versioned parquet tables (io/versioned.py): atomic publish,
+time travel, rollback, history, retention vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from datagouvfr_data_pipelines_spark.io.versioned import (
+    current_version,
+    history,
+    read_version,
+    rollback,
+    vacuum_versions,
+    write_version,
+)
+
+
+def _df(spark, n):
+    return spark.range(n).selectExpr("id", "id * 2 AS doubled")
+
+
+def test_write_read_time_travel_rollback(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert current_version(t) is None
+    assert write_version(_df(spark, 3), t) == 1
+    assert write_version(_df(spark, 5), t) == 2
+    assert current_version(t) == 2
+    assert read_version(spark, t).count() == 5          # current
+    assert read_version(spark, t, version=1).count() == 3  # time travel
+    rollback(t, 1)
+    assert read_version(spark, t).count() == 3
+    # writing after rollback continues PAST the retained snapshots
+    assert write_version(_df(spark, 7), t) == 3
+    assert read_version(spark, t).count() == 7
+    assert read_version(spark, t, version=2).count() == 5  # still readable
+
+
+def test_history_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for n in (2, 4, 6, 8):
+        write_version(_df(spark, n), t)
+    h = history(t)
+    assert [x["version"] for x in h] == [1, 2, 3, 4]
+    assert h[-1]["is_current"] and all(x["bytes"] > 0 for x in h)
+    removed = vacuum_versions(t, keep_last=2)
+    assert removed == [1, 2]
+    assert [x["version"] for x in history(t)] == [3, 4]
+    assert read_version(spark, t).count() == 8
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, version=1)
+
+
+def test_vacuum_never_removes_current(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for n in (2, 4, 6):
+        write_version(_df(spark, n), t)
+    rollback(t, 1)
+    removed = vacuum_versions(t, keep_last=1)
+    # current (1) survives even though only the newest would be kept
+    assert 1 not in removed
+    assert read_version(spark, t).count() == 2
