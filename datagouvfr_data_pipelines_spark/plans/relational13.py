@@ -52,6 +52,50 @@ def sk_user_reach_rollup(spark, sf_dir):
 
 
 @register(
+    "t_quality_classifier",
+    tags=["text", "ml", "quality", "teacher-student", "no-oracle"],
+)
+def t_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering, distilled teacher-student style:
+    the heuristic quality gate (functions/text.py:quality_score) labels
+    the corpus, then a logistic regression over raw text features
+    (length, punctuation ratio, stopword ratio, token count) is trained
+    DISTRIBUTED with deterministic nano-quantized gradient sums
+    (functions/ml.py) and scores every document with a calibrated
+    probability. Rows-only: float probabilities have no SQL oracle;
+    learnability, partition-invariant training, and teacher agreement
+    >= 85% are pinned by tests/test_ml.py."""
+    from datagouvfr_data_pipelines_spark.functions.ml import (
+        logreg_fit,
+        logreg_predict,
+    )
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count_ws,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length("text") / F.lit(1000.0)).alias("f_len"),
+        punct_ratio("text").alias("f_punct"),
+        stopword_ratio("text").alias("f_stop"),
+        (token_count_ws("text") / F.lit(200.0)).alias("f_tokens"),
+        F.when(quality_score("text") >= 0.99, 1.0).otherwise(0.0).alias(
+            "teacher"
+        ),
+    )
+    feats = ["f_len", "f_punct", "f_stop", "f_tokens"]
+    w = logreg_fit(docs, feats, "teacher", iters=40, lr=1.0)
+    return logreg_predict(docs, w, feats, out_col="p_good").select(
+        "doc_id",
+        F.col("teacher").cast("int").alias("teacher_label"),
+        "p_good",
+    ).orderBy("doc_id")
+
+
+@register(
     "j19_asof_nearest_signup",
     oracle="""
     WITH sig AS (
