@@ -1,0 +1,108 @@
+"""Scale-up smoke: replicate the sf0.1 fact tables K times (key-offset
+union, distinct keys preserved) and compare headline query wall time at
+1x vs Kx. Near-linear growth (and sublinear per-row cost) is the
+evidence that the plans are shuffle- and partition-sound — the local
+stand-in for a 1000-executor scale-up.
+
+Usage: python scripts/scale_check.py [K]   (default 8)
+Prints one JSON line: {"k": K, "queries": {name: {"t1": s, "tk": s,
+"ratio": tk/t1}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO_ROOT)
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from datagouvfr_data_pipelines_spark.operators.aggregates import (  # noqa: E402
+    dsum_product,
+)
+from datagouvfr_data_pipelines_spark.operators.dedup import exact_dedup  # noqa: E402
+from datagouvfr_data_pipelines_spark.session import get_spark  # noqa: E402
+
+
+def replicate(df, k: int, key_cols: list[str], offset: int):
+    """Union k copies with disjoint key spaces (adds i*offset to keys)."""
+    parts = []
+    for i in range(k):
+        p = df
+        for c in key_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * offset))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(df) -> float:
+    t0 = time.perf_counter()
+    df.count()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale-check", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    OFF = 10_000_000_000
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def q1(frame):
+        return (
+            frame.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                dsum_product("l_extendedprice", F.lit(1) - F.col("l_discount"), "rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def dedup(frame):
+        return exact_dedup(frame, "text", "doc_id")
+
+    def orderkey_rollup(frame):
+        return (
+            frame.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .where(F.col("q") > 300)
+        )
+
+    cases = {
+        "q1_agg": (li, ["l_orderkey"], q1),
+        "orderkey_rollup": (li, ["l_orderkey"], orderkey_rollup),
+        "exact_dedup": (docs, ["doc_id"], dedup),
+    }
+    out = {}
+    for name, (base, keys, fn) in cases.items():
+        base1 = base.persist()
+        base1.count()
+        t1 = min(timed(fn(base1)) for _ in range(3))
+        basek = replicate(base1, k, keys, OFF).persist()
+        basek.count()
+        tk = min(timed(fn(basek)) for _ in range(3))
+        basek.unpersist()
+        base1.unpersist()
+        out[name] = {
+            "t1": round(t1, 3),
+            "tk": round(tk, 3),
+            "ratio": round(tk / t1, 2),
+        }
+    print(json.dumps({"k": k, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
