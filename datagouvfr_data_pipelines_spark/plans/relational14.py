@@ -52,6 +52,57 @@ def emb_int8_quantize(spark, sf_dir):
     )
 
 
+SEGMENT_RECIPE = {
+    "table": "orders",
+    "filter": "o_orderdate >= TIMESTAMP '1997-01-01'",
+    "join": [
+        {
+            "table": "customer",
+            "on": "o_custkey = c_custkey",
+            "broadcast": True,
+        }
+    ],
+    "derive": {"order_year": "CAST(year(o_orderdate) AS INT)"},
+    "group_by": ["c_mktsegment", "order_year"],
+    "agg": {
+        "nb_orders": "count(1)",
+        "total": "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)",
+    },
+    "order_by": ["total DESC", "c_mktsegment"],
+    "limit": 15,
+}
+
+
+@register(
+    "r1_recipe_segment_totals",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS nb_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY c.c_mktsegment, order_year
+    ORDER BY total DESC, c.c_mktsegment
+    LIMIT 15
+    """,
+    tags=["recipe", "declarative", "J1", "A3"],
+)
+def r1_recipe_segment_totals(spark, sf_dir):
+    """Declarative recipe execution (plans/recipe.py): this query IS a
+    checked-in config dict — filter, broadcast join, derived year,
+    decimal-exact aggregate, ordered limit — compiled to an ordinary
+    Catalyst plan. Proves the compiler adds no semantics of its own: the
+    oracle is the mechanical SQL transliteration of the same spec, and
+    the compiled plan keeps every engine guarantee (pushdown, broadcast,
+    partial agg) because it is a plain DataFrame expression tree."""
+    from datagouvfr_data_pipelines_spark.plans.recipe import compile_recipe
+
+    return compile_recipe(
+        SEGMENT_RECIPE, lambda t: table(spark, sf_dir, t)
+    )
+
+
 @register(
     "asm_contrastive_triplets",
     oracle="""
