@@ -129,3 +129,28 @@ def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(table_dir, f"v={v}"))
             removed.append(v)
     return removed
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+    compression: str = "zstd",
+) -> int:
+    """Right-to-erasure delete: publish a new snapshot without the rows
+    matching ``keys_df`` (LEFT ANTI join on ``key_cols``), then it is the
+    caller's ``vacuum_versions`` policy that physically destroys the old
+    snapshots still holding the data — the same two-step (logical delete,
+    physical vacuum) contract as Delta/Iceberg DELETE + VACUUM.
+
+    Returns the new version number. The anti join broadcasts the key set
+    when small (the common GDPR case: a bounded subject list against a
+    100 TB table — one scan, no fact shuffle).
+    """
+    import pyspark.sql.functions as F
+
+    current = read_version(spark, table_dir)
+    keys = keys_df.select(*key_cols).distinct()
+    remaining = current.join(F.broadcast(keys), on=key_cols, how="left_anti")
+    return write_version(remaining, table_dir, compression=compression)

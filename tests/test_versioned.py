@@ -59,3 +59,30 @@ def test_vacuum_never_removes_current(spark, tmp_path):
     # current (1) survives even though only the newest would be kept
     assert 1 not in removed
     assert read_version(spark, t).count() == 2
+
+
+def test_delete_keys_then_vacuum_destroys_history(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.io.versioned import delete_keys
+
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 10), t)
+    keys = spark.createDataFrame([(3,), (7,)], "id long")
+    v = delete_keys(spark, t, keys, ["id"])
+    assert v == 2
+    ids = {r["id"] for r in read_version(spark, t).collect()}
+    assert ids == set(range(10)) - {3, 7}
+    # logical delete keeps history readable until vacuum...
+    assert read_version(spark, t, version=1).count() == 10
+    # ...and vacuum performs the physical erasure
+    vacuum_versions(t, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, version=1)
+    # the delete plan never shuffles the fact side (broadcast anti join)
+    current = read_version(spark, t)
+    plan_df = current.join(
+        F.broadcast(keys), on=["id"], how="left_anti"
+    )
+    assert "BroadcastHashJoin" in plan_df._jdf.queryExecution().executedPlan().toString() \
+        or "LeftAnti" in plan_df._jdf.queryExecution().executedPlan().toString()
