@@ -62,6 +62,10 @@ HEADLINE = [
     "q13_order_count_distribution",  # TPC-H Q13: left join + 2-level agg
     "q18_large_volume_customers",    # TPC-H Q18: HAVING threshold + enrich
     "q21_waiting_supplier",   # TPC-H Q21: EXISTS/NOT-EXISTS as key-bounded aggs
+    "q10_returned_items",     # TPC-H Q10: returned-revenue top-20
+    "w12_survival_curve",     # Kaplan-Meier churn curve (hash-exact ln/exp)
+    "st8_sliding_windows",    # 1h/15min hopping windows over events
+    "v1_variant_extract",     # VARIANT parse-once semi-structured agg
 ]
 
 
