@@ -52,6 +52,170 @@ def emb_int8_quantize(spark, sf_dir):
     )
 
 
+@register(
+    "a29_mad_by_group",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, m.med,
+           quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY 1, 2
+    """,
+    tags=["A2", "A8", "robust-stats", "mad"],
+)
+def a29_mad_by_group(spark, sf_dir):
+    """Median absolute deviation per group — the robust scale estimate
+    behind outlier gates that survive heavy tails (complements the IQR
+    fence a26). Two exact-percentile passes: group medians (tiny,
+    broadcast back) then the median of absolute deviations on the same
+    fact shuffle key. Exact interpolated percentile parity is the same
+    guarantee a2 pins."""
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), on="l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+
+
+@register(
+    "a30_gini_by_segment",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment,
+             CAST(ROUND(total * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY total, o_custkey) AS rk
+      FROM per_cust
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           (2.0 * SUM(rk * cents)) / (COUNT(*) * SUM(cents))
+             - (COUNT(*) + 1.0) / COUNT(*) AS gini
+    FROM ranked GROUP BY 1
+    """,
+    tags=["window", "gini", "inequality", "A3"],
+)
+def a30_gini_by_segment(spark, sf_dir):
+    """Gini coefficient of customer spend per market segment (revenue
+    concentration): per-customer decimal-exact totals, a rank window
+    PARTITIONED by segment, then the closed-form
+    G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n. Spend re-quantizes to
+    integer cents (ROUND of a 2-decimal double — never near .5, so both
+    engines agree) so every sum is exact BIGINT arithmetic and the final
+    expression is a fixed chain of IEEE ops."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("total", "o_custkey")
+    ranked = per_cust.select(
+        "c_mktsegment",
+        F.round(F.col("total") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_mktsegment").agg(
+        n.alias("n_customers"),
+        (
+            (F.lit(2.0) * F.sum(F.col("rk") * F.col("cents")))
+            / (n * F.sum("cents"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+@register(
+    "a28_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_partkey
+    ),
+    ranked AS (
+      SELECT p_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, p_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev,
+             SUM(revenue) OVER () AS total_rev
+      FROM rev
+    )
+    SELECT CASE WHEN cum_rev / total_rev <= 0.8 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(ROUND(revenue * 100) AS BIGINT)) AS BIGINT)
+             AS class_rev_cents
+    FROM ranked GROUP BY 1
+    """,
+    tags=["window", "pareto", "abc", "A9", "A10"],
+)
+def a28_abc_classification(spark, sf_dir):
+    """ABC/Pareto classification of parts by revenue share: cumulative
+    revenue over the (revenue DESC, partkey) total order, classes cut at
+    80%/95%. The cumulative window runs over the AGGREGATED part table
+    (|parts| rows, never fact volume); the ordered cumsum adds doubles in
+    the same pinned sequence on both engines, and class revenue re-sums
+    as integer cents — fully hash-exact."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    rev = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            ).cast("double").alias("revenue")
+        )
+    )
+    w_cum = W.orderBy(F.desc("revenue"), "p_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    cls = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.round(F.col("revenue") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("class_rev_cents"),
+    )
+
+
 SEGMENT_RECIPE = {
     "table": "orders",
     "filter": "o_orderdate >= TIMESTAMP '1997-01-01'",

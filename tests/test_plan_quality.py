@@ -207,6 +207,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
     INTENDED_GLOBAL_WINDOW = {
         "rfm_segments",           # ntile(4) over the per-customer agg
         "w12_survival_curve",     # KM cumsums over the |durations| table
+        "a28_abc_classification", # Pareto cumsum over the |parts| agg
     }
     flagged = {}
     for name, fn in QUERIES.items():
