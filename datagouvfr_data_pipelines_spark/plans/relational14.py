@@ -53,6 +53,158 @@ def emb_int8_quantize(spark, sf_dir):
 
 
 @register(
+    "w15_new_vs_returning",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    first_day AS (
+      SELECT user_id, MIN(day) AS fday FROM activity GROUP BY user_id
+    ),
+    daily AS (
+      SELECT a.day,
+             COUNT(*) AS n_active,
+             SUM(CASE WHEN f.fday = a.day THEN 1 ELSE 0 END) AS n_new
+      FROM activity a JOIN first_day f ON f.user_id = a.user_id
+      GROUP BY a.day
+    )
+    SELECT day, n_active, n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           SUM(n_new) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_users
+    FROM daily
+    """,
+    tags=["window", "retention", "growth", "events"],
+)
+def w15_new_vs_returning(spark, sf_dir):
+    """New-vs-returning daily actives (the standard product growth
+    decomposition): distinct (day, user) activity, each user's first day
+    joined back, and a cumulative-acquisition running sum over the tiny
+    |days| table. The (day, user) dedup is the skew-safe distinct shape
+    (value rides the shuffle key); everything after runs on aggregates."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("fday"))
+    daily = (
+        activity.join(first_day, on="user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("fday") == F.col("day"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+
+
+@register(
+    "w16_interevent_percentiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=["window", "A2", "timeseries", "events"],
+)
+def w16_interevent_percentiles(spark, sf_dir):
+    """Inter-event gap distribution per event type: per-(user, type) lag
+    over the total order, then exact interpolated percentiles over the
+    INTEGER microsecond gaps — the lag+percentile composition (session
+    tuning / anomaly baselines) with a2's exact-percentile parity. One
+    window shuffle + one partial-aggregated percentile pass."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.percentile("gap_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("gap_us", F.lit(0.9)).alias("p90_us"),
+    )
+
+
+@register(
+    "t_top_terms",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk WHERE length(tok) > 0 GROUP BY doc_id, tok
+    ), dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), n AS (SELECT COUNT(*) AS nd FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((SELECT nd FROM n) + 1) - ln(dfq.df + 1) + 1)
+               AS tfidf
+      FROM tf JOIN dfq ON tf.tok = dfq.tok
+      WHERE tf.doc_id < 50
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rk
+      FROM w
+    )
+    SELECT doc_id, rk, tok, tfidf FROM ranked WHERE rk <= 3
+    """,
+    tags=["text", "tfidf", "keywords", "A9"],
+)
+def t_top_terms(spark, sf_dir):
+    """Keyword extraction: top-3 TF-IDF terms per document — the
+    inverted-index weights (integer-domain ln, bit-exact) fed through a
+    per-doc rank window with a token tie-break. Rank agreement across
+    engines follows from weight bit-equality; doc_id < 50 bounds the
+    driver compare."""
+    from pyspark.sql import Window as W
+
+    from datagouvfr_data_pipelines_spark.functions.text import tfidf_weights
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()
+    w = tfidf_weights(docs, "doc_id", "text", n_docs=n).where(
+        F.col("doc_id") < 50
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    )
+    return (
+        w.select("doc_id", "tok", "tfidf", rk.alias("rk"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "tfidf")
+    )
+
+
+@register(
     "a29_mad_by_group",
     oracle="""
     WITH m AS (

@@ -208,6 +208,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "rfm_segments",           # ntile(4) over the per-customer agg
         "w12_survival_curve",     # KM cumsums over the |durations| table
         "a28_abc_classification", # Pareto cumsum over the |parts| agg
+        "w15_new_vs_returning",   # cumulative acquisitions over |days|
     }
     flagged = {}
     for name, fn in QUERIES.items():
