@@ -41,6 +41,7 @@ def curate_corpus(
     max_dup_span_frac: float | None = None,
     dedup_lines: bool = False,
     scrub_pii: bool = False,
+    model_quality_threshold: float | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
     "stats": one-row corpus stats}.
@@ -79,6 +80,49 @@ def curate_corpus(
     q_dropped = annotated.join(q_ok, "doc_id", "left_anti").select(
         "doc_id", F.lit("quality").alias("stage")
     )
+
+    # Optional model-based quality gate (teacher-student): a logistic
+    # regression distilled from the heuristic teacher (deterministic
+    # nano-quantized training, functions/ml.py) re-scores the survivors
+    # with a calibrated probability — borderline docs the hard heuristic
+    # passed but the model finds teacher-unlike drop here with their own
+    # ledger stage.
+    if model_quality_threshold is not None:
+        from datagouvfr_data_pipelines_spark.functions.ml import (
+            logreg_fit,
+            logreg_predict,
+        )
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            punct_ratio,
+            stopword_ratio,
+        )
+
+        feats = ["f_len", "f_punct", "f_stop", "f_tokens"]
+        feat_df = annotated.select(
+            "doc_id",
+            (F.length("text") / F.lit(1000.0)).alias("f_len"),
+            punct_ratio("text").alias("f_punct"),
+            stopword_ratio("text").alias("f_stop"),
+            (F.col("n_tokens") / F.lit(200.0)).alias("f_tokens"),
+            F.when(F.col("quality") >= min_quality, 1.0)
+            .otherwise(0.0)
+            .alias("teacher"),
+        )
+        wts = logreg_fit(feat_df, feats, "teacher", iters=30, lr=1.0)
+        scored = logreg_predict(feat_df, wts, feats, out_col="p_good").select(
+            "doc_id", "p_good"
+        )
+        m_ok = (
+            q_ok.join(scored, "doc_id")
+            .where(F.col("p_good") >= model_quality_threshold)
+            .drop("p_good")
+        )
+        m_dropped = q_ok.join(m_ok, "doc_id", "left_anti").select(
+            "doc_id", F.lit("model_quality").alias("stage")
+        )
+        q_ok = m_ok
+    else:
+        m_dropped = None
 
     # Gopher-style repetition gate: boilerplate-heavy docs out before the
     # expensive near-dup tier ever shingles them. Docs too short to have a
@@ -160,6 +204,8 @@ def curate_corpus(
         .unionByName(s_dropped)
         .unionByName(nd_dropped)
     )
+    if m_dropped is not None:
+        dropped = dropped.unionByName(m_dropped)
     if ld_dropped is not None:
         dropped = ld_dropped.unionByName(dropped)
     stats = nd_ok.agg(

@@ -113,3 +113,41 @@ def test_curate_corpus_line_dedup_and_span_stages(spark):
     assert stages[4] == "dup_spans"
     # ledger conservation still holds with the new stages
     assert len(kept) + len(stages) == 4
+
+
+def test_model_quality_stage_splits_with_ledger(spark):
+    """Optional classifier gate: survivors + dropped must exactly
+    partition the heuristic-quality survivors, with a dedicated
+    'model_quality' ledger stage; off by default (no stage emitted)."""
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.pipelines.corpus import curate_corpus
+
+    rows = []
+    for i in range(40):
+        good = "the quick brown fox jumps over the lazy dog and keeps running " * 4
+        bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))" * 3
+        rows.append((i, good if i % 2 == 0 else bad))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = curate_corpus(docs, model_quality_threshold=0.5)
+    stages = {r["stage"] for r in out["dropped"].select("stage").distinct().collect()}
+    kept_ids = {r["doc_id"] for r in out["kept"].collect()}
+    model_dropped = {
+        r["doc_id"]
+        for r in out["dropped"].where(F.col("stage") == "model_quality").collect()
+    }
+    # every doc lands exactly once across kept + ledger
+    all_dropped = {r["doc_id"] for r in out["dropped"].collect()}
+    assert kept_ids | all_dropped == set(range(40))
+    assert kept_ids & all_dropped == set()
+    # the model agrees with the teacher on this cleanly-separated corpus
+    assert model_dropped == set()
+    assert "quality" in stages
+
+    # stage absent when the gate is off
+    base = curate_corpus(docs)
+    base_stages = {
+        r["stage"] for r in base["dropped"].select("stage").distinct().collect()
+    }
+    assert "model_quality" not in base_stages
