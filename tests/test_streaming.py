@@ -480,3 +480,63 @@ def test_sliding_window_counts_batch_and_stream(spark, tmp_path):
     closed = {(str(r.window_start), r.nb) for r in emitted}
     assert ("2024-01-01 09:30:00", 2) in closed
     assert ("2024-01-01 09:15:00", 1) in closed
+
+
+def test_enrich_stream_with_refreshing_versioned_dim(spark, tmp_path):
+    """A dim snapshot published BETWEEN drains is visible to the next
+    batch: streaming enrich composes foreachBatch with the versioned
+    table's atomic pointer."""
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.io.versioned import (
+        read_version,
+        write_version,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.enrich import (
+        enrich_stream_with_dim,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    write_version(
+        spark.createDataFrame([("a", "alpha-v1")], "k string, label string"),
+        dim_dir,
+    )
+
+    src = tmp_path / "esrc"
+    src.mkdir()
+
+    def land(rs, name):
+        stage = str(tmp_path / "estage")
+        spark.createDataFrame(rs, "k string, v int") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(globmod.glob(stage + "/part-*.parquet")[0], str(src / name))
+
+    land([("a", 1)], "b1.parquet")
+    stream = spark.readStream.schema("k string, v int").parquet(str(src))
+    got = []
+
+    def drain():
+        q = enrich_stream_with_dim(
+            stream,
+            lambda sp: read_version(sp, dim_dir),
+            on=["k"],
+            sink=lambda b, i: got.extend(b.collect()),
+            checkpoint_dir=str(tmp_path / "eckpt"),
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert [(r["v"], r["label"]) for r in got] == [(1, "alpha-v1")]
+
+    # publish dim v2, land more facts: next batch sees the new snapshot
+    write_version(
+        spark.createDataFrame([("a", "alpha-v2")], "k string, label string"),
+        dim_dir,
+    )
+    land([("a", 2)], "b2.parquet")
+    drain()
+    assert sorted((r["v"], r["label"]) for r in got) == [
+        (1, "alpha-v1"),
+        (2, "alpha-v2"),
+    ]
