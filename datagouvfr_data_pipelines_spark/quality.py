@@ -145,3 +145,36 @@ def observe_quality(
         for rule, cond in rules.items()
     ]
     return df.observe(obs, *metrics), obs
+
+
+def schema_diff(df: DataFrame, expected_ddl: str) -> dict[str, list]:
+    """Data-contract check: classify drift between a frame and an expected
+    DDL schema ("a INT, b STRING, ...").
+
+    Returns {"missing": [...], "extra": [...], "type_changed":
+    [(col, expected, actual)]}. Complements ``conform_schema`` (which
+    force-aligns) by REPORTING drift first — publish gates want the diff
+    surfaced to a human before an automatic conform quietly nulls a
+    renamed column at 100 TB.
+    """
+    from pyspark.sql.types import StructType
+
+    expected = StructType.fromDDL(expected_ddl)
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    act = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return {
+        "missing": sorted(set(exp) - set(act)),
+        "extra": sorted(set(act) - set(exp)),
+        "type_changed": sorted(
+            (c, exp[c], act[c]) for c in set(exp) & set(act) if exp[c] != act[c]
+        ),
+    }
+
+
+def assert_schema_contract(df: DataFrame, expected_ddl: str) -> DataFrame:
+    """Gate form of :func:`schema_diff`: raises DataQualityError naming
+    every drift class; passes the frame through untouched when clean."""
+    diff = schema_diff(df, expected_ddl)
+    if any(diff.values()):
+        raise DataQualityError(f"schema contract violated: {diff}")
+    return df

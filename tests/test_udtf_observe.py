@@ -63,3 +63,28 @@ def test_observe_quality_piggybacks_on_action(spark):
     assert m["n_rows"] == 4
     assert m["bad_positive_price"] == 2  # -5.0 and NULL (fail-closed)
     assert m["bad_has_price"] == 1
+
+
+def test_schema_diff_and_contract_gate(spark):
+    import pytest
+
+    from datagouvfr_data_pipelines_spark.quality import (
+        DataQualityError,
+        assert_schema_contract,
+        schema_diff,
+    )
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    clean = "a INT, b STRING, c DOUBLE"
+    assert schema_diff(df, clean) == {
+        "missing": [], "extra": [], "type_changed": [],
+    }
+    assert assert_schema_contract(df, clean) is df
+
+    drifted = "a BIGINT, b STRING, d DATE"
+    diff = schema_diff(df, drifted)
+    assert diff["missing"] == ["d"]
+    assert diff["extra"] == ["c"]
+    assert diff["type_changed"] == [("a", "bigint", "int")]
+    with pytest.raises(DataQualityError, match="schema contract violated"):
+        assert_schema_contract(df, drifted)
