@@ -581,33 +581,34 @@ def q21_waiting_supplier(spark, sf_dir):
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    r_pairs = (
-        li.where(F.col("l_returnflag") == "R")
+    # ONE lineitem scan: per (orderkey, suppkey) whether the supplier has
+    # any returned line, then both per-order counts (distinct suppliers,
+    # distinct R-suppliers) from that single distinct projection — this
+    # replaces three separate scans/distincts with one shuffle pipeline.
+    per_pair = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_r")
+        )
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("has_r").alias("nr"),
+    )
+    wait_orders = per_order.where(
+        (F.col("ns") >= 2) & (F.col("nr") == 1)
+    ).select("l_orderkey")
+    pairs = (
+        per_pair.where(F.col("has_r") == 1)
+        .join(wait_orders, on="l_orderkey")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    pairs = r_pairs.join(o_f, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey"
-    )
-    supp_per_order = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("ns"))
-        .where(F.col("ns") >= 2)
-        .select(F.col("l_orderkey").alias("so_orderkey"))
-    )
-    r_supp_per_order = (
-        r_pairs.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("nr"))
-        .where(F.col("nr") == 1)
-        .select(F.col("l_orderkey").alias("ro_orderkey"))
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        pairs.join(supp_per_order, F.col("l_orderkey") == F.col("so_orderkey"))
-        .join(r_supp_per_order, F.col("l_orderkey") == F.col("ro_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        pairs.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
