@@ -317,3 +317,74 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def publish_dataset(
+    df: DataFrame,
+    out_dir: str,
+    name: str,
+    formats: tuple[str, ...] = ("parquet", "csv"),
+    compression: str = "zstd",
+) -> dict:
+    """Dataset publication bundle: the reference uploads each end product
+    to data.gouv with resource metadata (utils/datagouv.py publication
+    flow); engine-side that is a directory of formats plus a MANIFEST the
+    downstream catalog can trust:
+
+        <out_dir>/<name>.parquet/   distributed parquet (zstd)
+        <out_dir>/<name>.csv        single-file CSV (when requested)
+        <out_dir>/<name>.manifest.json
+            {name, n_rows, columns: [{name, type}], files:
+             [{path, bytes, sha256 (single files only)}], published_at}
+
+    Row count comes from ONE count() action; checksums cover the
+    single-file artifacts (a sha over a multi-part parquet dir is
+    meaningless — its integrity is per-file parquet CRC). Returns the
+    manifest dict. The HTTP upload stays a driver-side connector
+    (publish_to_object_store / datagouv client) by design.
+    """
+    import hashlib
+    import json as _json
+    import time as _time
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_rows = df.count()
+    files = []
+    if "parquet" in formats:
+        pq_path = os.path.join(out_dir, f"{name}.parquet")
+        df.write.mode("overwrite").option("compression", compression).parquet(pq_path)
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(pq_path)
+            for f in fs
+        )
+        files.append({"path": pq_path, "bytes": nbytes, "sha256": None})
+    if "csv" in formats:
+        csv_path = publish_single_csv(df, os.path.join(out_dir, f"{name}.csv"))
+        h = hashlib.sha256()
+        with open(csv_path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        files.append(
+            {
+                "path": csv_path,
+                "bytes": os.path.getsize(csv_path),
+                "sha256": h.hexdigest(),
+            }
+        )
+    manifest = {
+        "name": name,
+        "n_rows": n_rows,
+        "columns": [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ],
+        "files": files,
+        "published_at": _time.time(),
+    }
+    mpath = os.path.join(out_dir, f"{name}.manifest.json")
+    tmp = mpath + ".__tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        _json.dump(manifest, f, indent=2)
+    os.replace(tmp, mpath)
+    return manifest

@@ -137,3 +137,29 @@ def test_read_csv_typed_captures_corrupt_records(spark, tmp_path):
     # default path unchanged: no extra column
     plain = read_csv_typed(spark, str(p), "id int, qty int")
     assert "_corrupt_record" not in plain.columns
+
+
+def test_publish_dataset_bundle(spark, tmp_path):
+    import hashlib
+    import json
+
+    from datagouvfr_data_pipelines_spark.io.writers import publish_dataset
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, label string"
+    )
+    out = str(tmp_path / "pub")
+    manifest = publish_dataset(df, out, "demo")
+    assert manifest["n_rows"] == 3
+    assert [c["name"] for c in manifest["columns"]] == ["id", "label"]
+    on_disk = json.load(open(f"{out}/demo.manifest.json"))
+    assert on_disk["n_rows"] == 3
+    # parquet round-trips; csv checksum matches the manifest
+    assert spark.read.parquet(f"{out}/demo.parquet").count() == 3
+    csv_entry = [f for f in on_disk["files"] if f["path"].endswith(".csv")][0]
+    h = hashlib.sha256(open(csv_entry["path"], "rb").read()).hexdigest()
+    assert h == csv_entry["sha256"]
+    assert csv_entry["bytes"] > 0
+    # republish is idempotent (overwrite, manifest replaced atomically)
+    manifest2 = publish_dataset(df, out, "demo")
+    assert manifest2["n_rows"] == 3
