@@ -53,6 +53,56 @@ def emb_int8_quantize(spark, sf_dir):
 
 
 @register(
+    "w17_purchase_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM grp GROUP BY user_id, anchor
+    )
+    SELECT len AS streak_days, COUNT(*) AS n_streaks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM streaks GROUP BY len
+    """,
+    tags=["window", "gaps-and-islands", "streaks", "events"],
+)
+def w17_purchase_streaks(spark, sf_dir):
+    """Gaps-and-islands: consecutive-day purchase streak distribution.
+    The classic island key is ``day - row_number()`` (constant within a
+    run of consecutive days), so islands fall out of one per-user window
+    plus an ordinary groupBy — no iterative logic. The (user, day) dedup
+    is the skew-safe distinct; every later stage runs on streak-sized
+    aggregates."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    grp = days.select(
+        "user_id", "day", F.date_sub("day", rn).alias("anchor")
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy(F.col("len").alias("streak_days")).agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
     "w15_new_vs_returning",
     oracle="""
     WITH activity AS (
