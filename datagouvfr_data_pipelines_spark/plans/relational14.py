@@ -53,6 +53,141 @@ def emb_int8_quantize(spark, sf_dir):
 
 
 @register(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, order_year
+    """,
+    tags=["flagship", "tpch-q9", "J1", "A3"],
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, adapted: p_retailprice stands
+    in for the missing partsupp supplycost): profit per supplier nation
+    per order year across a 5-table join. Part/supplier/nation broadcast;
+    lineitem ⋈ orders is the one fact shuffle; the profit measure is a
+    decimal-exact difference of products."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    profit_term = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(18,2)"
+    ) - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(
+                s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(F.sum(profit_term).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "j20_order_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, MAX(l.l_shipdate)) AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(MIN(d) AS BIGINT) AS min_days,
+           CAST(MAX(d) AS BIGINT) AS max_days,
+           quantile_cont(d, 0.5) AS median_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    tags=["J5", "A2", "lifecycle", "latency"],
+)
+def j20_order_latency(spark, sf_dir):
+    """Order-lifecycle latency: order date to LAST line shipment, summary
+    per priority. Per-order max over the orderkey shuffle, integer day
+    deltas, exact interpolated median (a2 parity). The fulfillment-SLA
+    report shape — one fact join, two partial-aggregated passes."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("d"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("d").cast("bigint").alias("min_days"),
+        F.max("d").cast("bigint").alias("max_days"),
+        F.percentile("d", F.lit(0.5)).alias("median_days"),
+    )
+
+
+@register(
+    "a31_pivot_multi",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_nb,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS F_total,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_nb,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS O_total,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_nb,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS P_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=["pivot", "A1", "A4"],
+)
+def a31_pivot_multi(spark, sf_dir):
+    """Multi-aggregate pivot: status columns each carrying TWO measures
+    (count + decimal-exact total) in one pass — Spark's pivot with a
+    multi-agg list compiles to exactly the conditional-aggregation form
+    the oracle writes out, so there is still only one shuffle with
+    map-side partials."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
     "w17_purchase_streaks",
     oracle="""
     WITH days AS (
