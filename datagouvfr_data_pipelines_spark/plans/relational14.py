@@ -53,6 +53,95 @@ def emb_int8_quantize(spark, sf_dir):
 
 
 @register(
+    "a32_weighted_median",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS wt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, v,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS totw
+      FROM agg
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM c WHERE 2 * cumw >= totw GROUP BY l_returnflag
+    """,
+    tags=["A2", "weighted-median", "window"],
+)
+def a32_weighted_median(spark, sf_dir):
+    """Exact weighted median (price weighted by quantity) per group: the
+    first value whose cumulative integer weight crosses half the total —
+    pure BIGINT comparisons over a value-ordered cumulative window, so
+    the answer is a SELECTED input value, bit-portable by construction.
+    Distinct values pre-aggregate first (the cumulative window sees
+    |distinct values| rows, not fact volume)."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("wt"))
+    wp = W.partitionBy("l_returnflag")
+    wc = wp.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = agg.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wc).alias("cumw"),
+        F.sum("wt").over(wp).alias("totw"),
+    )
+    return (
+        c.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
+@register(
+    "a33_mode_per_group",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l_returnflag, v, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, v) AS rk
+      FROM cnt
+    )
+    SELECT l_returnflag, v AS mode_qty, n AS n_occurrences
+    FROM r WHERE rk = 1
+    """,
+    tags=["A6", "mode", "window"],
+)
+def a33_mode_per_group(spark, sf_dir):
+    """Per-group mode with a deterministic tie-break (count DESC, value
+    ASC): one partial-aggregated value count, then a rank window over the
+    tiny |distinct values| table — never a collect-and-scan. The
+    engine-native statistical mode the reference computes with pandas
+    value_counts().head(1)."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(F.desc("n"), "v")
+    )
+    return (
+        cnt.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("l_returnflag", F.col("v").alias("mode_qty"), F.col("n").alias("n_occurrences"))
+    )
+
+
+@register(
     "q9_profit_by_nation_year",
     oracle="""
     SELECT n.n_name,
