@@ -581,34 +581,27 @@ def q21_waiting_supplier(spark, sf_dir):
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    # ONE lineitem scan: per (orderkey, suppkey) whether the supplier has
-    # any returned line, then both per-order counts (distinct suppliers,
-    # distinct R-suppliers) from that single distinct projection — this
-    # replaces three separate scans/distincts with one shuffle pipeline.
-    per_pair = (
-        li.groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("has_r")
-        )
+    # ONE lineitem scan, ONE shuffle: collect per-order distinct supplier
+    # sets (all suppliers, and suppliers with a returned line) in a single
+    # groupBy(l_orderkey) with map-side partial collect_set. Both correlated
+    # EXISTS become size() predicates; the lone culpable supplier is the
+    # singleton element of the R-set. Set sizes are bounded by basket size,
+    # so state per key is a small constant at any scale. The orders filter
+    # joins on the groupBy's own partitioning (co-located, no re-shuffle).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("all_s"),
+        F.collect_set(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("r_s"),
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("ns"),
-        F.sum("has_r").alias("nr"),
-    )
-    wait_orders = per_order.where(
-        (F.col("ns") >= 2) & (F.col("nr") == 1)
-    ).select("l_orderkey")
-    pairs = (
-        per_pair.where(F.col("has_r") == 1)
-        .join(wait_orders, on="l_orderkey")
+    culprits = (
+        per_order.where((F.size("all_s") >= 2) & (F.size("r_s") == 1))
         .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey", "l_suppkey")
+        .select(F.col("r_s")[0].alias("l_suppkey"))
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        pairs.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        culprits.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
