@@ -1,0 +1,224 @@
+"""Incremental corpus dedup: dedup a NEW ingest batch against the
+fingerprint index of an already-curated corpus WITHOUT re-scanning the
+corpus text.
+
+At 100 TB the curated corpus is effectively immutable and far too large to
+re-shingle on every ingest. The state kept between ingests is a compact
+per-document index row — ``(doc, content_sha, sig, band_hashes)``, ~0.6 KB
+per document (32 B sha + k x 8 B signature + bands x 8 B band keys) —
+roughly 0.1% of the text it summarizes. Each ingest then:
+
+1. builds index rows for the batch in ONE scan (shingle explode ->
+   K-permutation signature aggregate, with the content sha carried through
+   the same groupBy — no second scan, no id join);
+2. drops exact dups: batch sha already present in the corpus index
+   (shuffle semi-join on sha — store the index bucketed by ``content_sha``
+   to make this co-located), or duplicated within the batch (min-id
+   survivor);
+3. drops near dups vs the corpus: LSH band-key equi-join against the
+   corpus index (never all-pairs). The corpus side is FIRST pruned by a
+   broadcast semi-join on the batch's band keys — only index rows whose
+   band key occurs in the batch are ever shuffled — then hot buckets are
+   capped (``max_bucket_size`` smallest doc ids) exactly like the batch
+   LSH path. The verifier is the MinHash SIGNATURE AGREEMENT fraction
+   (matching components / k): the standard text-free estimate of Jaccard
+   at this state size (std-error ~1/sqrt(k) ~= 0.125 at k=64; banding
+   already guarantees every candidate shares one full band);
+4. drops near dups WITHIN the batch with the exact text verifier
+   (``near_duplicate_pairs`` — the batch text is at hand), greedy
+   keep-the-smaller-id edge rule (full connected-component collapse lives
+   in pipelines/corpus.py for offline runs);
+5. returns (survivors, survivor index rows to append, drop ledger with
+   per-reason provenance — ``exact_corpus | exact_batch | near_corpus |
+   near_batch``, earlier reasons take precedence).
+
+Ref parity: the reference's consolidation re-reads its full prior output
+every run to dedup against it (schema/utils/consolidation.py:54-76
+download-all-then-concat); this operator replaces that with state that
+grows with document COUNT, not corpus BYTES.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from datagouvfr_data_pipelines_spark.functions.text import word_shingles
+from datagouvfr_data_pipelines_spark.operators.dedup import (
+    MERSENNE31,
+    _minhash_params,
+    content_hash,
+    near_duplicate_pairs,
+)
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document dedup fingerprints: (doc, content_sha, sig, band_hashes).
+
+    One scan: explode_outer(shingles) keeps zero-shingle documents (their
+    sha still participates in exact dedup) -> base xxhash per shingle ->
+    K min-aggregates grouped by (doc, sha) -> signature array + per-band
+    hashes. Documents with no shingles get NULL sig/band_hashes and are
+    excluded from the LSH path (two whitespace-only docs must match via
+    their sha, never via a hash of an all-null signature).
+    """
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        content_hash(text_col).alias("content_sha"),
+        F.explode_outer(word_shingles(text_col, shingle_n)).alias("s"),
+    ).select(
+        "doc",
+        "content_sha",
+        F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h"),
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_params(k, seed))
+    ]
+    agged = base.groupBy("doc", "content_sha").agg(*aggs)
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(k)])
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(F.slice(sig_arr, b * rows + 1, rows)).cast("long"),
+    )
+    has_sig = F.col("m0").isNotNull()
+    return agged.select(
+        "doc",
+        "content_sha",
+        F.when(has_sig, sig_arr).alias("sig"),
+        F.when(has_sig, band_arr).alias("band_hashes"),
+    )
+
+
+class IncrementalDedupResult(NamedTuple):
+    survivors: DataFrame  # batch rows that enter the corpus
+    index_rows: DataFrame  # their fingerprints, to append to the index
+    ledger: DataFrame  # (doc, reason) for every dropped batch doc
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int = 64,
+    seed: int = 42,
+) -> IncrementalDedupResult:
+    """Dedup ``batch`` against ``index`` (see module docstring).
+
+    ``index`` must have the ``build_dedup_index`` schema and the SAME
+    (k, bands, shingle_n, seed) — signatures from different parameters are
+    incomparable. The batch fingerprint projection is persisted around its
+    four consumers (exact join, band join, agreement verify, ledger);
+    callers stream-ingesting forever should clearCache() between batches.
+    """
+    bidx = build_dedup_index(
+        batch, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n, seed=seed
+    ).persist()
+
+    # -- exact tier ---------------------------------------------------------
+    exact_corpus = bidx.join(
+        index.select("content_sha").distinct(), "content_sha", "leftsemi"
+    ).select("doc")
+    intra_keep = bidx.groupBy("content_sha").agg(F.min("doc").alias("__keep"))
+    exact_batch = (
+        bidx.join(intra_keep, "content_sha")
+        .where(F.col("doc") != F.col("__keep"))
+        .select("doc")
+    )
+
+    # -- near tier vs corpus ------------------------------------------------
+    b_bands = bidx.where(F.col("band_hashes").isNotNull()).select(
+        "doc", F.posexplode("band_hashes").alias("band", "bh")
+    )
+    bkeys = b_bands.select("band", "bh").distinct()
+    c_bands = index.where(F.col("band_hashes").isNotNull()).select(
+        F.col("doc").alias("cdoc"), F.posexplode("band_hashes").alias("band", "bh")
+    )
+    # broadcast the batch's band keys so only matching corpus index rows
+    # are shuffled; then cap hot buckets to the smallest max_bucket_size ids
+    capped = (
+        c_bands.join(F.broadcast(bkeys), ["band", "bh"])
+        .groupBy("band", "bh")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("cdoc")), 1, max_bucket_size
+            ).alias("cdocs")
+        )
+    )
+    cand = (
+        b_bands.join(capped, ["band", "bh"])
+        .select("doc", F.explode("cdocs").alias("cdoc"))
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "csig", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    near_corpus = (
+        cand.join(bidx.select("doc", "sig"), "doc")
+        .join(
+            index.select(F.col("doc").alias("cdoc"), F.col("sig").alias("csig")),
+            "cdoc",
+        )
+        .where(agree >= F.lit(int(threshold * k)))
+        .select("doc")
+        .distinct()
+    )
+
+    # -- near tier within batch (exact text verify) -------------------------
+    near_batch = near_duplicate_pairs(
+        batch,
+        id_col,
+        text_col,
+        k=k,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("id_b").alias("doc")).distinct()
+
+    # -- combine with reason precedence ------------------------------------
+    reasons = [
+        (exact_corpus, "exact_corpus"),
+        (exact_batch, "exact_batch"),
+        (near_corpus, "near_corpus"),
+        (near_batch, "near_batch"),
+    ]
+    tagged = None
+    for dframe, reason in reasons:
+        t = dframe.select("doc", F.lit(reason).alias("reason"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    pri = F.array_position(
+        F.array(*[F.lit(r) for _, r in reasons]), F.col("reason")
+    )
+    ledger = (
+        tagged.groupBy("doc")
+        .agg(F.min_by("reason", pri).alias("reason"))
+    )
+    dropped = ledger.select(F.col("doc").alias("__dropped_id"))
+    survivors = batch.join(
+        dropped, F.col(id_col) == F.col("__dropped_id"), "left_anti"
+    )
+    index_rows = bidx.join(
+        dropped, F.col("doc") == F.col("__dropped_id"), "left_anti"
+    )
+    return IncrementalDedupResult(survivors, index_rows, ledger)

@@ -1,0 +1,89 @@
+"""Catalog batch 15 (round 3): incremental corpus ingestion — dedup a new
+batch of documents against the fingerprint index of the already-curated
+corpus without re-reading corpus text (operators/incremental_dedup.py).
+
+The documents table is split deterministically: corpus = doc_id % 4 != 3
+(already curated), batch = doc_id % 4 == 3 (the new ingest). Output is the
+per-document ingest decision — scalar columns only, driver-canonicalizable.
+
+Ref parity: replaces the reference's re-download-everything consolidation
+dedup (schema/utils/consolidation.py:54-76) with index-vs-batch joins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
+    build_dedup_index,
+    incremental_dedup,
+)
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+
+
+def _split(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 4 != 3)
+    batch = docs.where(F.col("doc_id") % 4 == 3)
+    return corpus, batch
+
+
+def _decisions(batch, res, id_col="doc_id"):
+    """(doc, status) for every batch doc: ledger reasons + 'survived'."""
+    survived = res.survivors.select(
+        F.col(id_col).alias("doc"), F.lit("survived").alias("status")
+    )
+    return res.ledger.select(
+        "doc", F.col("reason").alias("status")
+    ).unionByName(survived)
+
+
+@register(
+    "d_incremental_exact_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS sha
+      FROM documents WHERE doc_id % 4 = 3
+    ),
+    corpus AS (
+      SELECT DISTINCT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS sha
+      FROM documents WHERE doc_id % 4 <> 3
+    ),
+    keep AS (SELECT sha, MIN(doc_id) AS keep_id FROM batch GROUP BY sha)
+    SELECT b.doc_id AS doc,
+           CASE WHEN b.sha IN (SELECT sha FROM corpus) THEN 'exact_corpus'
+                WHEN b.doc_id <> k.keep_id THEN 'exact_batch'
+                ELSE 'survived' END AS status
+    FROM batch b JOIN keep k ON b.sha = k.sha
+    """,
+    tags=["dedup", "incremental", "O4"],
+)
+def d_incremental_exact_dedup(spark, sf_dir):
+    """Incremental ingest, exact tier only (threshold=2.0 makes both
+    near-dup verifiers unsatisfiable, so the decision is pure content-sha
+    set logic — fully ANSI-SQL reproducible and hash-checked). One index
+    build over the corpus split + one over the batch, then semi-join on
+    sha vs the index and min-id survivor within the batch."""
+    corpus, batch = _split(spark, sf_dir)
+    idx = build_dedup_index(corpus, "doc_id", "text")
+    res = incremental_dedup(batch, idx, "doc_id", "text", threshold=2.0)
+    return _decisions(batch, res)
+
+
+@register(
+    "d_incremental_dedup",
+    tags=["dedup", "incremental", "minhash", "flagship"],
+)
+def d_incremental_dedup(spark, sf_dir):
+    """Full incremental ingest decision: exact tiers plus MinHash-LSH
+    near-dup vs the corpus index (signature-agreement verify — the corpus
+    text is never read) and exact-Jaccard near-dup within the batch.
+    Rows-only check: the near tiers hash shingles with xxhash64, which no
+    SQL oracle reproduces; the exact tier of the SAME pipeline is
+    hash-verified by d_incremental_exact_dedup, and the LSH/verify kernels
+    are oracle-covered by d_minhash_sig / d_ngram_jaccard_pairs."""
+    corpus, batch = _split(spark, sf_dir)
+    idx = build_dedup_index(corpus, "doc_id", "text")
+    res = incremental_dedup(batch, idx, "doc_id", "text", threshold=0.8)
+    return _decisions(batch, res)

@@ -1,0 +1,124 @@
+"""Streaming corpus ingestion with incremental dedup.
+
+Newly-arrived document files are drained (Trigger.AvailableNow, checkpoint
+= the processed-file ledger) and each batch is deduped against the
+fingerprint index accumulated from EVERY previous batch — exact and
+near-dup tiers — before its survivors are appended to the curated corpus.
+The corpus text is never re-read: between batches the only state is the
+compact ``build_dedup_index`` fingerprint table (operators/
+incremental_dedup.py), so ingest cost stays proportional to the BATCH,
+not the corpus — the shape that keeps a 100 TB corpus ingestable.
+
+Retry safety mirrors streaming/incremental.py: foreachBatch can replay a
+batch whose sink ran but whose checkpoint commit didn't, so the index
+directory carries a ``_last_batch`` watermark written AFTER the atomic
+swap; a replayed batch id appends zero rows, not duplicates. The survivor
+append itself is idempotent per batch (one overwritten subdirectory per
+batch id).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from datagouvfr_data_pipelines_spark.io.writers import write_parquet
+from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
+    incremental_dedup,
+)
+from datagouvfr_data_pipelines_spark.streaming.availablenow import (
+    process_available_files,
+)
+
+_WATERMARK = "_last_batch"
+
+
+def _read_watermark(index_path: str) -> int:
+    p = os.path.join(os.path.dirname(index_path.rstrip("/")), _WATERMARK)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return int(fh.read().strip())
+    return -1
+
+
+def _write_watermark(index_path: str, batch_id: int) -> None:
+    p = os.path.join(os.path.dirname(index_path.rstrip("/")), _WATERMARK)
+    with open(p, "w") as fh:
+        fh.write(str(batch_id))
+
+
+def dedup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    id_col: str,
+    text_col: str,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    fmt: str = "parquet",
+) -> None:
+    """Drain available files; per batch: dedup vs index, append survivors
+    to ``corpus_dir/batch=<id>/``, swap the grown index into ``index_dir``.
+    """
+    import glob as _glob
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _read_watermark(index_dir) >= batch_id:
+            return  # replayed batch: already fully applied
+        have_index = bool(
+            _glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True)
+        )
+        if have_index:
+            index = spark.read.parquet(index_dir)
+        else:
+            from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
+                build_dedup_index,
+            )
+
+            index = build_dedup_index(
+                batch_df.limit(0), id_col, text_col, k, bands, shingle_n
+            )
+        res = incremental_dedup(
+            batch_df,
+            index,
+            id_col,
+            text_col,
+            k=k,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=threshold,
+        )
+        # survivors: idempotent per-batch subdirectory overwrite
+        write_parquet(res.survivors, os.path.join(corpus_dir, f"batch={batch_id}"))
+        # index: atomic swap of old + new rows
+        merged = index.unionByName(res.index_rows)
+        tmp = index_dir.rstrip("/") + "__tmp_swap"
+        write_parquet(merged, tmp)
+        old = index_dir.rstrip("/") + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(index_dir):
+            os.rename(index_dir, old)
+        os.rename(tmp, index_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        spark.catalog.clearCache()  # drop the batch fingerprint persist
+        _write_watermark(index_dir, batch_id)
+
+    process_available_files(
+        spark,
+        source_dir,
+        schema,
+        transform=lambda df: df,
+        sink_fn=sink,
+        checkpoint_dir=checkpoint_dir,
+        fmt=fmt,
+    )

@@ -1,0 +1,125 @@
+"""Incremental dedup: batch-vs-index semantics and the streaming ingest loop."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
+    build_dedup_index,
+    incremental_dedup,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_B = "completely different text about distributed query engines and shuffles"
+FRESH = "a genuinely novel document with entirely fresh content and words"
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B), (3, "   ")], ["doc_id", "body"]
+    )
+
+
+def test_index_schema_and_empty_doc(spark):
+    idx = build_dedup_index(_corpus(spark), "doc_id", "body")
+    rows = {r["doc"]: r for r in idx.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert len(rows[1]["sig"]) == 64 and len(rows[1]["band_hashes"]) == 8
+    # whitespace-only doc: sha of empty string, never enters the LSH path
+    import hashlib
+
+    assert rows[3]["content_sha"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_incremental_dedup_reasons(spark):
+    idx = build_dedup_index(_corpus(spark), "doc_id", "body")
+    batch = spark.createDataFrame(
+        [
+            (10, DOC_A),  # exact dup of corpus doc 1
+            (11, DOC_A_NEAR),  # near dup of corpus doc 1
+            (12, FRESH),
+            (13, FRESH),  # exact dup of 12 within the batch
+            (15, "\t "),  # normalizes to same empty sha as corpus doc 3
+        ],
+        ["doc_id", "body"],
+    )
+    res = incremental_dedup(batch, idx, "doc_id", "body", threshold=0.7)
+    ledger = {r["doc"]: r["reason"] for r in res.ledger.collect()}
+    assert ledger == {
+        10: "exact_corpus",
+        11: "near_corpus",
+        13: "exact_batch",
+        15: "exact_corpus",
+    }
+    assert [r["doc_id"] for r in res.survivors.orderBy("doc_id").collect()] == [12]
+    assert [r["doc"] for r in res.index_rows.collect()] == [12]
+
+
+def test_reingest_everything_drops(spark):
+    """Idempotence: re-ingesting an already-curated batch drops every doc."""
+    corpus = _corpus(spark)
+    idx = build_dedup_index(corpus, "doc_id", "body")
+    reid = corpus.select((F.col("doc_id") + 100).alias("doc_id"), "body")
+    res = incremental_dedup(reid, idx, "doc_id", "body")
+    assert res.survivors.count() == 0
+    assert res.ledger.where(F.col("reason") == "exact_corpus").count() == 3
+
+
+def test_streaming_ingest_two_drains_and_replay(spark, tmp_path):
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        dedup_ingest_stream,
+    )
+
+    import glob as globmod
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, body string"
+
+    def land(df, name):
+        # single flat parquet FILE (the file stream source lists flat files)
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    land(spark.createDataFrame([(1, DOC_A), (2, DOC_B)], schema), "f1.parquet")
+    kw = dict(
+        schema=schema,
+        id_col="doc_id",
+        text_col="body",
+        corpus_dir=corpus_dir,
+        index_dir=index_dir,
+        checkpoint_dir=ckpt,
+        threshold=0.7,
+    )
+    dedup_ingest_stream(spark, str(src), **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [1, 2]
+
+    # second drain: one exact dup, one near dup, one fresh
+    land(
+        spark.createDataFrame([(10, DOC_A), (11, DOC_A_NEAR), (12, FRESH)], schema),
+        "f2.parquet",
+    )
+    dedup_ingest_stream(spark, str(src), **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [1, 2, 12]
+    idx = spark.read.parquet(index_dir)
+    assert sorted(r["doc"] for r in idx.collect()) == [1, 2, 12]
+
+    # third drain with nothing new: checkpoint ledger yields zero batches
+    dedup_ingest_stream(spark, str(src), **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [1, 2, 12]
+    # watermark survived and matches the last applied batch
+    wm = os.path.join(str(tmp_path), "_last_batch")
+    assert os.path.exists(wm)
