@@ -225,3 +225,72 @@ def pagerank(
         ranks = new_ranks
     nodes.unpersist()
     return ranks
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # rank unit = 1e-12 of total mass
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 6,
+) -> DataFrame:
+    """Bit-exact PageRank: all arithmetic on BIGINT pico-units.
+
+    Same structure as ``pagerank`` (one shuffled join + groupBy per
+    iteration, dangling mass as a driver scalar) but every quantity is an
+    integer multiple of 1/PAGERANK_SCALE with floor division at the three
+    points where real PageRank divides (initial 1/n, contribution
+    rank/deg, dangling share/n) and damping applied as ``(17*x) div 20``
+    (= 0.85 exactly). Integer sums are shuffle-order independent, so the
+    result is IDENTICAL on any partitioning and reproducible in ANSI SQL —
+    this is the oracle-checkable face of the float ``pagerank`` (which it
+    agrees with to ~1e-9 relative, test-pinned). Mass conservation is
+    traded for exactness: each floor division drops < 1 pico-unit/node.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    nodes.cache()
+    n = nodes.count()
+    out_deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base = (3 * PAGERANK_SCALE) // (20 * n)
+    ranks = nodes.withColumn("rank", F.lit(PAGERANK_SCALE // n).cast("long"))
+    ranks.cache()
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("__dst"))
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, on="node", how="left")
+        dangling = (
+            with_deg.where(F.col("__deg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0
+        )
+        share = int(dangling) // n
+        contribs = (
+            e.join(with_deg.where(F.col("__deg").isNotNull()), on="node")
+            .select(
+                F.col("__dst").alias("node"),
+                F.expr("rank div __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_ranks = nodes.join(contribs, on="node", how="left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"(17 * (coalesce(__in, 0L) + {share}L)) div 20"
+                )
+            ).alias("rank"),
+        )
+        new_ranks.cache()
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    nodes.unpersist()
+    return ranks

@@ -87,3 +87,72 @@ def d_incremental_dedup(spark, sf_dir):
     idx = build_dedup_index(corpus, "doc_id", "text")
     res = incremental_dedup(batch, idx, "doc_id", "text", threshold=0.8)
     return _decisions(batch, res)
+
+
+def _pagerank_exact_oracle(iters: int = 6) -> str:
+    """Unrolled integer-PageRank oracle: one CTE trio per iteration.
+
+    Recursive CTEs can't aggregate in the recursive member, so the fixed
+    iteration count is unrolled mechanically — the SQL mirrors
+    operators/graph.py:pagerank_exact term for term (BIGINT pico-units,
+    floor division at 1/n, rank/deg, share/n, damping = (17*x)//20).
+    """
+    scale = 1_000_000_000_000
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS rank
+      FROM nodes
+    )""".replace("{scale}", str(scale))
+    for i in range(iters):
+        sql += f""",
+    in{i} AS (
+      SELECT e.dst AS node, SUM(r.rank // deg.d) AS inn
+      FROM edges e
+      JOIN r{i} r ON r.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    dang{i} AS (
+      SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn) AS share
+      FROM r{i} r WHERE r.node NOT IN (SELECT src FROM edges)
+    ),
+    r{i + 1} AS (
+      SELECT n.node,
+             (3 * {scale}) // (20 * (SELECT n FROM nn))
+             + (17 * (COALESCE(i.inn, 0) + (SELECT share FROM dang{i}))) // 20
+               AS rank
+      FROM nodes n LEFT JOIN in{i} i ON i.node = n.node
+    )"""
+    return sql + f"\n    SELECT node, rank FROM r{iters}"
+
+
+@register(
+    "g_pagerank_exact",
+    oracle=_pagerank_exact_oracle(6),
+    tags=["graph", "pagerank", "integer-exact"],
+)
+def g_pagerank_exact(spark, sf_dir):
+    """Bit-exact PageRank (BIGINT pico-units) over the customer->supplier
+    purchase graph — the hash-verifiable twin of g_pagerank: identical
+    iteration structure, integer floor-division arithmetic, so the driver
+    gate can compare full 6-iteration results value-for-value."""
+    from datagouvfr_data_pipelines_spark.operators.graph import pagerank_exact
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_exact(edges, "src", "dst", iterations=6)

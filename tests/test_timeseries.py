@@ -271,3 +271,27 @@ def test_grouped_top_k_matches_window_form_any_fan(spark):
             ).collect()
         )
         assert got == want, f"fan={fan}"
+
+
+def test_pagerank_exact_tracks_float_and_is_partition_invariant(spark):
+    from datagouvfr_data_pipelines_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+        pagerank_exact,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3), (3, 4), (4, 0), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    flt = {r.node: r.rank for r in pagerank(df, iterations=6).collect()}
+    exact = {r.node: r.rank for r in pagerank_exact(df, iterations=6).collect()}
+    assert set(flt) == set(exact)
+    for node, rank in exact.items():
+        # pico-unit integer path agrees with the float path to ~1e-9
+        assert abs(rank / PAGERANK_SCALE - flt[node]) < 1e-8
+
+    # identical bits under a different partitioning
+    re = {
+        r.node: r.rank
+        for r in pagerank_exact(df.repartition(7), iterations=6).collect()
+    }
+    assert re == exact
