@@ -136,3 +136,103 @@ def theta_overlap(
             f"n_only{suffixes[0]}"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile states (deterministic bottom-k row sample)
+# ---------------------------------------------------------------------------
+#
+# The algebraic quartet in aggregates.partial_agg_states covers count/sum/
+# min/max but not quantiles, so incremental rollups could not maintain a
+# median or p95 without rescanning history. This closes that: the state per
+# group is the k rows with the SMALLEST xxhash64(row id) — a deterministic
+# uniform row sample (every row's inclusion depends only on its id hash and
+# the other hashes present, not on partitioning or arrival order), and
+# bottom-k-by-hash is associative, so states merge exactly: merging batch
+# states equals building the state over the union (test-pinned, not just
+# approximately). Quantile estimates off a k-sample have rank error
+# ~1/sqrt(k) (k=1024 -> ~3 percentile points, Dvoretzky–Kiefer–Wolfowitz).
+# State is ~16 B x k per group, same ballpark as an HLL at lgK=12.
+
+
+def quantile_sample_states(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    state_col: str = "st_qsample",
+) -> DataFrame:
+    """Per-group mergeable quantile state: array<struct<h,v>> of the k
+    smallest-hash rows, hash-ascending. Built skew-safely with the
+    two-stage salted bottom-k (grouped_top_k) so a hot group never funnels
+    through one reducer."""
+    from datagouvfr_data_pipelines_spark.operators.aggregates import grouped_top_k
+
+    proj = df.select(
+        *group_cols,
+        F.xxhash64(F.col(id_col)).alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # total order (h, v): hash collisions with distinct values would
+    # otherwise make the k-th slot partition-dependent
+    kept = grouped_top_k(
+        proj,
+        group_cols,
+        [F.col("__h").asc(), F.col("__v").asc()],
+        k=k,
+        tiebreak_col="__h",
+        rank_alias="__rank",
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+        ).alias(state_col)
+    )
+
+
+def quantile_sample_merge(
+    states: list[DataFrame],
+    group_cols: list[str],
+    k: int = 1024,
+    state_col: str = "st_qsample",
+) -> DataFrame:
+    """Exact state merge: union, re-take the k smallest hashes per group.
+    Associative and order-independent — any merge tree gives the same
+    state as a direct build over all rows."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return (
+        u.select(*group_cols, F.explode(state_col).alias("e"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(F.sort_array(F.collect_list("e")), 1, k).alias(state_col)
+        )
+    )
+
+
+def quantile_estimate(
+    states: DataFrame,
+    probs: list[float],
+    group_cols: list[str],
+    state_col: str = "st_qsample",
+    prefix: str = "q",
+) -> DataFrame:
+    """Quantiles from the sampled values: linear interpolation at rank
+    p*(n-1) over the value-sorted sample (the same rule as percentile_cont
+    / F.percentile applied to the sample array) — pure column expressions."""
+    vals = F.array_sort(F.transform(F.col(state_col), lambda e: e["v"]))
+    n = F.size(vals)
+    cols = []
+    for p in probs:
+        pos = F.lit(p) * (n.cast("double") - 1)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        v_lo = F.element_at(vals, lo + 1)
+        v_hi = F.element_at(vals, F.least(lo + 2, n))
+        est = v_lo + frac * (v_hi - v_lo)
+        cols.append(
+            F.when(n > 0, est).alias(f"{prefix}{str(p).replace('.', '_')}")
+        )
+    return states.select(*group_cols, *cols)

@@ -156,3 +156,39 @@ def g_pagerank_exact(spark, sf_dir):
         .distinct()
     )
     return pagerank_exact(edges, "src", "dst", iterations=6)
+
+
+@register(
+    "sk_quantile_rollup",
+    tags=["sketch", "quantile", "incremental", "no-oracle"],
+)
+def sk_quantile_rollup(spark, sf_dir):
+    """Incremental quantile rollup: per-orderstatus order-value p50/p95
+    maintained from MERGEABLE bottom-k-hash sample states built per year
+    (operators/sketches.py:quantile_sample_states) — the quantile face of
+    the partial_agg_states rollup; merging the yearly states is bit-equal
+    to a direct build (test-pinned), so history is never rescanned.
+    xxhash-based sampling -> rows-only check; merge exactness and rank
+    error bounds are pinned in tests/test_sketches.py."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sample_merge,
+        quantile_sample_states,
+    )
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    years = [r["yr"] for r in o.select("yr").distinct().collect()]
+    states = [
+        quantile_sample_states(
+            o.where(F.col("yr") == y),
+            ["o_orderstatus"],
+            "o_totalprice",
+            "o_orderkey",
+            k=1024,
+        )
+        for y in sorted(years)
+    ]
+    merged = quantile_sample_merge(states, ["o_orderstatus"], k=1024)
+    return quantile_estimate(merged, [0.5, 0.95], ["o_orderstatus"])

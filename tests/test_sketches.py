@@ -81,3 +81,66 @@ def test_sketch_queries_run(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert r["n_union"] >= max(r["n_1996"], r["n_1999"]) - 1
+
+
+def test_quantile_sample_merge_equals_direct_and_bounds(spark):
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        quantile_estimate,
+        quantile_sample_merge,
+        quantile_sample_states,
+    )
+
+    import pyspark.sql.functions as F
+
+    # 3 batches x 4000 rows, value = a skewed deterministic function
+    rows = spark.range(12000).select(
+        (F.col("id") % 3).alias("batch"),
+        (F.col("id") % 2).alias("g"),
+        F.col("id").alias("rid"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(97)) ** 2).cast("double").alias("v"),
+    )
+    rows.cache()
+    direct = quantile_sample_states(rows, ["g"], "v", "rid", k=512)
+    batches = [
+        quantile_sample_states(rows.where(F.col("batch") == b), ["g"], "v", "rid", k=512)
+        for b in range(3)
+    ]
+    merged = quantile_sample_merge(batches, ["g"], k=512)
+
+    d = {r["g"]: r["st_qsample"] for r in direct.collect()}
+    m = {r["g"]: r["st_qsample"] for r in merged.collect()}
+    assert d.keys() == m.keys()
+    for g in d:
+        assert [tuple(x) for x in d[g]] == [tuple(x) for x in m[g]]  # EXACT merge
+
+    # partition invariance of the state build
+    rep = quantile_sample_states(rows.repartition(13), ["g"], "v", "rid", k=512)
+    r2 = {r["g"]: r["st_qsample"] for r in rep.collect()}
+    for g in d:
+        assert [tuple(x) for x in d[g]] == [tuple(x) for x in r2[g]]
+
+    # estimates land within sample-rank error of the exact quantiles
+    est = {
+        r["g"]: (r["q0_5"], r["q0_95"])
+        for r in quantile_estimate(direct, [0.5, 0.95], ["g"]).collect()
+    }
+    exact = {
+        r["g"]: (r["e50"], r["e95"])
+        for r in rows.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("e50"),
+            F.expr("percentile(v, 0.95)").alias("e95"),
+        )
+        .collect()
+    }
+    # rank error ~1/sqrt(512) ≈ 0.044 -> compare via the exact CDF: the
+    # estimate's true rank must be within ~3x that of the target rank
+    for g in d:
+        for (e, x, p) in [(est[g][0], exact[g][0], 0.5), (est[g][1], exact[g][1], 0.95)]:
+            rank = (
+                rows.where(F.col("g") == g)
+                .agg(F.avg((F.col("v") <= e).cast("double")))
+                .collect()[0][0]
+            )
+            assert abs(rank - p) < 0.13, (g, p, e, x, rank)
+    rows.unpersist()
