@@ -192,3 +192,98 @@ def sk_quantile_rollup(spark, sf_dir):
     ]
     merged = quantile_sample_merge(states, ["o_orderstatus"], k=1024)
     return quantile_estimate(merged, [0.5, 0.95], ["o_orderstatus"])
+
+
+@register(
+    "a28_revenue_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name,
+             (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate)) AS ym,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                      * 10000 AS BIGINT)) AS y
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    based AS (
+      SELECT n_name, ym - (SELECT MIN(ym) FROM monthly) AS x, y FROM monthly
+    ),
+    sums AS (
+      SELECT n_name,
+             COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM based GROUP BY n_name
+    )
+    SELECT n_name,
+           n AS n_months,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 AS slope,
+           (CAST(sy AS DOUBLE) / 10000.0
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0)
+               * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM sums
+    """,
+    tags=["A15", "regression", "trend"],
+)
+def a28_revenue_trend(spark, sf_dir):
+    """Per-nation OLS trend of monthly revenue: slope/intercept from the
+    five algebraic sums (n, Σx, Σy, Σxy, Σx²) — one partial-aggregated
+    shuffle over (nation, month), then per-nation folds. Revenue is held
+    as EXACT integer hundredths-of-cents (decimal product x10000 ->
+    BIGINT) and the month index is rebased to 0 (keeps n*Σxy inside
+    int64), so both engines do the identical single IEEE division —
+    hash-exact. The sums themselves merge, so the trend is maintainable
+    incrementally like partial_agg_states."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            * 10000
+        ).cast("long").alias("cents4"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # customer joins by shuffle (it is NOT broadcastable at scale);
+    # nation is the only broadcast dim
+    enriched_cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    monthly = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(enriched_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name", "ym")
+        .agg(F.sum("cents4").alias("y"))
+    )
+    min_ym = monthly.agg(F.min("ym").alias("__min_ym"))
+    based = monthly.crossJoin(F.broadcast(min_ym)).select(
+        "n_name", (F.col("ym") - F.col("__min_ym")).alias("x"), "y"
+    )
+    sums = based.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den / F.lit(10000.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(10000.0) - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        "n_name",
+        F.col("n").alias("n_months"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
