@@ -287,3 +287,35 @@ def a28_revenue_trend(spark, sf_dir):
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_mktsegment, n_name, acctbal_band, group_size
+    FROM (
+      SELECT c.c_mktsegment, n.n_name,
+             CAST(FLOOR(c.c_acctbal / 2000) AS BIGINT) AS acctbal_band,
+             COUNT(*) AS group_size
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ) g
+    WHERE group_size < 5
+    """,
+    tags=["quality", "privacy", "k-anonymity"],
+)
+def q_k_anonymity(spark, sf_dir):
+    """Privacy audit before an open-data publish: quasi-identifier combos
+    (segment, nation, coarse balance band) shared by fewer than k=5
+    customers — each is a re-identification risk (quality.py:
+    k_anonymity_audit). One partial-aggregated shuffle."""
+    from datagouvfr_data_pipelines_spark.quality import k_anonymity_audit
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_mktsegment",
+        "n_name",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("acctbal_band"),
+    )
+    return k_anonymity_audit(joined, ["c_mktsegment", "n_name", "acctbal_band"], k=5)

@@ -178,3 +178,28 @@ def assert_schema_contract(df: DataFrame, expected_ddl: str) -> DataFrame:
     if any(diff.values()):
         raise DataQualityError(f"schema contract violated: {diff}")
     return df
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Re-identification risk audit before publishing: every combination of
+    the quasi-identifier columns that fewer than ``k`` rows share.
+
+    An open-data release is k-anonymous w.r.t. its quasi-identifiers
+    (public method, Sweeney 2002) when every published combination is
+    shared by >= k individuals; the rows returned here are the ones a
+    joiner with an external register could single out. One shuffle with
+    map-side partial counts; empty result = safe to publish at that k.
+    Pair with ``quarantine_split`` to hold risky rows back, or generalize
+    (bin/coarsen) the offending columns and re-audit.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < k)
+    )

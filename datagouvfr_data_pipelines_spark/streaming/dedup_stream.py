@@ -122,3 +122,42 @@ def dedup_ingest_stream(
         checkpoint_dir=checkpoint_dir,
         fmt=fmt,
     )
+
+
+def watermarked_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType | str,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Event-stream exact dedup with BOUNDED state: the built-in
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key only
+    until the event-time watermark passes ``delay`` beyond it, then
+    evicts — so state is O(keys per delay window), not O(keys ever seen).
+
+    This is the right tool for at-least-once transport dedup (the same
+    event re-delivered within minutes); cross-batch CORPUS dedup, where a
+    duplicate may arrive months later, is ``dedup_ingest_stream`` (index
+    state that never evicts but holds fingerprints, not keys). JVM state
+    store end to end — no Python in the loop. Drains with AvailableNow;
+    the checkpoint carries both the file ledger and the dedup state, so a
+    later drain still drops duplicates of keys remembered from prior runs
+    (within the watermark) — test-pinned.
+    """
+    stream = spark.readStream.schema(schema).format(fmt).load(source_dir)
+    deduped = stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

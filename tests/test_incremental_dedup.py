@@ -123,3 +123,56 @@ def test_streaming_ingest_two_drains_and_replay(spark, tmp_path):
     # watermark survived and matches the last applied batch
     wm = os.path.join(str(tmp_path), "_last_batch")
     assert os.path.exists(wm)
+
+
+def test_watermarked_dedup_stream(spark, tmp_path):
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        watermarked_dedup_stream,
+    )
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    schema = "k string, ts timestamp, v long"
+
+    def land(rows, name):
+        stage = str(tmp_path / "wstage")
+        (
+            spark.createDataFrame(rows, "k string, ts string, v long")
+            .selectExpr("k", "cast(ts as timestamp) ts", "v")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    land(
+        [
+            ("a", "2024-01-01 10:00:00", 1),
+            ("a", "2024-01-01 10:05:00", 2),  # duplicate key within delay
+            ("b", "2024-01-01 10:01:00", 3),
+        ],
+        "f1.parquet",
+    )
+    kw = dict(
+        schema=schema,
+        key_cols=["k"],
+        ts_col="ts",
+        delay="1 hour",
+        out_dir=out,
+        checkpoint_dir=ckpt,
+    )
+    watermarked_dedup_stream(spark, str(src), **kw)
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+    assert got == [("a", 1), ("b", 3)]
+
+    # second drain: state in the checkpoint still remembers key "a"
+    land([("a", "2024-01-01 10:10:00", 4), ("c", "2024-01-01 10:11:00", 5)], "f2.parquet")
+    watermarked_dedup_stream(spark, str(src), **kw)
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+    assert got == [("a", 1), ("b", 3), ("c", 5)]

@@ -78,3 +78,16 @@ def test_quarantine_split_null_fails_closed(spark):
     assert {r.id for r in passed.collect()} | {
         r.id for r in violations.collect()
     } == {1, 2, 3, 4}
+
+
+def test_k_anonymity_audit(spark):
+    from datagouvfr_data_pipelines_spark.quality import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)],
+        "seg string, zone int",
+    )
+    risky = k_anonymity_audit(df, ["seg", "zone"], k=5).collect()
+    got = sorted((r["seg"], r["zone"], r["group_size"]) for r in risky)
+    assert got == [("a", 2, 2), ("b", 1, 1)]
+    assert k_anonymity_audit(df, ["seg"], k=5).where("seg = 'a'").count() == 0
