@@ -319,3 +319,48 @@ def q_k_anonymity(spark, sf_dir):
         F.floor(F.col("c_acctbal") / 2000).cast("long").alias("acctbal_band"),
     )
     return k_anonymity_audit(joined, ["c_mktsegment", "n_name", "acctbal_band"], k=5)
+
+
+@register(
+    "p12_unpivot_balances",
+    oracle="""
+    SELECT n_name, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT n.n_name,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+             CAST(MIN(c.c_acctbal) AS DOUBLE) AS min_bal,
+             CAST(MAX(c.c_acctbal) AS DOUBLE) AS max_bal,
+             CAST(COUNT(*) AS DOUBLE) AS n_cust
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ) wide
+    UNPIVOT (val FOR metric IN (total_bal, min_bal, max_bal, n_cust))
+    """,
+    tags=["P1", "unpivot", "melt"],
+)
+def p12_unpivot_balances(spark, sf_dir):
+    """Wide-to-long UNPIVOT (melt): per-nation balance metrics computed
+    once, then rotated to (nation, metric, val) rows with the built-in
+    ``unpivot`` — a zero-shuffle projection-time expansion (x4 rows, no
+    exchange), the inverse of the A1 pivot. Decimal-exact total, then one
+    cast to double per cell so both engines emit identical bits."""
+    from datagouvfr_data_pipelines_spark.operators.aggregates import dsum
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum("c_acctbal", "total_bal"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            F.count(F.lit(1)).cast("double").alias("n_cust"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["total_bal", "min_bal", "max_bal", "n_cust"],
+        "metric",
+        "val",
+    )
