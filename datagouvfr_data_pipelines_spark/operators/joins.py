@@ -454,3 +454,61 @@ def nearest_neighbor_join(
         F.col(f"__best.{pid}").alias(pid),
         F.col("__best.__sqdist").alias("sqdist"),
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_exprs: list,
+    max_edit: int = 3,
+    max_block: int = 64,
+) -> DataFrame:
+    """Entity-resolution self-match: candidate pairs from a BLOCKING key,
+    verified by edit distance — never an all-pairs comparison.
+
+    The classic record-linkage shape (Fellegi–Sunter blocking): rows that
+    can match must share the deterministic ``block_exprs`` key (e.g. a
+    name token + first letter), so candidate generation is one groupBy
+    shuffle; pairs expand bucket-locally from the sorted (id, name) array
+    (same JVM array-expansion kernel as the LSH and brand-affinity paths)
+    and only candidates pay the O(len^2) ``levenshtein`` verify — which is
+    a JVM built-in, no UDF. Blocks larger than ``max_block`` are dropped
+    whole (the LSH hot-bucket guardrail: an over-common key means the
+    blocking is non-discriminative there, and its pairs would dominate
+    cost while being poor matches). Returns (id_a, id_b, dist), id_a<id_b.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        *[e.alias(f"__b{i}") for i, e in enumerate(block_exprs)],
+    )
+    bcols = [f"__b{i}" for i in range(len(block_exprs))]
+    blocks = (
+        keyed.groupBy(*bcols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__id").alias("i"), F.col("__name").alias("s")))
+            ).alias("rows")
+        )
+        .where((F.size("rows") >= 2) & (F.size("rows") <= max_block))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("rows"),
+            lambda x, i: F.transform(
+                F.slice(F.col("rows"), i + 2, F.size(F.col("rows"))),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    F.levenshtein(x["s"], y["s"]).alias("dist"),
+                ),
+            ),
+        )
+    )
+    return (
+        blocks.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.dist")
+        .where(F.col("dist") <= max_edit)
+        .distinct()
+    )

@@ -364,3 +364,43 @@ def p12_unpivot_balances(spark, sf_dir):
         "metric",
         "val",
     )
+
+
+@register(
+    "j19_fuzzy_part_match",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey AS id, p_name AS name,
+             string_split(p_name, ' ')[2] AS noun,
+             substr(string_split(p_name, ' ')[1], 1, 1) AS a1
+      FROM part
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY noun, a1) AS bs FROM t
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM sized a
+    JOIN sized b ON a.noun = b.noun AND a.a1 = b.a1 AND a.id < b.id
+    WHERE a.bs <= 64 AND levenshtein(a.name, b.name) <= 3
+    """,
+    tags=["J13", "entity-resolution", "fuzzy"],
+)
+def j19_fuzzy_part_match(spark, sf_dir):
+    """Entity-resolution fuzzy self-match over part names: block on
+    (noun token, first letter of the adjective), expand pairs
+    bucket-locally, verify with the BUILT-IN levenshtein <= 3
+    (operators/joins.py:fuzzy_name_pairs). Blocking keeps candidates
+    linear in parts; the edit-distance kernel runs only on them."""
+    from datagouvfr_data_pipelines_spark.operators.joins import fuzzy_name_pairs
+
+    p = table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return fuzzy_name_pairs(
+        p,
+        "p_partkey",
+        "p_name",
+        block_exprs=[toks[1], F.substring(toks[0], 1, 1)],
+        max_edit=3,
+        max_block=64,
+    )

@@ -72,3 +72,35 @@ def test_nearest_join_renames_colliding_point_id(spark):
     assert set(out.columns) == {"pid", "pid_p", "sqdist"}
     row = out.collect()[0]
     assert (row["pid"], row["pid_p"]) == (1, 2)
+
+
+def test_fuzzy_name_pairs_blocking_and_verify(spark):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.joins import fuzzy_name_pairs
+
+    rows = [
+        (1, "acme widget"),
+        (2, "acmee widget"),   # 1 edit from 1, same block
+        (3, "acme bolt"),      # different noun -> different block
+        (4, "azure widget"),   # same block key (widget, 'a'), 4 edits from 1
+        (5, "acme widget"),    # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    toks = F.split(F.col("name"), " ")
+    out = fuzzy_name_pairs(
+        df, "id", "name",
+        block_exprs=[toks[1], F.substring(toks[0], 1, 1)],
+        max_edit=2,
+    )
+    got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in out.collect())
+    # (1,4)/(2,4)/(4,5) blocked together but beyond max_edit; 3 alone
+    assert got == [(1, 2, 1), (1, 5, 0), (2, 5, 1)]
+
+    # hot-block guardrail: cap 2 drops the whole (widget, a) block
+    capped = fuzzy_name_pairs(
+        df, "id", "name",
+        block_exprs=[toks[1], F.substring(toks[0], 1, 1)],
+        max_edit=2, max_block=2,
+    )
+    assert capped.count() == 0
