@@ -321,3 +321,84 @@ def weighted_sample(
         .withColumn("sample_key", F.round(F.col("__wkey"), 6))
         .drop("__wkey")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """Training-mixture waterfilling: per-domain sampling rates that hit a
+    target mixture under a total token budget.
+
+    Given target weights (ppm) and the corpus's actual per-domain token
+    counts, the ideal draw for domain d is ``lam * w_d`` tokens for one
+    global scale ``lam``; domains with fewer tokens than their allocation
+    SATURATE (rate 1) and their shortfall redistributes to the rest — the
+    classic waterfilling solution, solved in closed form: sort domains by
+    c_d = tokens_d / w_d ascending, find the cut where
+    ``lam = (budget - saturated_tokens) / unsaturated_weight`` first falls
+    below the next c_d. Per-domain totals are a k-row aggregate, so the
+    solve is a driver scalar pass (k-state policy, like kmeans centroids);
+    the RATES then drive a deterministic hash sample over the full corpus
+    (``pmod(xxhash64(id), 1e6) < rate_ppm`` — no RNG, reproducible).
+
+    Returns one row per domain: (domain, tokens, target_ppm, rate ∈ [0,1],
+    planned_tokens = tokens * rate). Domains missing from ``weights_ppm``
+    get rate 0. All arithmetic is IEEE double in a fixed expression order,
+    reproducible in ANSI SQL (oracle-checked by asm_mixture_plan).
+    """
+    totals = {
+        r["d"]: r["t"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    known = [
+        (d, int(t), int(weights_ppm.get(d, 0))) for d, t in sorted(totals.items())
+    ]
+    pool = [(d, t, w) for d, t, w in known if w > 0]
+    # closed-form waterfill over the ≤k weighted domains
+    pool.sort(key=lambda x: (x[1] / x[2], x[0]))
+    lam = None
+    pre_tok = 0
+    suf_w = sum(w for _, _, w in pool)
+    for d, t, w in pool:
+        cand = (budget_tokens - pre_tok) / suf_w
+        if cand < t / w:  # this domain stays unsaturated at cand
+            lam = cand
+            break
+        pre_tok += t
+        suf_w -= w
+    if lam is None:  # budget >= all weighted tokens: everything saturates
+        lam = float(10**18)
+    spark = df.sparkSession
+    rows = []
+    for d, t, w in known:
+        rate = min(1.0, (lam * w) / t) if (w > 0 and t > 0) else 0.0
+        rows.append((d, t, w, rate, t * rate))
+    return spark.createDataFrame(
+        rows, "domain string, tokens long, target_ppm long, rate double, planned_tokens double"
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    plan: DataFrame,
+    domain_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Materialize a mixture_plan: keep each row iff its id hash falls
+    under the domain's rate — deterministic, partition-independent, no
+    RNG; the broadcast plan join adds no shuffle."""
+    p = plan.select(
+        F.col("domain").alias("__dom"),
+        (F.col("rate") * 1_000_000).cast("long").alias("__rate_ppm"),
+    )
+    return (
+        df.join(F.broadcast(p), F.col(domain_col) == F.col("__dom"))
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.col("__rate_ppm"))
+        .drop("__dom", "__rate_ppm")
+    )

@@ -404,3 +404,67 @@ def j19_fuzzy_part_match(spark, sf_dir):
         max_edit=3,
         max_block=64,
     )
+
+
+_MIX_WEIGHTS = {"en": 400000, "fr": 200000, "de": 150000, "es": 150000, "zh": 100000}
+
+
+@register(
+    "asm_mixture_plan",
+    oracle="""
+    WITH tot AS (
+      SELECT lang AS domain, SUM(n_chars) AS tokens FROM documents GROUP BY lang
+    ),
+    w(domain, target_ppm) AS (
+      VALUES ('en', 400000), ('fr', 200000), ('de', 150000),
+             ('es', 150000), ('zh', 100000)
+    ),
+    j AS (
+      SELECT t.domain, t.tokens, COALESCE(w.target_ppm, 0) AS target_ppm
+      FROM tot t LEFT JOIN w ON w.domain = t.domain
+    ),
+    bud AS (SELECT SUM(tokens) // 2 AS b FROM tot),
+    pool AS (
+      SELECT *, CAST(tokens AS DOUBLE) / target_ppm AS c
+      FROM j WHERE target_ppm > 0
+    ),
+    cuts AS (
+      SELECT domain, c,
+             COALESCE(SUM(tokens) OVER (ORDER BY c, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_tok,
+             SUM(target_ppm) OVER (ORDER BY c, domain
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf_w
+      FROM pool
+    ),
+    lamq AS (
+      SELECT (CAST((SELECT b FROM bud) AS DOUBLE) - pre_tok) / suf_w AS lam
+      FROM cuts
+      WHERE (CAST((SELECT b FROM bud) AS DOUBLE) - pre_tok) / suf_w < c
+      ORDER BY c, domain LIMIT 1
+    ),
+    lamv AS (SELECT COALESCE((SELECT lam FROM lamq), 1e18) AS lam)
+    SELECT j.domain, j.tokens, j.target_ppm,
+           CASE WHEN j.target_ppm > 0 AND j.tokens > 0
+                THEN LEAST(1.0, ((SELECT lam FROM lamv) * j.target_ppm) / j.tokens)
+                ELSE 0.0 END AS rate,
+           j.tokens * CASE WHEN j.target_ppm > 0 AND j.tokens > 0
+                THEN LEAST(1.0, ((SELECT lam FROM lamv) * j.target_ppm) / j.tokens)
+                ELSE 0.0 END AS planned_tokens
+    FROM j
+    """,
+    tags=["assembly", "mixture", "waterfilling"],
+)
+def asm_mixture_plan(spark, sf_dir):
+    """Training-mixture waterfilling: per-language sampling rates hitting
+    target weights under a budget of half the corpus's tokens
+    (operators/assembly.py:mixture_plan — closed-form cut over the k-row
+    per-domain totals, driver scalar pass). The oracle solves the same
+    closed form with window prefix/suffix sums; identical IEEE expression
+    order makes it hash-exact."""
+    from datagouvfr_data_pipelines_spark.operators.assembly import mixture_plan
+
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    budget = (
+        docs.agg(F.sum("n_chars").alias("t")).collect()[0]["t"] // 2
+    )
+    return mixture_plan(docs, "lang", "n_chars", _MIX_WEIGHTS, budget)

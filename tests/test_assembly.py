@@ -163,3 +163,42 @@ def test_pack_sequences_bucket_invariant_and_bounds(spark):
     for (d, c, pid, _), (_, _, n) in zip(r1, sorted(rows)):
         sizes[pid] += n
     assert max(sizes.values()) <= 40 + 13 - 1
+
+
+def test_mixture_plan_waterfilling_and_sample(spark):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    # domain a: plenty of tokens; domain b: scarce (saturates); c: unweighted
+    rows = (
+        [(i, "a", 100) for i in range(1000)]
+        + [(10_000 + i, "b", 100) for i in range(10)]
+        + [(20_000 + i, "c", 100) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    plan = mixture_plan(
+        df, "dom", "toks", {"a": 500000, "b": 500000}, budget_tokens=20_000
+    )
+    got = {r["domain"]: r for r in plan.collect()}
+    assert got["c"]["rate"] == 0.0
+    assert got["b"]["rate"] == 1.0  # 10k target > 1k available -> saturates
+    # a absorbs the rest of the budget: 19k of its 100k tokens
+    assert abs(got["a"]["planned_tokens"] - 19_000) < 1e-6
+    assert abs(got["a"]["rate"] - 0.19) < 1e-9
+
+    sampled = mixture_sample(df, plan, "dom", "id")
+    counts = {
+        r["dom"]: r["n"]
+        for r in sampled.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("b") == 10 and "c" not in counts
+    assert abs(counts["a"] - 190) / 190 < 0.25  # hash sample near the rate
+    # determinism: same input -> identical sample under any partitioning
+    again = mixture_sample(df.repartition(7), plan, "dom", "id")
+    assert sorted(r["id"] for r in again.collect()) == sorted(
+        r["id"] for r in sampled.collect()
+    )
