@@ -221,3 +221,28 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         if kinds:
             flagged[name] = sorted(kinds)
     assert flagged == {}, flagged
+
+
+def test_round3_batch15_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical shapes of the batch-15 additions: the fuzzy
+    match and brand affinity run on hash shuffles only (bucket-local pair
+    expansion — no join at all in j19, no cartesian anywhere); the
+    incremental-dedup corpus band join is pruned by a BROADCAST semi-join
+    on the batch's band keys; the OLS trend broadcasts only the nation dim
+    (customer must shuffle at scale)."""
+    j19 = plan_of(QUERIES["j19_fuzzy_part_match"](spark, sf_dir))
+    assert "CartesianProduct" not in j19
+    assert "SortMergeJoin" not in j19 and "ShuffledHashJoin" not in j19
+
+    j18 = plan_of(QUERIES["j18_brand_affinity"](spark, sf_dir))
+    assert "CartesianProduct" not in j18
+    # single-scan shape: one aggregate pair per shuffle, no self-join
+    assert "SortMergeJoin" not in j18
+
+    inc = plan_of(QUERIES["d_incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in inc
+    assert "BroadcastHashJoin" in inc  # band-key prune + small-side joins
+
+    a28 = plan_of(QUERIES["a28_revenue_trend"](spark, sf_dir))
+    assert "CartesianProduct" not in a28
+    assert "BroadcastHashJoin" in a28  # nation (and the 1-row min_ym)
