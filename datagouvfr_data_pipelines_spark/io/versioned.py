@@ -154,3 +154,52 @@ def delete_keys(
     keys = keys_df.select(*key_cols).distinct()
     remaining = current.join(F.broadcast(keys), on=key_cols, how="left_anti")
     return write_version(remaining, table_dir, compression=compression)
+
+
+class PublishConflict(RuntimeError):
+    """Another writer published between read and publish (lost update)."""
+
+
+def write_version_if(
+    df: DataFrame,
+    table_dir: str,
+    expected_version: int | None,
+    compression: str = "zstd",
+) -> int:
+    """Optimistic-concurrency publish: write the snapshot, then publish it
+    ONLY IF the table is still at ``expected_version`` (the version the
+    writer read its inputs from). Two concurrent read-modify-write jobs
+    can both land their ``v=<n>/`` data directories, but the second
+    pointer swap detects the moved version and raises
+    :class:`PublishConflict` instead of silently overwriting the first
+    writer's result — the caller re-reads and retries. This is the same
+    compare-and-swap contract table formats like Delta/Iceberg implement
+    on their log; here the pointer file is the log head.
+
+    The guard runs AFTER the (slow) snapshot write, immediately before the
+    pointer swap — checking before the write would leave the whole write
+    duration as a race window. What remains is the re-check + rename gap:
+    ~microseconds on a single POSIX host and benign for job-grained
+    writers; an object-store deployment would use a conditional PUT for
+    the same semantics. A conflict leaves the orphan ``v=<n>/`` directory
+    behind (never published, invisible to readers) — vacuum_versions
+    collects it.
+    """
+    import os as _os
+
+    _os.makedirs(table_dir, exist_ok=True)
+    existing = [
+        int(name.split("=", 1)[1])
+        for name in _os.listdir(table_dir)
+        if name.startswith("v=")
+    ]
+    n = (max(existing) if existing else 0) + 1
+    target = _os.path.join(table_dir, f"v={n}")
+    df.write.mode("errorifexists").option("compression", compression).parquet(target)
+    found = current_version(table_dir)
+    if found != expected_version:
+        raise PublishConflict(
+            f"{table_dir}: expected v{expected_version}, found v{found}"
+        )
+    _publish(table_dir, n)
+    return n

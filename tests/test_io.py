@@ -163,3 +163,16 @@ def test_publish_dataset_bundle(spark, tmp_path):
     # republish is idempotent (overwrite, manifest replaced atomically)
     manifest2 = publish_dataset(df, out, "demo")
     assert manifest2["n_rows"] == 3
+
+
+def test_read_parquet_resilient_skips_and_reports(spark, tmp_path):
+    from datagouvfr_data_pipelines_spark.io.readers import read_parquet_resilient
+
+    d = tmp_path / "mixed"
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.parquet(str(d))
+    # a truncated/garbage object lands next to the good part file
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1this is not really parquet")
+    report = {}
+    df = read_parquet_resilient(spark, str(d), report=report)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    assert [f for f in report["corrupt_files"]] == [str(d / "part-corrupt.parquet")]

@@ -86,3 +86,35 @@ def test_delete_keys_then_vacuum_destroys_history(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan_df._jdf.queryExecution().executedPlan().toString() \
         or "LeftAnti" in plan_df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_write_version_if_conflict(spark, tmp_path):
+    import pytest
+
+    from datagouvfr_data_pipelines_spark.io.versioned import (
+        PublishConflict,
+        current_version,
+        read_version,
+        write_version,
+        write_version_if,
+    )
+
+    t = str(tmp_path / "cas_table")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    v1 = write_version(df1, t)
+
+    # writer A reads at v1; writer B publishes v2 under A's feet
+    write_version(spark.createDataFrame([(2, "b")], "id long, v string"), t)
+    with pytest.raises(PublishConflict):
+        write_version_if(
+            spark.createDataFrame([(3, "c")], "id long, v string"), t, v1
+        )
+    # B's publish survives (no lost update); A's orphan dir is unpublished
+    assert current_version(t) == 2
+    assert [r["v"] for r in read_version(spark, t).collect()] == ["b"]
+
+    # clean retry from the fresh version succeeds
+    n = write_version_if(
+        spark.createDataFrame([(3, "c")], "id long, v string"), t, 2
+    )
+    assert current_version(t) == n
