@@ -468,3 +468,72 @@ def asm_mixture_plan(spark, sf_dir):
         docs.agg(F.sum("n_chars").alias("t")).collect()[0]["t"] // 2
     )
     return mixture_plan(docs, "lang", "n_chars", _MIX_WEIGHTS, budget)
+
+
+@register(
+    "w18_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, d, cnt,
+             COUNT(*) OVER w AS n,
+             SUM(cnt) OVER w AS s,
+             SUM(cnt * cnt) OVER w AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, cnt,
+           (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                    / (CAST(n AS DOUBLE) * (n - 1))) AS z
+    FROM stats
+    WHERE n >= 14
+      AND (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s) > 0
+      AND ABS((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n)
+              / sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                     / (CAST(n AS DOUBLE) * (n - 1)))) > 2.5
+    """,
+    tags=["window", "anomaly", "monitoring"],
+)
+def w18_anomaly_days(spark, sf_dir):
+    """Volume-anomaly monitor: per event type, days whose count deviates
+    more than 2.5 sigma from the TRAILING 28-day window (window excludes
+    the current day, so the anomaly can't pollute its own baseline; >= 14
+    days warmup). Rolling n/Σ/Σ² stay exact BIGINTs in the window frame;
+    mean, variance and z are a fixed IEEE expression over them (one sqrt),
+    so both engines emit identical bits. One window shuffle over the
+    per-day pre-aggregate — the daily groupBy has already collapsed the
+    event volume, so the window state is days, not events."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-28, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    var_num = nD * F.col("ss") - sD * F.col("s")
+    z = (F.col("cnt").cast("double") - sD / F.col("n")) / F.sqrt(
+        var_num / (nD * (F.col("n") - 1))
+    )
+    return (
+        stats.where((F.col("n") >= 14) & (var_num > 0) & (F.abs(z) > 2.5))
+        .select("event_type", "d", "cnt", z.alias("z"))
+    )
