@@ -67,10 +67,13 @@ def build_dedup_index(
 
     One scan: explode_outer(shingles) keeps zero-shingle documents (their
     sha still participates in exact dedup) -> base xxhash per shingle ->
-    K min-aggregates grouped by (doc, sha) -> signature array + per-band
-    hashes. Documents with no shingles get NULL sig/band_hashes and are
-    excluded from the LSH path (two whitespace-only docs must match via
-    their sha, never via a hash of an all-null signature).
+    K min-aggregates grouped by doc -> signature array + per-band hashes.
+    The sha rides along as a ``first()`` aggregate, NOT a group key: it is
+    constant within the group, and keying on the 64-char string would hash
+    it per exploded shingle (measured ~4.5x slower at 5k docs). Documents
+    with no shingles get NULL sig/band_hashes and are excluded from the
+    LSH path (two whitespace-only docs must match via their sha, never
+    via a hash of an all-null signature).
     """
     rows = k // bands
     base = df.select(
@@ -88,7 +91,9 @@ def build_dedup_index(
         )
         for i, (a, b) in enumerate(_minhash_params(k, seed))
     ]
-    agged = base.groupBy("doc", "content_sha").agg(*aggs)
+    agged = base.groupBy("doc").agg(
+        F.first("content_sha").alias("content_sha"), *aggs
+    )
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(k)])
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -144,7 +149,16 @@ def incremental_dedup(
         .select("doc")
     )
 
-    # -- near tier vs corpus ------------------------------------------------
+    # -- near tiers ---------------------------------------------------------
+    # threshold > 1 is unsatisfiable for both verifiers; skip the LSH and
+    # verify pipelines entirely rather than computing-then-filtering them
+    # (an exact-only ingest then costs one shingle pass + sha joins)
+    if threshold > 1.0:
+        empty = bidx.select("doc").where(F.lit(False))
+        return _combine(
+            batch, bidx, id_col, exact_corpus, exact_batch, empty, empty
+        )
+
     b_bands = bidx.where(F.col("band_hashes").isNotNull()).select(
         "doc", F.posexplode("band_hashes").alias("band", "bh")
     )
@@ -196,7 +210,21 @@ def incremental_dedup(
         max_bucket_size=max_bucket_size,
     ).select(F.col("id_b").alias("doc")).distinct()
 
-    # -- combine with reason precedence ------------------------------------
+    return _combine(
+        batch, bidx, id_col, exact_corpus, exact_batch, near_corpus, near_batch
+    )
+
+
+def _combine(
+    batch: DataFrame,
+    bidx: DataFrame,
+    id_col: str,
+    exact_corpus: DataFrame,
+    exact_batch: DataFrame,
+    near_corpus: DataFrame,
+    near_batch: DataFrame,
+) -> IncrementalDedupResult:
+    """Union the drop sets with reason precedence; derive survivors/index."""
     reasons = [
         (exact_corpus, "exact_corpus"),
         (exact_batch, "exact_batch"),

@@ -66,7 +66,9 @@ def d_incremental_exact_dedup(spark, sf_dir):
     build over the corpus split + one over the batch, then semi-join on
     sha vs the index and min-id survivor within the batch."""
     corpus, batch = _split(spark, sf_dir)
-    idx = build_dedup_index(corpus, "doc_id", "text")
+    # production reads the index from parquet; built inline here it feeds
+    # several joins, so persist it instead of re-deriving the signatures
+    idx = build_dedup_index(corpus, "doc_id", "text").persist()
     res = incremental_dedup(batch, idx, "doc_id", "text", threshold=2.0)
     return _decisions(batch, res)
 
@@ -84,7 +86,7 @@ def d_incremental_dedup(spark, sf_dir):
     hash-verified by d_incremental_exact_dedup, and the LSH/verify kernels
     are oracle-covered by d_minhash_sig / d_ngram_jaccard_pairs."""
     corpus, batch = _split(spark, sf_dir)
-    idx = build_dedup_index(corpus, "doc_id", "text")
+    idx = build_dedup_index(corpus, "doc_id", "text").persist()
     res = incremental_dedup(batch, idx, "doc_id", "text", threshold=0.8)
     return _decisions(batch, res)
 
