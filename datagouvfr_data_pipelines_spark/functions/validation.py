@@ -68,3 +68,34 @@ def validate_resources(
 
     validated = stale.mapInPandas(run, schema=VALIDATION_SCHEMA)
     return validated if fresh is None else fresh.unionByName(validated)
+
+
+def luhn_valid(col) -> "Column":
+    """Luhn mod-10 check as pure column expressions — validates SIREN (9
+    digits) / SIRET (14 digits) style identifiers at scan speed, no UDF.
+
+    Standard algorithm (public, ISO/IEC 7812): from the RIGHT, double
+    every second digit, subtract 9 when the double exceeds 9, and require
+    the total to be divisible by 10. Non-digit or empty strings are
+    invalid (false), so the check composes directly with quarantine_split.
+    Ref context: SIRENE identifiers ship in the reference's INSEE stock
+    pipeline (insee/sirene/stock/task_functions.py) untested; here the
+    checksum is a first-class validator.
+    """
+    import pyspark.sql.functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.reverse(F.split(c, ""))
+    term = F.transform(
+        digits,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            # doubled position: 2d - 9 when 2d > 9, i.e. d > 4
+            (F.ascii(ch) - 48) * 2
+            - F.when((F.ascii(ch) - 48) > 4, 9).otherwise(0),
+        ).otherwise(F.ascii(ch) - 48),
+    )
+    total = F.aggregate(term, F.lit(0), lambda acc, x: acc + x)
+    return (
+        c.rlike("^[0-9]+$") & (F.pmod(total, F.lit(10)) == 0)
+    ).alias("luhn_valid")

@@ -91,3 +91,34 @@ def test_k_anonymity_audit(spark):
     got = sorted((r["seg"], r["zone"], r["group_size"]) for r in risky)
     assert got == [("a", 2, 2), ("b", 1, 1)]
     assert k_anonymity_audit(df, ["seg"], k=5).where("seg = 'a'").count() == 0
+
+
+def test_luhn_valid_matches_reference_impl(spark):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.functions.validation import luhn_valid
+
+    def luhn_py(s):
+        if not s.isdigit() or not s:
+            return False
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cases = [str(130025265 + i) for i in range(200)] + [
+        "356000000",   # classic valid SIREN (La Poste)
+        "79250000",
+        "",
+        "12a456789",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r["s"]: r["ok"] for r in df.select("s", luhn_valid("s").alias("ok")).collect()}
+    for c in cases:
+        assert got[c] == luhn_py(c), c
+    assert got["356000000"] is True
