@@ -92,3 +92,83 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "key string, ts timestamp, value double, baseline double, z double"
+)
+EWMA_STATE_SCHEMA = "ewma double, ewvar double, n long"
+
+
+def make_ewma_alerter(
+    alpha: float = 0.1, z_threshold: float = 3.0, warmup: int = 10
+):
+    """Per-key EWMA drift detector update function (module-level so both
+    the data and timeout paths unit-test against a fake GroupState).
+
+    State per key is three scalars — (ewma, ew-variance, n) — so the store
+    stays O(keys) regardless of stream length; this is the streaming twin
+    of the batch w18_anomaly_days monitor. Each value is scored against
+    the PRE-update baseline (an outlier must not first drag the baseline
+    toward itself), then folded in with exponential decay:
+    ``ewma += a*d; ewvar = (1-a)*(ewvar + a*d^2)`` (Welford-style EW
+    update, public method — Roberts 1959 EWMA control charts). Alerts emit
+    only after ``warmup`` observations. Idle keys are reaped on timeout.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ewma, ewvar, n = state.get
+        else:
+            ewma, ewvar, n = 0.0, 0.0, 0
+        rows = []
+        batch = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, v in zip(batch["ts"], batch["value"]):
+            v = float(v)
+            if n >= warmup and ewvar > 0.0:
+                z = (v - ewma) / (ewvar**0.5)
+                if abs(z) > z_threshold:
+                    rows.append((k, ts, v, ewma, z))
+            if n == 0:
+                ewma = v
+            else:
+                delta = v - ewma
+                ewma += alpha * delta
+                ewvar = (1.0 - alpha) * (ewvar + alpha * delta * delta)
+            n += 1
+        state.update((ewma, ewvar, n))
+        state.setTimeoutDuration(3600 * 1000)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["key", "ts", "value", "baseline", "z"]
+            )
+
+    return update
+
+
+def ewma_alert_stream(
+    values: DataFrame,
+    alpha: float = 0.1,
+    z_threshold: float = 3.0,
+    warmup: int = 10,
+) -> DataFrame:
+    """Continuous per-key drift alerts over a stream with columns
+    (key string, ts timestamp, value double) — emits only the anomalous
+    observations, scored against the exponentially-decayed baseline held
+    in the state store. Rename upstream columns to this contract (same
+    convention as sessionize_stream)."""
+    return values.groupBy("key").applyInPandasWithState(
+        make_ewma_alerter(alpha, z_threshold, warmup),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
