@@ -1,0 +1,309 @@
+"""Catalog batch 16 (round 3): remaining classic plan shapes.
+
+Adds the TPC-H shapes expressible without partsupp/commitdate columns
+(Q4's EXISTS-with-correlated-predicate, Q12's join + conditional-count
+split), the two join-semantics corners every SQL engine must get right
+(null-aware NOT IN anti-join, explicit salt-spread skew join), multiset
+EXCEPT ALL, an explicit GROUPING SETS pass with grouping ids, and a
+hash-exact Pearson correlation computed from overflow-safe exact sums.
+
+Scale notes: every aggregate is partial (map-side combine); the only
+broadcast sides are true dims (part) or replicated-by-salt dims whose
+fan-out is the salt count; fact-fact joins shuffle once on the join key.
+The correlation query is a single scan + single shuffle: all six
+algebraic sums come from one grouped aggregate, and the final arithmetic
+is per-group scalar math.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.operators.aggregates import dsum_product
+from datagouvfr_data_pipelines_spark.operators.joins import salted_join
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+
+
+@register(
+    "q4_delayed_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS nb_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=["tpch-q4", "J8", "semi-join", "correlated-exists"],
+)
+def q4_delayed_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape on available columns: orders having at least one
+    line shipped >90 days after the order date, counted per priority.
+    The correlated EXISTS compiles to ONE left-semi shuffle join on
+    orderkey with the cross-table date predicate evaluated inside the
+    join — no distinct pre-pass, no second shuffle; the per-priority
+    count is a partial aggregate over the semi output."""
+    o = table(spark, sf_dir, "orders").alias("o")
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .alias("l")
+    )
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate")
+        > F.col("o.o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("nb_orders"))
+    )
+
+
+@register(
+    "q12_late_line_priority",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY l.l_returnflag
+    """,
+    tags=["tpch-q12", "A4", "conditional-agg"],
+)
+def q12_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipped lines split into high- vs low-priority
+    counts per return flag. One fact-fact shuffle join on orderkey (orders
+    is NOT broadcastable at scale), the late filter rides inside the join,
+    and both conditional counts come out of a single partial aggregate."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "j21_null_aware_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS nb_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT NULLIF(o_custkey, -1) FROM orders WHERE o_totalprice > 400000.0
+    )
+    GROUP BY c_mktsegment
+    """,
+    tags=["J7", "not-in", "null-aware-anti-join"],
+)
+def j21_null_aware_anti(spark, sf_dir):
+    """NOT IN with a NULLABLE subquery — the three-valued-logic corner a
+    plain left-anti join gets wrong: one NULL in the subquery must empty
+    the whole result. The NULLIF keeps the subquery column nullable (the
+    planner cannot assume non-null), so Spark compiles a null-aware
+    anti-join (single-column NOT IN -> NAAJ broadcast hash join) rather
+    than a plain anti. The unit test in tests/test_history_and_round3.py
+    pins the with-an-actual-NULL behavior; here the runtime set is
+    null-free so the query is oracle-comparable and non-empty."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_j21")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_j21")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS nb_customers
+        FROM v_customer_j21
+        WHERE c_custkey NOT IN (
+          SELECT NULLIF(o_custkey, -1) FROM v_orders_j21
+          WHERE o_totalprice > 400000.0
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "j22_salted_skew_join",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS nb_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=["J1", "skew", "salting"],
+)
+def j22_salted_skew_join(spark, sf_dir):
+    """Explicit salt-spread join: the fact side gets a deterministic
+    content-hash salt, the dim side is replicated across all 8 salt
+    buckets, and the join key becomes (partkey, salt) — so a hot partkey
+    lands on 8 tasks instead of 1. Same relational result as the plain
+    join (the oracle), different physical distribution; this is the
+    fallback for skew AQE cannot split (operators/joins.py:72). Salt
+    fan-out cost is bounded: |dim| x 8 rows replicated, never the fact."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_join(li, p, "partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("nb_lines"),
+        dsum_product(
+            "l_extendedprice", F.lit(1) - F.col("l_discount"), "revenue"
+        ),
+    )
+
+
+@register(
+    "u6_multiset_diff",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+    )
+    SELECT surplus, COUNT(*) AS nb_orders
+    FROM (SELECT l_orderkey, COUNT(*) AS surplus FROM d GROUP BY 1)
+    GROUP BY surplus
+    """,
+    tags=["U2", "except-all", "multiset"],
+)
+def u6_multiset_diff(spark, sf_dir):
+    """Multiset difference (EXCEPT ALL): per-occurrence subtraction of 'O'
+    lines from 'F' lines per order, then a surplus histogram. Unlike
+    distinct EXCEPT, each copy counts — Spark's exceptAll compiles to a
+    count-tagged aggregate + generate (one shuffle), not a quadratic
+    anti-join cascade; both grouped counts that follow are partial."""
+    l = table(spark, sf_dir, "lineitem")
+    f = l.where(F.col("l_linestatus") == "F").select("l_orderkey")
+    o = l.where(F.col("l_linestatus") == "O").select("l_orderkey")
+    return (
+        f.exceptAll(o)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("surplus"))
+        .groupBy("surplus")
+        .agg(F.count(F.lit(1)).alias("nb_orders"))
+    )
+
+
+@register(
+    "a35_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) * 2
+             + CAST(GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS nb,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=["A13", "grouping-sets", "grouping-id"],
+)
+def a35_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind A13's ROLLUP and
+    A24's CUBE) with a GROUPING()-derived id that disambiguates real NULL
+    keys from subtotal rows — all three granularities in ONE
+    partial-aggregated expand pass over the scan, not three scans."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_a35")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) * 2
+                 + CAST(GROUPING(l_linestatus) AS INT) AS gid,
+               COUNT(*) AS nb,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM v_lineitem_a35
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "a36_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                      AS HUGEINT)) AS sx,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS HUGEINT)) AS sy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS HUGEINT)) AS sxy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                        AS HUGEINT)) AS sxx,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS HUGEINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS HUGEINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM s
+    """,
+    tags=["A15", "correlation", "hash-exact"],
+)
+def a36_corr_matrix(spark, sf_dir):
+    """Pearson correlation (quantity vs extended price per return flag),
+    hash-exact: both measures become exact integer cents, all six
+    algebraic sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    decimal(38,0)/HUGEINT — exact and overflow-safe where Σy² would
+    wrap int64 at sf>=0.1 — and the one IEEE expression
+    (num / (sqrt(denx)*sqrt(deny))) is written identically on both
+    engines, so doubles match bit-for-bit. Single scan, single shuffle,
+    partial aggregation; the scale factors cancel in the ratio. The
+    built-in F.corr is the floating-point shortcut when cross-engine
+    determinism doesn't matter."""
+    dec38 = "decimal(38,0)"
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(dec38)
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(dec38)
+    s = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast(dec38).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (num / (F.sqrt(denx) * F.sqrt(deny))).alias("corr_qty_price"),
+    )

@@ -168,3 +168,49 @@ def test_bloom_prune_no_false_negatives_and_prunes(spark):
         .fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_not_in_null_semantics_vs_left_anti(spark):
+    """One NULL in a NOT IN subquery must empty the result (three-valued
+    logic: x <> NULL is UNKNOWN, so no row can prove membership-absence),
+    while a plain left-anti join — which ignores nulls — keeps rows.
+    Pins the corner j21_null_aware_anti is built around."""
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right_nonull = spark.createDataFrame([(2,)], "v long")
+    right_null = spark.createDataFrame([(2,), (None,)], "v long")
+    left.createOrReplaceTempView("nn_left")
+    right_nonull.createOrReplaceTempView("nn_right_clean")
+    right_null.createOrReplaceTempView("nn_right_null")
+
+    clean = spark.sql(
+        "SELECT k FROM nn_left WHERE k NOT IN (SELECT v FROM nn_right_clean)"
+    )
+    assert sorted(r.k for r in clean.collect()) == [1, 3]
+    poisoned = spark.sql(
+        "SELECT k FROM nn_left WHERE k NOT IN (SELECT v FROM nn_right_null)"
+    )
+    assert poisoned.collect() == []
+    # the anti join deliberately has the OTHER semantics
+    anti = left.join(right_null, left.k == right_null.v, "left_anti")
+    assert sorted(r.k for r in anti.collect()) == [1, 3]
+
+
+def test_except_all_keeps_multiplicity(spark):
+    a = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k long")
+    b = spark.createDataFrame([(1,), (3,)], "k long")
+    out = sorted(r.k for r in a.exceptAll(b).collect())
+    assert out == [1, 1, 2]  # one copy of 1 subtracted, 2 untouched
+    # distinct EXCEPT would have dropped ALL the 1s
+    assert sorted(r.k for r in a.subtract(b).collect()) == [2]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from datagouvfr_data_pipelines_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 30.0), (2, 5.0)], "key long, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "key long, tag string")
+    salted = salted_join(fact, dim, "key", salt_buckets=4)
+    plain = fact.join(dim, on="key")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))

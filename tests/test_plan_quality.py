@@ -246,3 +246,29 @@ def test_round3_batch15_plan_shapes(spark, sf_dir):
     a28 = plan_of(QUERIES["a28_revenue_trend"](spark, sf_dir))
     assert "CartesianProduct" not in a28
     assert "BroadcastHashJoin" in a28  # nation (and the 1-row min_ym)
+
+
+def test_round3_batch16_plan_shapes(spark, sf_dir):
+    """Batch-16 pins: Q4's EXISTS compiles to ONE semi-join (no distinct
+    pre-aggregate, no second shuffle); the NOT-IN query plans a NULL-AWARE
+    anti join (plain LeftAnti would be a wrong-answer plan under
+    three-valued logic); the salted join spreads (key, salt) without any
+    cartesian; grouping sets stay a single Expand + partial aggregate."""
+    q4 = plan_of(QUERIES["q4_delayed_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in q4, q4
+    # both semi sides co-partition on orderkey + one agg shuffle — and
+    # nothing more (a distinct pre-pass or re-shuffle would add a 5th)
+    assert q4.count("Exchange") <= 4
+
+    # simple mode prints BHJ args; the trailing `true` is the
+    # isNullAwareAntiJoin flag (a plain LeftAnti would print without it)
+    j21 = plan_of(QUERIES["j21_null_aware_anti"](spark, sf_dir), "simple")
+    assert "LeftAnti, BuildRight, true" in j21, j21
+
+    j22 = plan_of(QUERIES["j22_salted_skew_join"](spark, sf_dir))
+    assert "CartesianProduct" not in j22
+    assert "Generate" in j22 and "explode" in j22  # dim replicated by salt
+
+    a35 = plan_of(QUERIES["a35_grouping_sets"](spark, sf_dir))
+    assert "Expand" in a35
+    assert "partial" in a35.lower()  # map-side combine before the shuffle
