@@ -307,3 +307,95 @@ def a36_corr_matrix(spark, sf_dir):
         F.col("n").cast("long").alias("n_rows"),
         (num / (F.sqrt(denx) * F.sqrt(deny))).alias("corr_qty_price"),
     )
+
+
+@register(
+    "sk_bitmap_distinct_rollup",
+    oracle="""
+    SELECT r.r_name, COUNT(DISTINCT o.o_custkey) AS nb_customers
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=["A7", "sketch", "bitmap", "mergeable", "rollup"],
+)
+def sk_bitmap_distinct_rollup(spark, sf_dir):
+    """EXACT mergeable distinct counts: COUNT(DISTINCT) does not
+    re-aggregate (nation-level distincts cannot sum to region distincts),
+    which at 100 TB forces a full rescan per rollup level. Roaring-style
+    key bitmaps do re-aggregate: per (nation, bucket) a
+    bitmap_construct_agg of the key's bit position (partial, ~KB states),
+    then region = bitmap_or_agg of the nation bitmaps (O(groups), no
+    rescan), and bitmap_count reads off the EXACT distinct — unlike the
+    HLL rollup (sk_user_reach_rollup), which trades exactness for fixed
+    state size. One detail-table shuffle total; the oracle is the plain
+    one-shot COUNT(DISTINCT)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    e = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    per_nation = e.groupBy(
+        "r_name",
+        "n_nationkey",
+        F.bitmap_bucket_number("o_custkey").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm")
+    )
+    per_region = per_nation.groupBy("r_name", "bkt").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return per_region.groupBy("r_name").agg(
+        F.sum(F.bitmap_count("bm")).alias("nb_customers")
+    )
+
+
+@register(
+    "w19_ohlc_daily",
+    oracle="""
+    WITH ordered AS (
+      SELECT CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           CAST(MIN(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MIN(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE)
+             AS close,
+           COUNT(*) AS n_ticks
+    FROM ordered GROUP BY day
+    """,
+    tags=["W2", "timeseries", "downsample", "ohlc"],
+)
+def w19_ohlc_daily(spark, sf_dir):
+    """OHLC downsampling (the classic tick->bar resample): per day, the
+    first/last value under the total (ts, event_id) order plus min/max.
+    Open/close via min_by/max_by over a struct sort key — ONE partial
+    aggregate, no window, no second shuffle (the windowed ROW_NUMBER form
+    the oracle uses would sort every partition; min_by is the
+    combiner-friendly formulation a 100 TB resample needs)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

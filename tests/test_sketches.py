@@ -144,3 +144,31 @@ def test_quantile_sample_merge_equals_direct_and_bounds(spark):
             )
             assert abs(rank - p) < 0.13, (g, p, e, x, rank)
     rows.unpersist()
+
+
+def test_bitmap_rollup_exact_under_overlap(spark):
+    """bitmap_or_agg merge is EXACT even when the same key appears in many
+    child groups (where summing child distinct counts double-counts) —
+    the property sk_bitmap_distinct_rollup relies on. Key 100 is in both
+    nations: summed distincts say 4, the bitmap rollup must say 3."""
+    import pyspark.sql.functions as F
+
+    rows = [("r1", "n1", 100), ("r1", "n1", 101), ("r1", "n2", 100),
+            ("r1", "n2", 102), ("r1", "n1", 101)]
+    df = spark.createDataFrame(rows, "reg string, nat string, k long")
+    per_nat = df.groupBy(
+        "reg", "nat", F.bitmap_bucket_number("k").alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+    rolled = (
+        per_nat.groupBy("reg", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("reg")
+        .agg(F.sum(F.bitmap_count("bm")).alias("nb"))
+        .collect()
+    )
+    assert rolled[0]["nb"] == 3
+    naive = (
+        df.groupBy("reg", "nat").agg(F.countDistinct("k").alias("d"))
+        .groupBy("reg").agg(F.sum("d").alias("nb")).collect()
+    )
+    assert naive[0]["nb"] == 4  # the trap the bitmap rollup avoids
