@@ -143,3 +143,90 @@ def funnel_stages(
         for i in range(1, len(steps) + 1)
     )
     return result.withColumn("stage", stage)
+
+
+def global_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    alias: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1..N row numbering WITHOUT the single-partition window.
+
+    ``row_number() OVER (ORDER BY ...)`` funnels every row through ONE task
+    — the classic scale-killer (fine at 60k rows, dead at 100 TB). This is
+    the distributed form: range-shuffle on the order key, count rows per
+    range partition (a K-row aggregate), turn the counts into per-partition
+    offsets (window over the K-row frame — the only single-partition step,
+    sized by partition COUNT not data), broadcast the offsets back and
+    number rows partition-locally. Two data shuffles total (range + the
+    pid-window hash), each fully parallel.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker) or
+    ids are partitioning-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        with_pid.groupBy("__pid")
+        .count()
+        .select(
+            "__pid",
+            F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    w_local = Window.partitionBy("__pid").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(alias, F.col("__off") + F.row_number().over(w_local))
+        .drop("__pid", "__off")
+    )
+
+
+def skyline_2d(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Pareto front (minimize ``x_col``, maximize ``y_col``), distributed.
+
+    A point is dominated when another distinct point is <= in x AND >= in
+    y with at least one strict. Canonical two-phase skyline: a
+    partition-LOCAL dominance pass first (sort (x asc, y desc) within each
+    partition; after projecting to distinct points, a row is dominated iff
+    the running y-max of its predecessors >= its y), then the same pass
+    globally over the local survivors — which are at most O(front) per
+    partition, so the final single-partition sort sees front-sized data,
+    not the table. Local passes can only UNDER-prune (keep dominated
+    points for the global pass to drop), never over-prune: a dominator in
+    another partition survives its own local pass.
+    """
+
+    def _pass(frame: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else Window.partitionBy()
+        )
+        w = w.orderBy(F.col(x_col).asc(), F.col(y_col).desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            frame.withColumn("__prev_max", F.max(y_col).over(w))
+            .where(
+                F.col("__prev_max").isNull()
+                | (F.col("__prev_max") < F.col(y_col))
+            )
+            .drop("__prev_max")
+        )
+
+    pts = df.select(x_col, y_col).distinct()
+    local = _pass(
+        pts.withColumn("__pid", F.spark_partition_id()), ["__pid"]
+    ).drop("__pid")
+    return _pass(local, [])

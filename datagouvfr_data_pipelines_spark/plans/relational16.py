@@ -399,3 +399,54 @@ def w19_ohlc_daily(spark, sf_dir):
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+@register(
+    "p13_global_row_ids",
+    oracle="""
+    SELECT c_custkey,
+           ROW_NUMBER() OVER (ORDER BY c_custkey) AS row_id
+    FROM customer
+    """,
+    tags=["P1", "global-ids", "scale-pattern"],
+)
+def p13_global_row_ids(spark, sf_dir):
+    """Global 1..N ids over the customer key WITHOUT the oracle's
+    single-partition window: range shuffle + K-row offset table +
+    partition-local numbering (operators/windows.py:global_dense_ids).
+    Same answer, but the Spark plan never funnels the table through one
+    task — the difference between this and ROW_NUMBER() OVER (ORDER BY)
+    is exactly what 100 TB breaks."""
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        global_dense_ids,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    return global_dense_ids(c, ["c_custkey"], alias="row_id")
+
+
+@register(
+    "a37_pareto_front",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice, p_size FROM part
+    )
+    SELECT p_retailprice, p_size FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    tags=["O6", "skyline", "dominance"],
+)
+def a37_pareto_front(spark, sf_dir):
+    """Pareto front of parts (cheapest price, largest size): the oracle's
+    NOT-EXISTS self-join is O(n²); the Spark side is the two-phase
+    distributed skyline (partition-local dominance prune, then a global
+    pass over the front-sized survivors) — linear scans + one small final
+    sort, never all-pairs (operators/windows.py:skyline_2d)."""
+    from datagouvfr_data_pipelines_spark.operators.windows import skyline_2d
+
+    p = table(spark, sf_dir, "part")
+    return skyline_2d(p, "p_retailprice", "p_size")

@@ -190,3 +190,36 @@ def test_asof_join_nearest_directions_ties_and_tolerance(spark):
     }
     assert tol["back_nearer"] == "s9" and tol["fwd_nearer"] == "s13"
     assert tol["tie_prefers_back"] is None and tol["no_back"] is None
+
+
+def test_global_dense_ids_match_single_window(spark):
+    from datagouvfr_data_pipelines_spark.operators.windows import global_dense_ids
+
+    rows = [(k,) for k in [42, 7, 99, 1, 55, 23, 88, 3, 61, 17]]
+    df = spark.createDataFrame(rows, "k long").repartition(5)
+    for n in (2, 3, 8):
+        got = {
+            (r.k, r.row_id)
+            for r in global_dense_ids(df, ["k"], num_partitions=n).collect()
+        }
+        want = {(k, i + 1) for i, k in enumerate(sorted(x[0] for x in rows))}
+        assert got == want, n
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    from datagouvfr_data_pipelines_spark.operators.windows import skyline_2d
+
+    # deterministic pseudo-random points incl. duplicates + dominance ties
+    pts = [((i * 37) % 23, (i * 53) % 19) for i in range(120)]
+    pts += [(0, 18), (0, 18)]  # duplicate extreme point
+    df = spark.createDataFrame(pts, "x long, y long").repartition(7)
+    got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+    uniq = set(pts)
+    want = sorted(
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            bx <= x and by >= y and (bx < x or by > y) for (bx, by) in uniq
+        )
+    )
+    assert got == want
