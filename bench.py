@@ -66,6 +66,11 @@ HEADLINE = [
     "w12_survival_curve",     # Kaplan-Meier churn curve (hash-exact ln/exp)
     "st8_sliding_windows",    # 1h/15min hopping windows over events
     "v1_variant_extract",     # VARIANT parse-once semi-structured agg
+    "q4_delayed_order_priority",  # TPC-H Q4: correlated EXISTS as one semi-join
+    "q12_late_line_priority",     # TPC-H Q12: fact-fact join + cond counts
+    "sk_bitmap_distinct_rollup",  # exact mergeable distinct via bitmaps
+    "a36_corr_matrix",        # hash-exact correlation from exact sums
+    "w19_ohlc_daily",         # OHLC bars via min_by/max_by (no window sort)
 ]
 
 

@@ -402,3 +402,69 @@ def mixture_sample(
         .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.col("__rate_ppm"))
         .drop("__dom", "__rate_ppm")
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling" —
+    public method): score every document by how much its hashed-token
+    profile looks like a TARGET domain relative to the full SOURCE
+    corpus, w(d) = Σ_tok log p_tgt(bucket(tok)) / p_src(bucket(tok)),
+    with add-one smoothing over ``n_buckets`` hashed unigram buckets.
+
+    Engine-portable determinism: bucket = rolling-hash(token) mod B (ANSI
+    arithmetic, not xxhash), the per-bucket log-ratio is built from ln on
+    INTEGER inputs (bit-identical cross-engine) and FLOOR-quantized to
+    integer micro-units, so the per-document total is an exact integer
+    sum — immune to float summation order.
+
+    Scale shape: explode -> ONE (doc, bucket) partial-agg shuffle; bucket
+    marginals re-aggregate FROM that grouped frame (no second corpus
+    scan — the frame is persisted across its two consumers); the B-row
+    ratio table broadcasts; the final per-doc fold is a second partial
+    agg. Returns (id, n_toks, dsir_micro) — micro-nats x 1e6; resample
+    with asm_weighted_sample on the weight.
+    """
+    tk = docs.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).where(F.length("tok") > 0)
+    g = (
+        tk.select(
+            id_col,
+            "__tgt",
+            F.pmod(fingerprint_rolling("tok"), F.lit(n_buckets)).alias("bkt"),
+        )
+        .groupBy(id_col, "__tgt", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    src = g.groupBy("bkt").agg(
+        F.sum("n").alias("sc"),
+        F.sum(F.when(F.col("__tgt"), F.col("n")).otherwise(0)).alias("tc"),
+    )
+    tot = src.agg(F.sum("sc").alias("s"), F.sum("tc").alias("t"))
+    lr = (
+        F.log(F.col("tc") + 1)
+        - F.log(F.col("t") + n_buckets)
+        - F.log(F.col("sc") + 1)
+        + F.log(F.col("s") + n_buckets)
+    )
+    ratio = src.crossJoin(F.broadcast(tot)).select(
+        "bkt", F.floor(lr * 1_000_000).cast("long").alias("lr_micro")
+    )
+    return (
+        g.join(F.broadcast(ratio), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_toks"),
+            F.sum(F.col("n") * F.col("lr_micro")).alias("dsir_micro"),
+        )
+    )

@@ -337,3 +337,62 @@ def q_quarantine_summary(spark, sf_dir):
     return violations.groupBy("violated_rule").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "asm_dsir_weights",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), bk AS (
+      SELECT doc_id, tgt,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) % 1024 AS bkt
+      FROM tk WHERE length(tok) > 0
+    ), g AS (
+      SELECT doc_id, tgt, bkt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bk GROUP BY 1, 2, 3
+    ), src AS (
+      SELECT bkt, CAST(SUM(n) AS BIGINT) AS sc,
+             CAST(SUM(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS tc
+      FROM g GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(sc) AS BIGINT) AS s, CAST(SUM(tc) AS BIGINT) AS t
+      FROM src
+    ), ratio AS (
+      SELECT bkt,
+             CAST(FLOOR((ln(tc + 1) - ln(t + 1024)
+                         - ln(sc + 1) + ln(s + 1024)) * 1000000)
+                  AS BIGINT) AS lr_micro
+      FROM src, tot
+    )
+    SELECT g.doc_id,
+           CAST(SUM(g.n) AS BIGINT) AS n_toks,
+           CAST(SUM(g.n * ratio.lr_micro) AS BIGINT) AS dsir_micro
+    FROM g JOIN ratio USING (bkt)
+    GROUP BY 1
+    """,
+    tags=["llm-pipeline", "data-selection", "dsir", "hash-exact"],
+)
+def asm_dsir_weights(spark, sf_dir):
+    """DSIR data-selection weights with lang='en' as the target domain:
+    hashed-unigram log-likelihood-ratio per document, exact-integer
+    micro-nat totals (operators/assembly.py:dsir_importance_weights).
+    The positive tail is what importance RESAMPLING would keep to shift
+    the corpus toward the target; weights are bit-equal to the oracle
+    because every float op runs on integer inputs and the per-bucket
+    ratio is floor-quantized before the (order-sensitive) summation."""
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        dsir_importance_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024
+    )

@@ -202,3 +202,30 @@ def test_mixture_plan_waterfilling_and_sample(spark):
     assert sorted(r["id"] for r in again.collect()) == sorted(
         r["id"] for r in sampled.collect()
     )
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    import pyspark.sql.functions as F
+
+    from datagouvfr_data_pipelines_spark.operators.assembly import (
+        dsir_importance_weights,
+    )
+
+    # target docs share a vocabulary; the mixed doc overlaps it halfway,
+    # the off-domain doc not at all
+    rows = [
+        (1, "alpha beta gamma alpha beta", "tgt"),
+        (2, "beta gamma alpha gamma", "tgt"),
+        (3, "alpha beta zork quux", "other"),
+        (4, "zork quux blorp zork quux blorp", "other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    w = {
+        r["doc_id"]: r["dsir_micro"] / r["n_toks"]
+        for r in dsir_importance_weights(
+            docs, "doc_id", "text", F.col("dom") == "tgt", n_buckets=64
+        ).collect()
+    }
+    # per-token average log-ratio orders docs by target-likeness
+    assert w[1] > w[3] > w[4]
+    assert w[2] > w[3]
