@@ -100,6 +100,54 @@ def main() -> None:
             "tk": round(tk, 3),
             "ratio": round(tk / t1, 2),
         }
+    # fact-fact join shape: both sides replicated with the SAME orderkey
+    # offsets, so per-copy join cardinality is preserved — growth measures
+    # the shuffle join itself, not a fan-out artifact
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    def late_join(l_frame, o_frame):
+        return (
+            l_frame.select("l_orderkey", "l_shipdate", "l_returnflag")
+            .join(
+                o_frame.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .where(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def bitmap_distinct(o_frame):
+        per_b = o_frame.groupBy(
+            F.bitmap_bucket_number("o_custkey").alias("bkt")
+        ).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias(
+                "bm"
+            )
+        )
+        return per_b.agg(F.sum(F.bitmap_count("bm")).alias("nd"))
+
+    li1, o1 = li.persist(), orders.persist()
+    li1.count(), o1.count()
+    t1 = min(timed(late_join(li1, o1)) for _ in range(3))
+    lik = replicate(li1, k, ["l_orderkey"], OFF).persist()
+    ok = replicate(o1, k, ["o_orderkey", "o_custkey"], OFF).persist()
+    lik.count(), ok.count()
+    tk = min(timed(late_join(lik, ok)) for _ in range(3))
+    out["factfact_join"] = {
+        "t1": round(t1, 3), "tk": round(tk, 3), "ratio": round(tk / t1, 2)
+    }
+
+    t1 = min(timed(bitmap_distinct(o1)) for _ in range(3))
+    tk = min(timed(bitmap_distinct(ok)) for _ in range(3))
+    out["bitmap_distinct"] = {
+        "t1": round(t1, 3), "tk": round(tk, 3), "ratio": round(tk / t1, 2)
+    }
+    lik.unpersist(), ok.unpersist(), li1.unpersist(), o1.unpersist()
+
     print(json.dumps({"k": k, "queries": out}))
     spark.stop()
 

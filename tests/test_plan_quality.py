@@ -200,6 +200,8 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "q22_idle_rich_customers",  # single-row avg-balance cutoff broadcast
         "q_benford_check",        # single-row digit-total broadcast
         "sk_customer_cohort_overlap",  # single-row empty-sketch broadcast
+        "a28_revenue_trend",      # single-row min-month rebase broadcast
+        "asm_dsir_weights",       # single-row corpus-total broadcast
     }
     # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
     # (|groups| rows, never fact volume) — the global-order window is the
@@ -209,6 +211,8 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "w12_survival_curve",     # KM cumsums over the |durations| table
         "a28_abc_classification", # Pareto cumsum over the |parts| agg
         "w15_new_vs_returning",   # cumulative acquisitions over |days|
+        "p13_global_row_ids",     # offset window over the K-partition counts
+        "a37_pareto_front",       # final pass over front-sized survivors
     }
     flagged = {}
     for name, fn in QUERIES.items():
