@@ -450,3 +450,70 @@ def a37_pareto_front(spark, sf_dir):
 
     p = table(spark, sf_dir, "part")
     return skyline_2d(p, "p_retailprice", "p_size")
+
+
+@register(
+    "a38_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ), pairs AS (
+      SELECT CAST(a.rev AS HUGEINT) AS x, CAST(b.rev AS HUGEINT) AS y
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+    FROM s
+    """,
+    tags=["A15", "timeseries", "autocorrelation", "hash-exact"],
+)
+def a38_autocorr_lag1(spark, sf_dir):
+    """Day-over-day autocorrelation of total revenue: daily exact-cent
+    totals (ONE partial-agg shuffle over the fact scan), consecutive-day
+    pairs via a broadcast self-join of the |days|-sized series (calendar
+    adjacency, not sequence position — gap days produce no pair), then
+    the a36 exact-sums Pearson kernel in decimal(38,0)/HUGEINT with one
+    identical IEEE expression per engine. The fact table is touched
+    once; everything after is |days|-scale."""
+    dec38 = "decimal(38,0)"
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(cents).alias("rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        F.col("b.day") == F.date_add(F.col("a.day"), 1),
+    ).select(
+        F.col("a.rev").cast(dec38).alias("x"),
+        F.col("b.rev").cast(dec38).alias("y"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        (num / (F.sqrt(denx) * F.sqrt(deny))).alias("autocorr_lag1"),
+    )
