@@ -41,22 +41,26 @@ from datagouvfr_data_pipelines_spark.plans.catalog import register, table
 def q4_delayed_order_priority(spark, sf_dir):
     """TPC-H Q4 shape on available columns: orders having at least one
     line shipped >90 days after the order date, counted per priority.
-    The correlated EXISTS compiles to ONE left-semi shuffle join on
-    orderkey with the cross-table date predicate evaluated inside the
-    join — no distinct pre-pass, no second shuffle; the per-priority
-    count is a partial aggregate over the semi output."""
-    o = table(spark, sf_dir, "orders").alias("o")
-    l = (
+
+    The correlated EXISTS predicate is MONOTONE in l_shipdate, so
+    "exists a line with l_shipdate > X" rewrites exactly to
+    "max(l_shipdate) per order > X" — and the max is a partial
+    aggregate: lineitem collapses ~4:1 map-side BEFORE its shuffle,
+    where the naive left-semi join would shuffle every line row. One
+    reduced shuffle + one equi-join with the date predicate as a
+    post-join filter, then the per-priority partial count."""
+    o = table(spark, sf_dir, "orders")
+    last_ship = (
         table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_shipdate")
-        .alias("l")
-    )
-    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
-        F.col("l.l_shipdate")
-        > F.col("o.o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
     )
     return (
-        o.join(l, cond, "left_semi")
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .where(
+            F.col("last_ship")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("nb_orders"))
     )

@@ -258,11 +258,13 @@ def test_round3_batch16_plan_shapes(spark, sf_dir):
     anti join (plain LeftAnti would be a wrong-answer plan under
     three-valued logic); the salted join spreads (key, salt) without any
     cartesian; grouping sets stay a single Expand + partial aggregate."""
-    q4 = plan_of(QUERIES["q4_delayed_order_priority"](spark, sf_dir))
-    assert "LeftSemi" in q4, q4
-    # both semi sides co-partition on orderkey + one agg shuffle — and
-    # nothing more (a distinct pre-pass or re-shuffle would add a 5th)
-    assert q4.count("Exchange") <= 4
+    # q4's monotone EXISTS is rewritten to max-per-order: the lineitem
+    # side must show a PARTIAL aggregate before its exchange (map-side
+    # collapse), and there is no semi join left in the plan
+    q4 = plan_of(QUERIES["q4_delayed_order_priority"](spark, sf_dir), "simple")
+    assert "LeftSemi" not in q4, q4
+    assert "partial_max" in q4, q4  # lineitem collapses map-side pre-shuffle
+    assert q4.count("Exchange") <= 4, q4  # agg shuffles + join distribution
 
     # simple mode prints BHJ args; the trailing `true` is the
     # isNullAwareAntiJoin flag (a plain LeftAnti would print without it)
