@@ -521,3 +521,43 @@ def a38_autocorr_lag1(spark, sf_dir):
         F.col("n").cast("long").alias("n_pairs"),
         (num / (F.sqrt(denx) * F.sqrt(deny))).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "j23_null_safe_join",
+    oracle="""
+    SELECT d.label, COUNT(*) AS nb_customers
+    FROM (SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer) c
+    LEFT JOIN (VALUES ('AUTOMOBILE', 'auto'), ('FURNITURE', 'furn'),
+                      ('MACHINERY', 'mach'), ('HOUSEHOLD', 'house'),
+                      (NULL, 'unsegmented')) AS d(seg, label)
+      ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.label
+    """,
+    tags=["J12", "null-safe-equality", "semantics"],
+)
+def j23_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH the dim's NULL row instead of falling out, so the 'unsegmented'
+    bucket is populated — plain equality would silently drop every
+    NULLIF'd customer. eqNullSafe keys still hash-partition and broadcast
+    like ordinary equi-keys (NULL is one more bucket), unlike a filter on
+    OR(both null) which would forfeit the hash join."""
+    c = table(spark, sf_dir, "customer").withColumn(
+        "seg", F.expr("nullif(c_mktsegment, 'BUILDING')")
+    )
+    d = spark.createDataFrame(
+        [
+            ("AUTOMOBILE", "auto"),
+            ("FURNITURE", "furn"),
+            ("MACHINERY", "mach"),
+            ("HOUSEHOLD", "house"),
+            (None, "unsegmented"),
+        ],
+        "seg string, label string",
+    )
+    return (
+        c.join(F.broadcast(d), c.seg.eqNullSafe(d.seg), "left")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("nb_customers"))
+    )
