@@ -71,6 +71,8 @@ HEADLINE = [
     "sk_bitmap_distinct_rollup",  # exact mergeable distinct via bitmaps
     "a36_corr_matrix",        # hash-exact correlation from exact sums
     "w19_ohlc_daily",         # OHLC bars via min_by/max_by (no window sort)
+    "asm_dsir_weights",       # DSIR data-selection weights (token fold)
+    "a38_autocorr_lag1",      # day-over-day revenue autocorrelation
 ]
 
 
