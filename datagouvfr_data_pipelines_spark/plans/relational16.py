@@ -561,3 +561,77 @@ def j23_null_safe_join(spark, sf_dir):
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("nb_customers"))
     )
+
+
+@register(
+    "a39_sampled_revenue",
+    oracle="""
+    WITH sampled AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+      WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(
+                CAST(l_orderkey AS VARCHAR) || '-'
+                  || CAST(l_linenumber AS VARCHAR), ''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, x) -> (acc * 131 + x) % 2147483647) % 50 = 0
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx
+      FROM sampled
+    )
+    SELECT n AS n_sample,
+           50 * sx AS est_total_cents,
+           50.0 * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)) AS se_total_cents
+    FROM s
+    """,
+    tags=["A3", "aqp", "sampling", "hash-exact"],
+)
+def a39_sampled_revenue(spark, sf_dir):
+    """Approximate query processing: total revenue estimated from a
+    DETERMINISTIC 2% hash sample (rolling-hash of the row key mod 50 —
+    reproducible in ANSI SQL, so the oracle draws the IDENTICAL sample;
+    TABLESAMPLE/rand() could never be cross-engine-checked). Estimate =
+    50x the sample sum (exact cents); the standard error comes from the
+    exact sample moments through one identical IEEE expression. At 100 TB
+    the sample predicate is a map-side filter — the scan is the only
+    full-data touch, and a <1% SE answer costs 2% of the aggregate."""
+    dec38 = "decimal(38,0)"
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fingerprint_rolling,
+    )
+
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sampled = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.pmod(fingerprint_rolling(key), F.lit(50)) == 0)
+        .select(cents.alias("cents"))
+    )
+    s = sampled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents").cast(dec38) * F.col("cents").cast(dec38)).alias(
+            "sxx"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    se = F.lit(50.0) * F.sqrt(
+        (nd * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (nd - F.lit(1.0))
+    )
+    return s.select(
+        F.col("n").alias("n_sample"),
+        (F.lit(50) * F.col("sx")).alias("est_total_cents"),
+        se.alias("se_total_cents"),
+    )

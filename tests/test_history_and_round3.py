@@ -214,3 +214,22 @@ def test_salted_join_matches_plain_join(spark):
     salted = salted_join(fact, dim, "key", salt_buckets=4)
     plain = fact.join(dim, on="key")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_sampled_revenue_estimator_within_error_bars(spark):
+    """The 2% hash-sample estimate must land within ~4 standard errors of
+    the true total — sanity that the AQP estimator and its SE formula
+    describe the same sampling design."""
+    from datagouvfr_data_pipelines_spark import plans
+
+    sf = "/root/testdata/sf0.01"
+    est = plans.queries()["a39_sampled_revenue"](spark, sf).collect()[0]
+    truth = (
+        spark.read.parquet(sf + "/lineitem.parquet")
+        .selectExpr(
+            "sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)) t"
+        )
+        .collect()[0]["t"]
+    )
+    assert est["n_sample"] > 500  # ~2% of 60k rows
+    assert abs(est["est_total_cents"] - truth) < 4 * est["se_total_cents"]
