@@ -635,3 +635,98 @@ def a39_sampled_revenue(spark, sf_dir):
         (F.lit(50) * F.col("sx")).alias("est_total_cents"),
         se.alias("se_total_cents"),
     )
+
+
+@register(
+    "a40_conditional_distinct",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT o.o_custkey) AS nb_buyers,
+           COUNT(DISTINCT CASE WHEN o.o_totalprice > 200000.0
+                               THEN o.o_custkey END) AS nb_big_buyers,
+           COUNT(DISTINCT CASE WHEN o.o_orderpriority = '1-URGENT'
+                               THEN o.o_custkey END) AS nb_urgent_buyers
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=["A7", "multi-distinct", "conditional"],
+)
+def a40_conditional_distinct(spark, sf_dir):
+    """Several DISTINCT aggregates with different CASE filters in ONE
+    grouped pass: Spark compiles multi-distinct into a single Expand
+    (one row per distinct-group per input row) + two-level aggregate —
+    one shuffle, not one job per distinct. The conditional form
+    (DISTINCT CASE WHEN) is the common funnel metric: buyers, big
+    buyers, urgent buyers per nation from the same scan."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    big = F.when(F.col("o_totalprice") > 200000.0, F.col("o_custkey"))
+    urgent = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("nb_buyers"),
+            F.countDistinct(big).alias("nb_big_buyers"),
+            F.countDistinct(urgent).alias("nb_urgent_buyers"),
+        )
+    )
+
+
+@register(
+    "g_triangle_count",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), edges AS (
+      SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    )
+    SELECT COUNT(*) AS nb_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.v
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    tags=["graph", "triangles", "J11"],
+)
+def g_triangle_count(spark, sf_dir):
+    """Triangle count over the brand co-occurrence graph (nodes = brands,
+    edge when two brands share an order). Edges are ORIENTED u < v, so
+    each triangle is counted exactly once as u < v < w via wedge
+    completion: join edges on the shared middle vertex, then verify the
+    closing edge — two hash joins on vertex keys, never an open 3-way
+    cartesian. At scale the standard refinement (orient by degree) caps
+    wedge fan-out at hub nodes; brand-graph degrees are bounded (|brands|)
+    so key orientation suffices here."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .select(F.col("a.p_brand").alias("u"), F.col("b.p_brand").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    return closed.agg(F.count(F.lit(1)).alias("nb_triangles"))

@@ -189,3 +189,24 @@ def test_transitive_closure(spark):
     assert anc["paris"] == ["dep-75", "idf", "metropole-gp"]
     assert anc["lyon"] == ["ara", "dep-69", "metropole-lyon"]
     assert anc["dep-75"] == ["idf"]
+
+
+def test_triangle_count_known_graph(spark):
+    """Oriented wedge completion counts each triangle exactly once:
+    K4 has 4 triangles; adding a pendant edge changes nothing."""
+    import pyspark.sql.functions as F
+
+    nodes = ["a", "b", "c", "d"]
+    edges = [(u, v) for u in nodes for v in nodes if u < v] + [("d", "e")]
+    e = spark.createDataFrame(edges, "u string, v string")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    n = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    assert n == 4
