@@ -33,7 +33,7 @@ path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 DEFAULT_LGK = 12  # 2^12 buckets ≈ 1.6% rel. error, ~1.5 KB dense state
 
@@ -236,3 +236,42 @@ def quantile_estimate(
             F.when(n > 0, est).alias(f"{prefix}{str(p).replace('.', '_')}")
         )
     return states.select(*group_cols, *cols)
+
+
+def topk_state(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group top-k candidate state: the k best (score, id) rows.
+
+    Top-k is a mergeable summary (union of states re-ranked is exact —
+    any row outside a batch's local top-k can never enter the merged
+    top-k), which makes interactive / incremental search sessions cheap:
+    maintain the state per batch and merge on demand instead of
+    rescanning the corpus per query refinement (cf. the incremental
+    top-k literature, EDBT'20). One partial-agg window per batch.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def topk_merge(
+    states: list[DataFrame], group_cols: list[str], score_col: str,
+    id_col: str, k: int,
+) -> DataFrame:
+    """Merge per-batch top-k states into the exact global top-k: union
+    the (≤ k per group per batch) candidates — |states|·k rows per
+    group, never corpus-sized — and re-rank once."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return topk_state(out, group_cols, score_col, id_col, k)

@@ -172,3 +172,28 @@ def test_bitmap_rollup_exact_under_overlap(spark):
         .groupBy("reg").agg(F.sum("d").alias("nb")).collect()
     )
     assert naive[0]["nb"] == 4  # the trap the bitmap rollup avoids
+
+
+def test_topk_state_merge_equals_direct(spark):
+    """Merged per-batch top-k states == direct top-k over the union —
+    the mergeability that makes incremental search sessions O(batches*k)
+    instead of a rescan per refinement."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        topk_merge,
+        topk_state,
+    )
+
+    rows = [("g", i, float((i * 37) % 101)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    batches = [
+        df.where(F.col("id") % 3 == i) for i in range(3)
+    ]
+    states = [topk_state(b, ["g"], "score", "id", 5) for b in batches]
+    merged = sorted(
+        (r.id, r.score)
+        for r in topk_merge(states, ["g"], "score", "id", 5).collect()
+    )
+    direct = sorted(
+        (r.id, r.score) for r in topk_state(df, ["g"], "score", "id", 5).collect()
+    )
+    assert merged == direct and len(merged) == 5
