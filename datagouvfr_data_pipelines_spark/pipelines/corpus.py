@@ -42,6 +42,8 @@ def curate_corpus(
     dedup_lines: bool = False,
     scrub_pii: bool = False,
     model_quality_threshold: float | None = None,
+    dsir_target_lang: str | None = None,
+    dsir_min_micro_per_token: int = 0,
 ) -> dict[str, DataFrame]:
     """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
     "stats": one-row corpus stats}.
@@ -197,6 +199,38 @@ def curate_corpus(
         "doc_id", F.lit("near_dup").alias("stage")
     )
 
+    # Optional DSIR target-domain selection (LAST drop stage: weights are
+    # computed over the deduplicated survivors so duplicate mass cannot
+    # skew the source distribution). Target = docs the engine's own
+    # lang_id assigns ``dsir_target_lang``; a document stays when its
+    # per-token average importance (micro-nats) clears the floor. Docs
+    # with no tokens carry no evidence and pass through.
+    if dsir_target_lang is not None:
+        from datagouvfr_data_pipelines_spark.operators.assembly import (
+            dsir_importance_weights,
+        )
+
+        wts = dsir_importance_weights(
+            nd_ok, "doc_id", "text", F.col("lang_pred") == dsir_target_lang
+        )
+        d_ok = (
+            nd_ok.join(wts, "doc_id", "left")
+            .where(
+                F.col("dsir_micro").isNull()
+                | (
+                    F.col("dsir_micro")
+                    >= F.lit(dsir_min_micro_per_token) * F.col("n_toks")
+                )
+            )
+            .drop("n_toks", "dsir_micro")
+        )
+        d_dropped = nd_ok.join(d_ok, "doc_id", "left_anti").select(
+            "doc_id", F.lit("dsir").alias("stage")
+        )
+        nd_ok = d_ok
+    else:
+        d_dropped = None
+
     dropped = (
         q_dropped.unionByName(r_dropped)
         .unionByName(l_dropped)
@@ -206,6 +240,8 @@ def curate_corpus(
     )
     if m_dropped is not None:
         dropped = dropped.unionByName(m_dropped)
+    if d_dropped is not None:
+        dropped = dropped.unionByName(d_dropped)
     if ld_dropped is not None:
         dropped = ld_dropped.unionByName(dropped)
     stats = nd_ok.agg(

@@ -151,3 +151,34 @@ def test_model_quality_stage_splits_with_ledger(spark):
         r["stage"] for r in base["dropped"].select("stage").distinct().collect()
     }
     assert "model_quality" not in base_stages
+
+
+def test_curate_corpus_dsir_stage(spark):
+    """DSIR selection drops surviving docs whose token profile is far from
+    the target-language domain; the ledger names the stage and the
+    conservation invariant holds."""
+    en_doc = (
+        "the quick analysis shows that the data and the methods are "
+        "consistent with the expected results and the overall findings "
+    ) * 3
+    es_doc = (
+        "el estudio de los datos que se presentan y la metodologia de "
+        "el proyecto son una parte de la revision de los resultados "
+    ) * 3
+    docs = spark.createDataFrame(
+        [(1, en_doc), (2, en_doc + " further remarks follow here"),
+         (3, es_doc), (4, es_doc + " con una nota final adicional")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs,
+        min_quality=0.0,
+        neardup_threshold=0.99,
+        dsir_target_lang="en",
+        dsir_min_micro_per_token=0,
+    )
+    kept_ids = sorted(r["doc_id"] for r in out["kept"].collect())
+    stages = {r["doc_id"]: r["stage"] for r in out["dropped"].collect()}
+    assert set(kept_ids) <= {1, 2} and 1 in kept_ids
+    assert all(v == "dsir" for k, v in stages.items() if k in (3, 4))
+    assert out["kept"].count() + out["dropped"].count() == docs.count()
