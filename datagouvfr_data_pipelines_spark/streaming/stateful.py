@@ -172,3 +172,66 @@ def ewma_alert_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+RUNNING_TOTALS_OUTPUT = "key string, n_events long, total double"
+
+
+def make_running_totals_processor(ttl_ms: int | None = None):
+    """StatefulProcessor class for ``running_totals_stream`` (Spark 4's
+    transformWithState API — typed per-key state variables with optional
+    TTL, the successor to applyInPandasWithState's single state tuple).
+
+    State per key is (n_events, total): two scalars, O(keys) store. TTL
+    (when set) lets the state store expire idle keys without an explicit
+    timeout handler — eviction is a store policy, not operator code.
+    Built lazily inside a factory so importing this module never requires
+    the streaming-state runtime.
+
+    Dependency gate: transformWithState's state protocol speaks protobuf
+    (``google.protobuf``), which pyspark does not bundle — environments
+    without it should use ``sessionize_stream`` / ``ewma_alert_stream``
+    (applyInPandasWithState needs only Arrow). The unit test skips
+    accordingly.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "n_events long, total double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._st.get() or (0, 0.0)) if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+def running_totals_stream(
+    values: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Continuous per-key (count, sum) over a stream with columns
+    (key string, value double) via transformWithStateInPandas — emits an
+    updated snapshot row per key per micro-batch. The Update output mode
+    pairs with an upsert sink (ST3)."""
+    return values.groupBy("key").transformWithStateInPandas(
+        make_running_totals_processor(ttl_ms),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -540,3 +540,70 @@ def test_enrich_stream_with_refreshing_versioned_dim(spark, tmp_path):
         (1, "alpha-v1"),
         (2, "alpha-v2"),
     ]
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithState: per-key typed value state survives
+    micro-batches; each batch emits the updated snapshot. The state
+    protocol needs google.protobuf (not bundled with pyspark) — skip
+    where absent, matching the operator's documented gate."""
+    import glob as globmod
+    import shutil
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from datagouvfr_data_pipelines_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    src = tmp_path / "twsrc"
+    src.mkdir()
+
+    def land(rows, name):
+        stage = str(tmp_path / "twstage")
+        spark.createDataFrame(rows, "key string, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(
+            globmod.glob(stage + "/part-*.parquet")[0], str(src / name)
+        )
+
+    land([("a", 1.0), ("a", 2.0), ("b", 10.0)], "b1.parquet")
+    stream = spark.readStream.schema("key string, value double").parquet(
+        str(src)
+    )
+    out = running_totals_stream(stream)
+    results = []
+
+    def sink(batch_df, batch_id):
+        results.extend(batch_df.collect())
+
+    ckpt = str(tmp_path / "twckpt")
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = {r["key"]: (r["n_events"], r["total"]) for r in results}
+    assert snap == {"a": (2, 3.0), "b": (1, 10.0)}
+
+    # second drain: state carried across queries via the checkpoint
+    land([("a", 4.0)], "b2.parquet")
+    results.clear()
+    q2 = (
+        running_totals_stream(
+            spark.readStream.schema("key string, value double").parquet(str(src))
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    snap2 = {r["key"]: (r["n_events"], r["total"]) for r in results}
+    assert snap2["a"] == (3, 7.0)
