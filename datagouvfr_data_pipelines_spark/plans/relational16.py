@@ -18,6 +18,7 @@ is per-group scalar math.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from datagouvfr_data_pipelines_spark.operators.aggregates import dsum_product
 from datagouvfr_data_pipelines_spark.operators.joins import salted_join
@@ -730,3 +731,59 @@ def g_triangle_count(spark, sf_dir):
         (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
     )
     return closed.agg(F.count(F.lit(1)).alias("nb_triangles"))
+
+
+@register(
+    "w20_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT o_custkey,
+             MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS cohort_ym
+      FROM orders GROUP BY 1
+    ), rev AS (
+      SELECT c.cohort_ym,
+             (YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate))
+               - c.cohort_ym AS age_months,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN cohort c ON c.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_ym, age_months,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_ym ORDER BY age_months
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+             AS cum_revenue_cents
+    FROM rev
+    """,
+    tags=["W3", "cohort", "ltv", "window"],
+)
+def w20_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by cohort age. Two partial-agg shuffles on
+    o_custkey-sized then (cohort, age)-sized keys; the cumulative window
+    runs per cohort over the |cohorts|x|ages| aggregate — bounded frame,
+    never fact volume. Exact integer cents end to end (w9_cohort_retention
+    counts the same matrix; this weighs it in money)."""
+    o = table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    cohort = o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    rev = (
+        o.select("o_custkey", ym.alias("ym"), cents.alias("cents"))
+        .join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("age_months")
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_ym",
+        "age_months",
+        F.sum("cents").over(w).alias("cum_revenue_cents"),
+    )
