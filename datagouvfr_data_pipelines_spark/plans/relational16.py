@@ -787,3 +787,53 @@ def w20_cohort_ltv(spark, sf_dir):
         "age_months",
         F.sum("cents").over(w).alias("cum_revenue_cents"),
     )
+
+
+@register(
+    "a41_geometric_mean",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment,
+             CAST(FLOOR(ln(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) * 1000000) AS BIGINT) AS ln_micro
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           exp(CAST(SUM(ln_micro) AS DOUBLE) / 1000000.0
+               / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS geo_mean_price
+    FROM q GROUP BY c_mktsegment
+    """,
+    tags=["A2", "geometric-mean", "hash-exact"],
+)
+def a41_geometric_mean(spark, sf_dir):
+    """Geometric mean order value per segment — the right average for
+    multiplicative quantities. Log-domain trick made cross-engine
+    deterministic: ln runs on exact integer cents (bit-identical), each
+    term is floor-quantized to integer micro-nats, the per-group SUM is
+    exact integer arithmetic (immune to float summation order), and the
+    final exp of one identical double matches bit-for-bit. Single scan,
+    one shuffled partial aggregate; quantization bias is a deterministic
+    <1e-6 relative factor shared by both engines."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    ln_micro = F.floor(F.log(cents) * 1_000_000).cast("long")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", ln_micro.alias("ln_micro")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    nd = F.count(F.lit(1)).cast("double")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.exp(
+                    F.sum("ln_micro").cast("double")
+                    / F.lit(1_000_000.0)
+                    / nd
+                )
+                / F.lit(100.0)
+            ).alias("geo_mean_price"),
+        )
+    )
