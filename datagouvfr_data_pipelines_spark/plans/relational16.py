@@ -837,3 +837,48 @@ def a41_geometric_mean(spark, sf_dir):
             ).alias("geo_mean_price"),
         )
     )
+
+
+@register(
+    "j24_bloom_pruned_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS nb_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 400000.0
+    GROUP BY o.o_orderpriority
+    """,
+    tags=["J8", "bloom", "semi-join-reduction"],
+)
+def j24_bloom_pruned_join(spark, sf_dir):
+    """Semi-join reduction: the selective dim filter (top-price orders)
+    yields a small key set, so the fact side is Bloom-pruned MAP-SIDE
+    (broadcast distinct hash buckets, LeftSemi BHJ) before paying the
+    real join's exchange — most lineitem rows never shuffle. False
+    positives pass through to the real join, so the result equals the
+    plain-join oracle exactly (operators/joins.py:bloom_prune)."""
+    from datagouvfr_data_pipelines_spark.operators.joins import bloom_prune
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune(l, o, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("nb_lines"),
+            dsum_product(
+                "l_extendedprice", F.lit(1) - F.col("l_discount"), "revenue"
+            ),
+        )
+    )
