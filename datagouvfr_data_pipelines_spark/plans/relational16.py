@@ -882,3 +882,68 @@ def j24_bloom_pruned_join(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "h2_scd2_dwell_times",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
+             o_orderstatus AS st
+      FROM orders
+    ), m AS (
+      SELECT o_custkey, ts, tb, st,
+             CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                  WHEN st IS DISTINCT FROM LAG(st) OVER w THEN 1
+                  ELSE 0 END AS is_new
+      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tb)
+    ), r AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY o_custkey ORDER BY ts, tb ROWS UNBOUNDED PRECEDING
+      ) AS run FROM m
+    ), g AS (
+      SELECT o_custkey, run, st AS o_orderstatus, MIN(ts) AS valid_from
+      FROM r GROUP BY o_custkey, run, st
+    ), iv AS (
+      SELECT o_orderstatus, valid_from,
+             LEAD(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY valid_from, run
+             ) AS valid_to
+      FROM g
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS nb_closed_intervals,
+           CAST(SUM(date_diff('day', CAST(valid_from AS DATE),
+                              CAST(valid_to AS DATE))) AS BIGINT)
+             AS total_dwell_days
+    FROM iv WHERE valid_to IS NOT NULL
+    GROUP BY o_orderstatus
+    """,
+    tags=["history", "scd2", "temporal-agg"],
+)
+def h2_scd2_dwell_times(spark, sf_dir):
+    """Temporal aggregation OVER the SCD2 history: how long customers
+    dwell in each order status before transitioning (closed intervals
+    only — open ones have no width yet). Composes the h1 derivation with
+    integer day arithmetic: the interval layer is |runs|-sized, so the
+    dwell rollup costs one small partial aggregate after the history's
+    single keyed window shuffle."""
+    from datagouvfr_data_pipelines_spark.operators.history import scd2_history
+
+    iv = scd2_history(
+        table(spark, sf_dir, "orders"),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return (
+        iv.where(F.col("valid_to").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("nb_closed_intervals"),
+            F.sum(
+                F.datediff(F.to_date("valid_to"), F.to_date("valid_from"))
+            ).alias("total_dwell_days"),
+        )
+    )
