@@ -947,3 +947,74 @@ def h2_scd2_dwell_times(spark, sf_dir):
             ).alias("total_dwell_days"),
         )
     )
+
+
+@register(
+    "j25_repeat_brand_rate",
+    oracle="""
+    WITH by_year AS (
+      SELECT DISTINCT o.o_custkey, p.p_brand,
+             YEAR(o.o_orderdate) AS yr
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ), base AS (
+      SELECT a.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS nb_buyers,
+             CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb_repeat
+      FROM by_year a
+      LEFT JOIN by_year b
+        ON b.o_custkey = a.o_custkey AND b.p_brand = a.p_brand
+       AND b.yr = a.yr + 1
+      WHERE a.yr = 1996
+      GROUP BY a.p_brand
+    )
+    SELECT p_brand, nb_buyers, nb_repeat,
+           CAST(nb_repeat AS DOUBLE) / CAST(nb_buyers AS DOUBLE)
+             AS repeat_rate
+    FROM base
+    """,
+    tags=["J5", "retention", "repeat-purchase"],
+)
+def j25_repeat_brand_rate(spark, sf_dir):
+    """Year-over-year brand retention: of 1996's buyers per brand, the
+    share who bought the same brand again in 1997. One distinct
+    (customer, brand, year) projection feeds both join sides — the year
+    filters prune each side BEFORE the (custkey, brand) shuffle, so the
+    join input is buyer-sized, not lineitem-sized; the rate is one IEEE
+    division of exact counts."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    by_year = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand", "yr")
+        .distinct()
+    )
+    a = by_year.where(F.col("yr") == 1996).alias("a")
+    b = by_year.where(F.col("yr") == 1997).alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.o_custkey") == F.col("a.o_custkey"))
+        & (F.col("b.p_brand") == F.col("a.p_brand")),
+        "left",
+    )
+    base = joined.groupBy(F.col("a.p_brand").alias("p_brand")).agg(
+        F.count(F.lit(1)).alias("nb_buyers"),
+        F.sum(
+            F.when(F.col("b.o_custkey").isNotNull(), 1).otherwise(0)
+        ).alias("nb_repeat"),
+    )
+    return base.select(
+        "p_brand",
+        "nb_buyers",
+        "nb_repeat",
+        (
+            F.col("nb_repeat").cast("double")
+            / F.col("nb_buyers").cast("double")
+        ).alias("repeat_rate"),
+    )
