@@ -1,18 +1,29 @@
 """Catalog batch 16 (round 3): remaining classic plan shapes.
 
-Adds the TPC-H shapes expressible without partsupp/commitdate columns
-(Q4's EXISTS-with-correlated-predicate, Q12's join + conditional-count
-split), the two join-semantics corners every SQL engine must get right
-(null-aware NOT IN anti-join, explicit salt-spread skew join), multiset
-EXCEPT ALL, an explicit GROUPING SETS pass with grouping ids, and a
-hash-exact Pearson correlation computed from overflow-safe exact sums.
+Contents:
+- TPC-H shapes expressible without partsupp/commitdate columns: Q4
+  (monotone correlated EXISTS rewritten to a max-per-order partial
+  aggregate) and Q12 (fact-fact join + conditional-count split);
+- join-semantics corners every SQL engine must get right: null-aware
+  NOT IN anti-join, null-safe equality join (IS NOT DISTINCT FROM),
+  explicit salt-spread skew join, Bloom-pruned semi-join reduction;
+- set/grouping machinery: multiset EXCEPT ALL, explicit GROUPING SETS
+  with grouping ids, conditional multi-distinct in one Expand pass;
+- exact statistics from integer-domain sums (bit-equal to DuckDB):
+  Pearson correlation, lag-1 autocorrelation, geometric mean, a
+  deterministic-sample AQP estimate with standard error;
+- scale patterns: exact mergeable distinct rollup via key bitmaps,
+  distributed global row ids (no single-partition window), 2D skyline,
+  triangle counting via oriented wedges;
+- analytics composites: OHLC downsampling, cohort LTV curves, SCD2
+  dwell times, year-over-year brand retention.
 
-Scale notes: every aggregate is partial (map-side combine); the only
-broadcast sides are true dims (part) or replicated-by-salt dims whose
-fan-out is the salt count; fact-fact joins shuffle once on the join key.
-The correlation query is a single scan + single shuffle: all six
-algebraic sums come from one grouped aggregate, and the final arithmetic
-is per-group scalar math.
+Scale notes: every aggregate is partial (map-side combine); broadcast
+sides are true dims, salt-replicated dims, or single-row totals;
+fact-fact joins shuffle once on their key. Exact cross-engine floats
+follow the decimal/HUGEINT-sums + one-identical-IEEE-expression policy
+(operators/aggregates.py), with floor-quantization wherever a float
+SUM's ordering would otherwise leak in.
 """
 
 from __future__ import annotations
