@@ -25,12 +25,20 @@ def validate_resources(
     validator: Callable[[pd.Series], pd.DataFrame] | None = None,
     id_col: str = "resource_id",
     modified_col: str = "last_modified",
+    size_col: str | None = None,
+    max_bytes: int = 100_000_000,
 ) -> DataFrame:
     """Validate only what changed: rows whose cached report is at least as
     recent as their ``last_modified`` reuse the cache; the rest go through
     ``validator`` (mapInPandas batch). Returns one report row per resource.
 
     ``report_cache`` schema: resource_id, is_valid, n_errors, validated_at.
+
+    When ``size_col`` is given, resources above ``max_bytes`` are never
+    sent to the validator (the reference refuses to download >10^8-byte
+    files into Validata, consolidation.py:305-308); they come back with
+    ``validated_at='skipped:size'`` and NULL is_valid so downstream floors
+    treat them as unvalidated rather than invalid.
     """
     if validator is None:
         def validator(ids: pd.Series) -> pd.DataFrame:
@@ -46,6 +54,20 @@ def validate_resources(
                 }
             )
 
+    oversized = None
+    if size_col is not None:
+        oversized = (
+            resources.where(F.col(size_col) > max_bytes)
+            .select(
+                F.col(id_col).alias("resource_id"),
+                F.lit(None).cast("boolean").alias("is_valid"),
+                F.lit(None).cast("int").alias("n_errors"),
+                F.lit("skipped:size").alias("validated_at"),
+            )
+        )
+        resources = resources.where(
+            F.col(size_col).isNull() | (F.col(size_col) <= max_bytes)
+        )
     base = resources.select(
         F.col(id_col).alias("resource_id"), F.col(modified_col).alias("__mod")
     )
@@ -67,7 +89,8 @@ def validate_resources(
                 yield validator(pdf["resource_id"])
 
     validated = stale.mapInPandas(run, schema=VALIDATION_SCHEMA)
-    return validated if fresh is None else fresh.unionByName(validated)
+    out = validated if fresh is None else fresh.unionByName(validated)
+    return out if oversized is None else out.unionByName(oversized)
 
 
 def luhn_valid(col) -> "Column":

@@ -122,3 +122,26 @@ def test_luhn_valid_matches_reference_impl(spark):
     for c in cases:
         assert got[c] == luhn_py(c), c
     assert got["356000000"] is True
+
+
+def test_validate_resources_size_cap(spark):
+    """Resources above the 1e8-byte cap never reach the validator
+    (reference refuses to download them into Validata); they return
+    NULL is_valid with a named skip marker."""
+    from datagouvfr_data_pipelines_spark.functions.validation import (
+        validate_resources,
+    )
+
+    res = spark.createDataFrame(
+        [("r1", "2024-01-01", 1000), ("r2", "2024-01-01", 200_000_000)],
+        "resource_id string, last_modified string, n_bytes long",
+    )
+    out = {
+        r["resource_id"]: r
+        for r in validate_resources(
+            res, None, size_col="n_bytes"
+        ).collect()
+    }
+    assert out["r1"]["validated_at"] == "fake-run"
+    assert out["r2"]["validated_at"] == "skipped:size"
+    assert out["r2"]["is_valid"] is None
