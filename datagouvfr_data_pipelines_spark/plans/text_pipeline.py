@@ -512,11 +512,19 @@ _NORM_P_SQL = """sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
 )
 def sim_topk_cosine(spark, sf_dir):
     """Brute-force cosine top-k against a probe vector — the ANN baseline.
-    Map + TakeOrdered: no shuffle; scale path is ivf/LSH cells below."""
+    The probe is ONE vector, so it collects to the driver (k-state
+    policy, same as IVF centroids) and inlines as a literal array: the
+    scan+TakeOrdered is then a single shuffle-free job — no probe
+    subquery job, no crossJoin. Scale path is ivf/LSH cells below."""
     emb = table(spark, sf_dir, "embeddings")
-    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("p"))
-    out = emb.crossJoin(F.broadcast(probe)).select(
-        "vec_id", "label", F.round(cosine("embedding", "p"), 6).alias("sim")
+    probe = (
+        emb.where(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    )
+    p = F.array(*[F.lit(float(v)) for v in probe])
+    out = emb.select(
+        "vec_id",
+        "label",
+        F.round(cosine("embedding", p), 6).alias("sim"),
     )
     return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
 

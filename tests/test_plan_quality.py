@@ -59,7 +59,7 @@ def test_no_cartesian_in_catalog_except_intended(spark, sf_dir):
     """Only queries that intentionally cross-join tiny frames may contain a
     cartesian/BNL join."""
     intended = {
-        "j10_region_months", "a8_histogram", "sim_topk_cosine",
+        "j10_region_months", "a8_histogram",
         "d_ngram_jaccard_pairs", "a12_zero_fill",
     }
     for name in ["q1_pricing_summary", "j5_customer_totals", "w2_latest_order_per_customer",
@@ -195,7 +195,6 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "j10_region_months",      # 5 regions x 12 months
         "a8_histogram",           # single-row min/max bounds broadcast
         "d_ngram_jaccard_pairs",  # id-bounded exact-verify kernel
-        "sim_topk_cosine",        # single probe vector broadcast
         "sim_knn_join",           # 5-probe batch broadcast
         "q22_idle_rich_customers",  # single-row avg-balance cutoff broadcast
         "q_benford_check",        # single-row digit-total broadcast
