@@ -1029,3 +1029,112 @@ def j25_repeat_brand_rate(spark, sf_dir):
             / F.col("nb_buyers").cast("double")
         ).alias("repeat_rate"),
     )
+
+
+@register(
+    "x1_cuped_adjusted_lift",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(CAST(c.c_custkey AS VARCHAR), ''),
+                              ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) % 2 AS variant,
+             COALESCE(SUM(CASE WHEN YEAR(o.o_orderdate) = 1996
+               THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) END), 0) AS x,
+             COALESCE(SUM(CASE WHEN YEAR(o.o_orderdate) = 1997
+               THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) END), 0) AS y
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+      FROM per_cust
+    ), v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(x) AS BIGINT) AS vsx, CAST(SUM(y) AS BIGINT) AS vsy
+      FROM per_cust GROUP BY 1
+    )
+    SELECT v.variant, v.n_units,
+           CAST(v.vsy AS DOUBLE) / CAST(v.n_units AS DOUBLE) / 100.0
+             AS mean_spend,
+           (CAST(v.vsy AS DOUBLE) / CAST(v.n_units AS DOUBLE)
+            - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+               / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+              * (CAST(v.vsx AS DOUBLE) / CAST(v.n_units AS DOUBLE)
+                 - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))) / 100.0
+             AS mean_spend_cuped
+    FROM v, g
+    """,
+    tags=["experiment", "cuped", "variance-reduction", "hash-exact"],
+)
+def x1_cuped_adjusted_lift(spark, sf_dir):
+    """CUPED-adjusted experiment readout (public method: Deng, Xu,
+    Kohavi, Walker 2013 — controlled-experiment variance reduction using
+    pre-experiment data): per-customer 1997 spend adjusted by 1996 spend,
+    theta = cov(x,y)/var(x) pooled over all units, variant = hash split.
+    Per-variant adjusted mean = ybar_v - theta (xbar_v - xbar). All
+    moments are exact integer sums (decimal(38)/HUGEINT) and every float
+    step is one identical IEEE expression per engine — adjusted means
+    match DuckDB bit-for-bit. Shape: one shuffle to per-customer
+    (16-byte) tuples, then two tiny aggregates; the 1-row global-moments
+    frame broadcasts onto the 2-row variant frame."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fingerprint_rolling,
+    )
+
+    dec38 = "decimal(38,0)"
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    yr = F.year("o_orderdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(yr == 1996, cents).alias("x96"),
+        F.when(yr == 1997, cents).alias("y97"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum("x96"), F.lit(0)).alias("x"),
+            F.coalesce(F.sum("y97"), F.lit(0)).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.pmod(
+                fingerprint_rolling(F.col("c_custkey").cast("string")),
+                F.lit(2),
+            ),
+        )
+    )
+    g = per_cust.agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum("x").cast(dec38).alias("sx"),
+        F.sum("y").cast(dec38).alias("sy"),
+        F.sum(F.col("x").cast(dec38) * F.col("y").cast(dec38)).alias("sxy"),
+        F.sum(F.col("x").cast(dec38) * F.col("x").cast(dec38)).alias("sxx"),
+    )
+    v = per_cust.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("x").alias("vsx"),
+        F.sum("y").alias("vsy"),
+    )
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ybar_v = F.col("vsy").cast("double") / F.col("n_units").cast("double")
+    xbar_v = F.col("vsx").cast("double") / F.col("n_units").cast("double")
+    xbar_g = F.col("sx").cast("double") / F.col("n").cast("double")
+    return v.crossJoin(F.broadcast(g)).select(
+        F.col("variant").cast("long").alias("variant"),
+        "n_units",
+        (ybar_v / F.lit(100.0)).alias("mean_spend"),
+        ((ybar_v - theta * (xbar_v - xbar_g)) / F.lit(100.0)).alias(
+            "mean_spend_cuped"
+        ),
+    )
