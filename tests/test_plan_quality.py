@@ -201,6 +201,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "sk_customer_cohort_overlap",  # single-row empty-sketch broadcast
         "a28_revenue_trend",      # single-row min-month rebase broadcast
         "asm_dsir_weights",       # single-row corpus-total broadcast
+        "x1_cuped_adjusted_lift", # 1-row global-moments frame onto 2 variants
     }
     # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
     # (|groups| rows, never fact volume) — the global-order window is the
