@@ -1138,3 +1138,114 @@ def x1_cuped_adjusted_lift(spark, sf_dir):
             "mean_spend_cuped"
         ),
     )
+
+
+@register(
+    "ts1_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ), scored AS (
+      SELECT a.day, a.rev, b.rev AS forecast,
+             ABS(a.rev - b.rev) AS abs_err
+      FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY
+      WHERE a.day >= DATE '1998-01-01'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+             AS mae,
+           CAST(SUM(abs_err) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS wape
+    FROM scored
+    """,
+    tags=["timeseries", "forecast", "backtest", "hash-exact"],
+)
+def ts1_seasonal_naive_backtest(spark, sf_dir):
+    """Forecast backtesting: the seasonal-naive baseline (predict each
+    1998 day with the value 7 days earlier) scored by MAE and WAPE. The
+    model every real forecast must beat — and the harness pattern
+    (lag-join + exact integer error sums + one IEEE division) is the
+    same for any model. Fact scan aggregates once; the lag join and
+    scoring run on the |days| frame."""
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("rev")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    scored = (
+        a.join(
+            F.broadcast(b),
+            F.col("a.day") == F.date_add(F.col("b.day"), 7),
+        )
+        .where(F.col("a.day") >= F.lit("1998-01-01").cast("date"))
+        .select(
+            F.col("a.rev").alias("rev"),
+            F.abs(F.col("a.rev") - F.col("b.rev")).alias("abs_err"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum("abs_err").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("mae"),
+        (F.sum("abs_err").cast("double") / F.sum("rev").cast("double")).alias(
+            "wape"
+        ),
+    )
+
+
+@register(
+    "sk_topk_rollup",
+    oracle="""
+    WITH ranked AS (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey)
+               AS rk
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT n_name, c_custkey, c_acctbal
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=["sketch", "topk", "mergeable"],
+)
+def sk_topk_rollup(spark, sf_dir):
+    """Top-3 customers by balance per nation, computed as MERGED
+    per-batch top-k states (customers split into 4 disjoint hash
+    batches, each reduced to its local k-best, then union + one re-rank
+    over the 4k-per-group candidates) — proving the state form equals
+    the oracle's direct single-window answer. This is how an interactive
+    session maintains a leaderboard across arriving batches without
+    rescanning (operators/sketches.py:topk_state/topk_merge)."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        topk_merge,
+        topk_state,
+    )
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", "c_acctbal"
+    )
+    batches = [
+        base.where(F.pmod(F.col("c_custkey"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+    states = [
+        topk_state(b, ["n_name"], "c_acctbal", "c_custkey", 3)
+        for b in batches
+    ]
+    return topk_merge(states, ["n_name"], "c_acctbal", "c_custkey", 3)
