@@ -1249,3 +1249,104 @@ def sk_topk_rollup(spark, sf_dir):
         for b in batches
     ]
     return topk_merge(states, ["n_name"], "c_acctbal", "c_custkey", 3)
+
+
+@register(
+    "arr1_brand_overlap_arrays",
+    oracle="""
+    WITH by_year AS (
+      SELECT o.o_custkey,
+             list_sort(list_distinct(list(p.p_brand) FILTER (
+               WHERE YEAR(o.o_orderdate) = 1996))) AS b96,
+             list_sort(list_distinct(list(p.p_brand) FILTER (
+               WHERE YEAR(o.o_orderdate) = 1997))) AS b97
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE YEAR(o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1
+    )
+    SELECT CAST(COALESCE(len(list_intersect(b96, b97)), 0) AS INTEGER)
+             AS nb_shared,
+           CAST(COUNT(*) AS BIGINT) AS nb_customers
+    FROM by_year
+    GROUP BY 1
+    """,
+    tags=["scalar-array", "set-ops", "A17"],
+)
+def arr1_brand_overlap_arrays(spark, sf_dir):
+    """Per-row array set algebra (§2.8 array family): each customer's
+    1996 and 1997 brand sets collected in ONE conditional collect_set
+    pass, intersected per row with array_intersect (JVM-side, no
+    explode-and-rejoin), histogrammed by overlap size. Collected sets
+    are basket-bounded, so per-row state stays small at any scale."""
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    by_year = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("yr").isin(1996, 1997))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.when(F.col("yr") == 1996, F.col("p_brand")))
+            ).alias("b96"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("yr") == 1997, F.col("p_brand")))
+            ).alias("b97"),
+        )
+    )
+    return (
+        by_year.select(
+            F.size(F.array_intersect("b96", "b97")).alias("nb_shared")
+        )
+        .groupBy("nb_shared")
+        .agg(F.count(F.lit(1)).alias("nb_customers"))
+    )
+
+
+@register(
+    "w21_rolling_median_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT day,
+           quantile_cont(rev, 0.5) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                    AND CURRENT ROW
+           ) / 100.0 AS rolling_median
+    FROM daily
+    """,
+    tags=["W6", "rolling-median", "window", "exact-percentile"],
+)
+def w21_rolling_median_7d(spark, sf_dir):
+    """Trailing-7-day rolling EXACT median of daily revenue: percentile
+    as a window aggregate over an event-time RANGE frame (epoch-day
+    keyed, so calendar gaps shrink the window rather than stretching
+    it). The window runs over the |days|-sized daily aggregate — global
+    order is intentional and bounded (the fact table partial-aggregates
+    first); integer-cent inputs make the 0.5 interpolation midpoint
+    bit-equal to DuckDB's quantile_cont."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(cents).alias("rev"))
+        .withColumn("epoch_day", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        (F.percentile("rev", F.lit(0.5)).over(w) / F.lit(100.0)).alias(
+            "rolling_median"
+        ),
+    )

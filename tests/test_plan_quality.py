@@ -213,6 +213,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "w15_new_vs_returning",   # cumulative acquisitions over |days|
         "p13_global_row_ids",     # offset window over the K-partition counts
         "a37_pareto_front",       # final pass over front-sized survivors
+        "w21_rolling_median_7d",  # range frame over the |days| aggregate
     }
     flagged = {}
     for name, fn in QUERIES.items():
