@@ -1350,3 +1350,45 @@ def w21_rolling_median_7d(spark, sf_dir):
             "rolling_median"
         ),
     )
+
+
+@register(
+    "a42_percentile_bands",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT), 0.10) / 100.0 AS p10,
+           quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT), 0.50) / 100.0 AS p50,
+           quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT), 0.90) / 100.0 AS p90
+    FROM orders GROUP BY 1
+    """,
+    tags=["A2", "percentile-bands", "exact-percentile"],
+)
+def a42_percentile_bands(spark, sf_dir):
+    """Monthly P10/P50/P90 bands of order value — the dashboard staple —
+    via ONE array-percentile aggregate per group (a single sort of each
+    group's values serves all three cut points, not three passes).
+    Integer-cent inputs make the linear interpolation bit-equal to
+    DuckDB's quantile_cont; swap to percentile_approx at the 100 TB tier
+    (documented trade, SURVEY §4 rule 1)."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    bands = F.percentile(
+        cents, F.array(F.lit(0.10), F.lit(0.50), F.lit(0.90))
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(bands.alias("b"))
+        .select(
+            "month",
+            (F.col("b")[0] / 100.0).alias("p10"),
+            (F.col("b")[1] / 100.0).alias("p50"),
+            (F.col("b")[2] / 100.0).alias("p90"),
+        )
+    )
