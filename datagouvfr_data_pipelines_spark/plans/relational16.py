@@ -1392,3 +1392,40 @@ def a42_percentile_bands(spark, sf_dir):
             (F.col("b")[2] / 100.0).alias("p90"),
         )
     )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM POLISHED%'
+      AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    tags=["tpch-q16", "A7", "dim-exclusion"],
+)
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape on available columns (lineitem stands in for the
+    absent partsupp): distinct suppliers per (brand, size) with the
+    classic negated dim predicates. The exclusions prune the BROADCAST
+    dim before the join, so the fact side pays one (brand, size,
+    suppkey) dedup shuffle + a counting partial aggregate — the
+    Expand-free single-distinct path."""
+    p = (
+        table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & ~F.col("p_type").startswith("MEDIUM POLISHED")
+            & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
