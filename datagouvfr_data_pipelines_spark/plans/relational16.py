@@ -1429,3 +1429,65 @@ def q16_supplier_variety(spark, sf_dir):
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q2_min_price_supplier",
+    oracle="""
+    WITH quotes AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS quote_cents
+      FROM lineitem l GROUP BY 1, 2
+    ), ranked AS (
+      SELECT p.p_partkey, p.p_brand, q.l_suppkey, q.quote_cents,
+             ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                ORDER BY q.quote_cents, q.l_suppkey) AS rk
+      FROM quotes q JOIN part p ON p.p_partkey = q.l_partkey
+      WHERE p.p_size = 9
+    )
+    SELECT r.p_partkey, r.p_brand, s.s_name,
+           r.quote_cents / 100.0 AS best_quote
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rk = 1
+    """,
+    tags=["tpch-q2", "A11", "argmin"],
+)
+def q2_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (lineitem quotes stand in for the absent
+    partsupp): per size-9 part, the supplier with the lowest observed
+    price, supplier-key tie-break. Spark side skips the oracle's rank
+    window entirely: min_by over a (quote, suppkey) struct makes the
+    argmin a PARTIAL aggregate — two combiner-friendly groupBys and two
+    broadcast dim joins, no per-part sort."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    quotes = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents).alias("quote_cents"))
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 9)
+        .select("p_partkey", "p_brand")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    key = F.struct(F.col("quote_cents"), F.col("l_suppkey"))
+    best = (
+        quotes.join(F.broadcast(p), quotes.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.min_by("l_suppkey", key).alias("l_suppkey"),
+            F.min("quote_cents").alias("quote_cents"),
+        )
+    )
+    return best.join(
+        F.broadcast(s), best.l_suppkey == s.s_suppkey
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "s_name",
+        (F.col("quote_cents") / 100.0).alias("best_quote"),
+    )
