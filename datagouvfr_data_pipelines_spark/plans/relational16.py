@@ -1491,3 +1491,43 @@ def q2_min_price_supplier(spark, sf_dir):
         "s_name",
         (F.col("quote_cents") / 100.0).alias("best_quote"),
     )
+
+
+@register(
+    "d2_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(lower(trim(
+             regexp_replace(text, '\\s+', ' ', 'g'))))) AS BIGINT)
+             AS n_unique,
+           1.0 - CAST(COUNT(DISTINCT sha256(lower(trim(
+             regexp_replace(text, '\\s+', ' ', 'g'))))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=["llm-pipeline", "dedup", "reporting"],
+)
+def d2_dup_rate_by_source(spark, sf_dir):
+    """Curation triage report: exact-duplicate rate per ingest source
+    (the reference's 4-8%-dups-per-DVF-file observation generalized,
+    SURVEY §6) — tells the pipeline WHICH feeds need dedup attention
+    before any expensive near-dup tier runs. One grouped
+    distinct-count over the normalized content hash."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import content_hash
+
+    docs = table(spark, sf_dir, "documents")
+    out = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(content_hash("text")).alias("n_unique"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (
+            F.lit(1.0)
+            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
