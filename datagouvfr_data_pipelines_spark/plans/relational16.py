@@ -1531,3 +1531,58 @@ def d2_dup_rate_by_source(spark, sf_dir):
             - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "x2_srm_check",
+    oracle="""
+    WITH v AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
+                              ch -> CAST(ascii(ch) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) % 2 AS variant
+      FROM customer
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM v
+    )
+    SELECT n0, n1,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+             / CAST(n0 + n1 AS DOUBLE) AS chi2,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+             / CAST(n0 + n1 AS DOUBLE) > 3.841 AS srm_flag
+    FROM s
+    """,
+    tags=["experiment", "srm", "quality-gate"],
+)
+def x2_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate for the x1 experiment split: chi-square
+    against the intended 50/50 allocation (1 dof critical value 3.841 at
+    p=0.05). A flagged SRM means the assignment itself is broken and any
+    readout is invalid — the standard first check of experiment QA.
+    Exact integer counts, one identical IEEE expression; single partial
+    aggregate over the unit universe."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fingerprint_rolling,
+    )
+
+    variant = F.pmod(
+        fingerprint_rolling(F.col("c_custkey").cast("string")), F.lit(2)
+    )
+    s = (
+        table(spark, sf_dir, "customer")
+        .select(variant.alias("variant"))
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    chi2 = (
+        (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    ).cast("double") / (F.col("n0") + F.col("n1")).cast("double")
+    return s.select(
+        "n0", "n1", chi2.alias("chi2"), (chi2 > 3.841).alias("srm_flag")
+    )
