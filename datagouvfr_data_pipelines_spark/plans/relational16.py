@@ -1586,3 +1586,59 @@ def x2_srm_check(spark, sf_dir):
     return s.select(
         "n0", "n1", chi2.alias("chi2"), (chi2 > 3.841).alias("srm_flag")
     )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                      ) AS BIGINT) AS q_cents
+      FROM lineitem WHERE YEAR(l_shipdate) = 1996
+      GROUP BY 1, 2
+    ), per_p AS (
+      SELECT l_partkey, CAST(SUM(q_cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_supps
+      FROM per_ps GROUP BY 1
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS nb_dominated_parts
+    FROM per_ps ps
+    JOIN per_p p ON p.l_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.n_supps >= 2 AND 2 * ps.q_cents > p.total_cents
+    GROUP BY s.s_name
+    """,
+    tags=["tpch-q20", "J8", "share-threshold"],
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 spirit on available columns: suppliers carrying the
+    MAJORITY of a multi-supplier part's 1996 shipped volume, counted per
+    supplier. The share predicate is integer arithmetic (2*q > total) on
+    exact centi-quantities — no division, no float. Both aggregates ride
+    the same (partkey) shuffle key: the year filter pushes to the scan,
+    per-(part,supp) partials collapse map-side, and the per-part total
+    re-aggregates FROM the grouped frame (no second scan)."""
+    q_cents = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    per_ps = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(q_cents).alias("q_cents"))
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("q_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_supps"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_ps.join(per_p, "l_partkey")
+        .where(
+            (F.col("n_supps") >= 2)
+            & (F.lit(2) * F.col("q_cents") > F.col("total_cents"))
+        )
+        .join(F.broadcast(s), per_ps.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("nb_dominated_parts"))
+    )
