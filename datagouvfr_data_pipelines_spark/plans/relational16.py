@@ -1642,3 +1642,60 @@ def q20_dominant_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("nb_dominated_parts"))
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT n.n_name, l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                      ) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ), nt AS (
+      SELECT n_name, CAST(SUM(value_cents) AS BIGINT) AS nation_cents
+      FROM pv GROUP BY 1
+    )
+    SELECT pv.n_name,
+           CAST(COUNT(*) AS BIGINT) AS nb_important_parts,
+           CAST(SUM(pv.value_cents) AS BIGINT) AS important_cents
+    FROM pv JOIN nt ON nt.n_name = pv.n_name
+    WHERE 1000 * pv.value_cents > nt.nation_cents
+    GROUP BY pv.n_name
+    """,
+    tags=["tpch-q11", "A10", "share-threshold"],
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (shipped value stands in for the absent partsupp
+    stock value): parts whose value exceeds 0.1% of their supplier
+    nation's total, counted and summed per nation. Same integer
+    no-division share predicate as q20 (1000*part > nation); the nation
+    totals re-aggregate from the grouped frame and broadcast back onto
+    it — the fact table is scanned and shuffled once."""
+    v_cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", v_cents.alias("v")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum("v").alias("value_cents"))
+    )
+    nt = pv.groupBy("n_name").agg(F.sum("value_cents").alias("nation_cents"))
+    return (
+        pv.join(F.broadcast(nt), "n_name")
+        .where(F.lit(1000) * F.col("value_cents") > F.col("nation_cents"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("nb_important_parts"),
+            F.sum("value_cents").alias("important_cents"),
+        )
+    )
