@@ -1699,3 +1699,80 @@ def q11_important_stock(spark, sf_dir):
             F.sum("value_cents").alias("important_cents"),
         )
     )
+
+
+@register(
+    "w24_hourly_seasonality",
+    oracle="""
+    WITH base AS (
+      SELECT isodow(ts) AS dow, CAST(hour(ts) AS INTEGER) AS hr
+      FROM events
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base)
+    SELECT CAST(dow AS INTEGER) AS dow, hr,
+           CAST(COUNT(*) AS BIGINT) AS nb_events,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+    FROM base, tot
+    GROUP BY dow, hr, tot.n
+    """,
+    tags=["A4", "seasonality", "calendar"],
+)
+def w24_hourly_seasonality(spark, sf_dir):
+    """Activity seasonality profile: the (ISO weekday x hour) event
+    matrix with each cell's share of total traffic — the load-shaping
+    input for batch scheduling. ISO weekday (Monday=1) is the portable
+    encoding: Spark's dayofweek is Sunday-based, DuckDB's dow differs
+    again, so both sides compute the ISO form. One partial-agg shuffle;
+    the grand total broadcasts."""
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("weekday(ts) + 1").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ev.groupBy("dow", "hr")
+        .agg(F.count(F.lit(1)).alias("nb_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "nb_events",
+            (
+                F.col("nb_events").cast("double") / F.col("n").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "scalar_month_end_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+             AS plus_1m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)
+             AS quarter_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                last_day(CAST(o_orderdate AS DATE))) AS INTEGER)
+             AS days_to_month_end
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=["scalar-date", "month-end", "calendar"],
+)
+def scalar_month_end_arith(spark, sf_dir):
+    """Month-end calendar arithmetic corners (§2.8 date family): +1 month
+    CLAMPS at short months (Jan 31 -> Feb 28/29 on both engines —
+    pinned here because engines have historically disagreed), last_day,
+    quarter truncation, and days-remaining-in-month. Pure projection;
+    the key filter pushes to the scan."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).alias("plus_1m"),
+        F.last_day(d).alias("month_end"),
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias(
+            "quarter_start"
+        ),
+        F.datediff(F.last_day(d), d).cast("int").alias("days_to_month_end"),
+    )
