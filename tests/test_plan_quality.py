@@ -202,6 +202,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "a28_revenue_trend",      # single-row min-month rebase broadcast
         "asm_dsir_weights",       # single-row corpus-total broadcast
         "x1_cuped_adjusted_lift", # 1-row global-moments frame onto 2 variants
+        "w24_hourly_seasonality", # 1-row grand-total broadcast
     }
     # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
     # (|groups| rows, never fact volume) — the global-order window is the
