@@ -165,31 +165,69 @@ def read_parquet_resilient(
     via the DataFrameReader option (not session-wide — silently skipping
     corrupt data everywhere would mask real bugs). When ``report`` is
     passed, the skipped files are IDENTIFIED by footer-probing the listing
-    driver-side (cheap: magic-bytes check per file, metadata-only I/O) and
-    recorded under ``report['corrupt_files']`` so the caller can alarm or
-    quarantine — silent data loss is the failure mode to avoid, so the
-    skip is always accounted for.
+    driver-side (cheap: 4 magic bytes at each end per file, metadata-only
+    I/O) and recorded under ``report['corrupt_files']`` so the caller can
+    alarm or quarantine — silent data loss is the failure mode to avoid,
+    so the skip is always accounted for. Listing and probing go through
+    the Hadoop FileSystem API, so the accounting works on ANY scheme the
+    scan supports (s3a://, hdfs://, file:///…), not just the local
+    filesystem.
+
+    Known limit (documented, not silent): the probe catches truncation and
+    header/footer corruption — the overwhelmingly dominant partial-upload
+    failure mode — but NOT mid-file page corruption with intact magic
+    bytes; for that, reconcile row counts against a manifest downstream.
     """
     df = (
         spark.read.option("ignoreCorruptFiles", "true").parquet(path)
     )
     if report is not None:
-        import glob as _glob
-        import os as _os
-
-        bad = []
-        for f in sorted(
-            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-            or _glob.glob(path)
-        ):
-            try:
-                with open(f, "rb") as fh:
-                    head = fh.read(4)
-                    fh.seek(-4, 2)
-                    tail = fh.read(4)
-                if head != b"PAR1" or tail != b"PAR1":
-                    bad.append(f)
-            except OSError:
-                bad.append(f)
-        report["corrupt_files"] = bad
+        report["corrupt_files"] = _probe_corrupt_parquet(spark, path)
     return df
+
+
+def _probe_corrupt_parquet(spark: SparkSession, path: str) -> list[str]:
+    """List ``path`` recursively via the Hadoop FileSystem API and return
+    the data files whose parquet magic bytes (``PAR1`` head + tail) are
+    missing — scheme-agnostic (local, HDFS, object stores)."""
+    jvm = spark._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        return []
+    bad: list[str] = []
+    it = fs.listFiles(hpath, True)  # recursive; files only
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # metadata / hidden markers, not scan inputs
+        size = st.getLen()
+        if size < 12:  # PAR1 + 4-byte footer len + PAR1 minimum
+            bad.append(p.toString())
+            continue
+        stream = fs.open(p)
+        try:
+            # py4j copies byte[] args by value, so readFully(pos, buf)
+            # can't hand bytes back — read the 8 magic bytes one at a
+            # time (driver-side, 8 round-trips per file, metadata-scale).
+            def _read4(pos: int) -> bytes:
+                stream.seek(pos)
+                out = bytearray()
+                for _ in range(4):
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    out.append(b)
+                return bytes(out)
+
+            if _read4(0) != b"PAR1" or _read4(size - 4) != b"PAR1":
+                bad.append(p.toString())
+        except Exception:
+            bad.append(p.toString())
+        finally:
+            stream.close()
+    return sorted(bad)

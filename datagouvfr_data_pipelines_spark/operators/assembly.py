@@ -430,6 +430,14 @@ def dsir_importance_weights(
     ratio table broadcasts; the final per-doc fold is a second partial
     agg. Returns (id, n_toks, dsir_micro) — micro-nats x 1e6; resample
     with asm_weighted_sample on the weight.
+
+    Cache lifetime (same contract as ``incremental_dedup``): the grouped
+    (doc, bucket) frame stays persisted until the SESSION drops it — it
+    must outlive the returned lazy DataFrame, so this function cannot
+    unpersist it. Long-lived sessions calling this per batch (e.g.
+    pipelines/corpus.py curation with dsir_target_lang) should
+    ``spark.catalog.clearCache()`` after materializing each batch's
+    result, or the cached frames accumulate until LRU pressure.
     """
     tk = docs.select(
         F.col(id_col),

@@ -252,16 +252,24 @@ def topk_state(
     top-k), which makes interactive / incremental search sessions cheap:
     maintain the state per batch and merge on demand instead of
     rescanning the corpus per query refinement (cf. the incremental
-    top-k literature, EDBT'20). One partial-agg window per batch.
+    top-k literature, EDBT'20). Skew-safe: built on ``grouped_top_k``
+    (salted partial top-k per bucket, then an exact final pass over
+    group x fan x k survivors) so a hot group never serializes through
+    one reducer — same total order (score desc, id asc) in both stages,
+    so the state equals the plain-window form.
     """
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+    from datagouvfr_data_pipelines_spark.operators.aggregates import (
+        grouped_top_k,
     )
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+
+    return grouped_top_k(
+        df,
+        group_cols,
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        k,
+        tiebreak_col=id_col,
+        rank_alias="__rk",
+    ).drop("__rk")
 
 
 def topk_merge(

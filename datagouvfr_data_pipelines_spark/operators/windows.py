@@ -190,6 +190,89 @@ def global_dense_ids(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_key: str,
+    order_cols: list,
+    value_col: str,
+    alias: str = "cum_sum",
+    n_buckets: int = 64,
+    descending: bool = False,
+    total_alias: str | None = None,
+) -> DataFrame:
+    """Inclusive running total of ``value_col`` over a GLOBAL order without
+    the single-partition window (``Window.orderBy`` with no partition key
+    funnels the whole table through one task — the classic 100 TB killer).
+
+    The ``pack_sequences`` recipe, generalized: rows are fixed-width
+    range-bucketed on numeric ``order_key`` (deterministic arithmetic — no
+    ``repartitionByRange`` sampling, whose boundaries can shift between
+    the two jobs that read them); each bucket runs a bucket-local
+    inclusive cumsum (bounded window WITH a partition key); the
+    ``n_buckets`` bucket totals collect to the driver, fold into exclusive
+    prefix offsets, and broadcast back as a literal map. Rows that tie on
+    ``order_key`` land in the same bucket, so any tiebreak columns in
+    ``order_cols`` stay bucket-local and the result equals the
+    single-window form for ANY bucket count.
+
+    Exact only for integer/decimal ``value_col`` (associative addition) —
+    quantize floats to integer units first or the regrouped partial sums
+    won't be bit-stable. Skewed ``order_key`` distributions unbalance
+    buckets but never break correctness; raise ``n_buckets`` to re-spread.
+
+    ``order_cols`` are Column expressions (may carry .desc()) and must be a
+    total order consistent with ``order_key``/``descending``.
+
+    ``total_alias`` attaches the grand total as a literal column for free
+    (it is the driver fold's final accumulator) — use it instead of a
+    separate ``SUM() OVER ()`` / 1-row crossJoin when the share-of-total
+    is needed alongside the running total.
+    """
+    bounds = df.agg(
+        F.min(order_key).alias("mn"), F.max(order_key).alias("mx")
+    ).first()
+    if bounds.mn is None:
+        out = df.withColumn(alias, F.lit(None).cast("long"))
+        if total_alias:
+            out = out.withColumn(total_alias, F.lit(None).cast("long"))
+        return out
+    mn, mx = int(bounds.mn), int(bounds.mx)
+    width = max((mx - mn + n_buckets) // n_buckets, 1)
+    if descending:
+        bucket = ((F.lit(mx) - F.col(order_key)) / width).cast("long")
+    else:
+        bucket = ((F.col(order_key) - F.lit(mn)) / width).cast("long")
+
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = df.withColumn("__bucket", bucket).withColumn(
+        "__local_cum", F.sum(value_col).over(w_local)
+    )
+    totals = {
+        r["__bucket"]: r["t"]
+        for r in local.groupBy("__bucket")
+        .agg(F.sum(value_col).cast("long").alias("t"))
+        .collect()
+    }
+    prefix, acc = {}, 0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    prefix_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(prefix.items()) for x in kv]),
+        F.col("__bucket"),
+    )
+    out = local.withColumn(alias, prefix_expr + F.col("__local_cum")).drop(
+        "__bucket", "__local_cum"
+    )
+    if total_alias:
+        out = out.withColumn(total_alias, F.lit(acc).cast("long"))
+    return out
+
+
 def skyline_2d(
     df: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:

@@ -68,15 +68,32 @@ def a27_grouped_topn(spark, sf_dir):
              date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2002-01-01')
                AS recency_days,
              COUNT(*) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS monetary_c
       FROM orders GROUP BY o_custkey
     ),
-    scored AS (
-      SELECT o_custkey, recency_days, frequency, monetary,
-             CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
-             CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
-             CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+    b AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.50) AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.50) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary_c, 0.25) AS m1,
+             quantile_cont(monetary_c, 0.50) AS m2,
+             quantile_cont(monetary_c, 0.75) AS m3
       FROM rfm
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+               + CAST(recency_days > r3 AS INT) AS r_score,
+             1 + CAST(frequency < f3 AS INT) + CAST(frequency < f2 AS INT)
+               + CAST(frequency < f1 AS INT) AS f_score,
+             1 + CAST(monetary_c < m3 AS INT) + CAST(monetary_c < m2 AS INT)
+               + CAST(monetary_c < m1 AS INT) AS m_score
+      FROM rfm, b
     )
     SELECT r_score, f_score, m_score,
            COUNT(*) AS nb_customers,
@@ -87,33 +104,58 @@ def a27_grouped_topn(spark, sf_dir):
 )
 def rfm_segments(spark, sf_dir):
     """RFM customer segmentation: recency/frequency/monetary per customer,
-    quartile scores via ntile on TOTAL orders (value + custkey tiebreak —
-    ntile is positional, so the order must be total for determinism),
-    then segment-level rollup. One agg shuffle + three global-order
-    windows over the already-aggregated (small) customer table — the
-    windows never see fact-table volume. At 100 TB the per-customer agg
-    is the only big shuffle; the scored table is |customers| rows."""
+    quartile scores by exact-percentile BOUNDARIES (r_score 1 = most
+    recent quartile, f/m_score 1 = top quartile), then segment rollup.
+
+    Boundary scoring instead of ntile: ``ntile(4)`` needs a global-order
+    window — a single-partition sort of |customers| rows, the 100 TB
+    killer this plan used to carry (round-3 VERDICT). The quartile
+    boundaries are ONE 9-value aggregate row (the winsorize recipe,
+    operators/aggregates.py) broadcast back over the per-customer table —
+    no global sort anywhere; the per-customer agg is the only big
+    shuffle. Tie-robust cross-engine: recency/frequency are integers and
+    monetary is scored on exact integer cents, so every comparison
+    against an interpolated boundary is either exact (tied order stats)
+    or has ulp-wide slack (boundary strictly between adjacent integers)."""
     o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
     rfm = o.groupBy("o_custkey").agg(
         F.datediff(
             F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice", "monetary"),
+        (F.sum(dec) * 100).cast("bigint").alias("monetary_c"),
+    ).persist()  # consumed by the boundary agg AND the scoring pass
+    b = rfm.agg(
+        F.percentile("recency_days", 0.25).alias("r1"),
+        F.percentile("recency_days", 0.50).alias("r2"),
+        F.percentile("recency_days", 0.75).alias("r3"),
+        F.percentile("frequency", 0.25).alias("f1"),
+        F.percentile("frequency", 0.50).alias("f2"),
+        F.percentile("frequency", 0.75).alias("f3"),
+        F.percentile("monetary_c", 0.25).alias("m1"),
+        F.percentile("monetary_c", 0.50).alias("m2"),
+        F.percentile("monetary_c", 0.75).alias("m3"),
     )
-    scored = (
-        rfm.withColumn(
-            "r_score",
-            F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")),
+    scored = rfm.crossJoin(F.broadcast(b))
+
+    def _score(col: str, bounds: list[str], below: bool) -> F.Column:
+        op = (
+            (lambda c, bd: (F.col(c) < F.col(bd)).cast("int"))
+            if below
+            else (lambda c, bd: (F.col(c) > F.col(bd)).cast("int"))
         )
-        .withColumn(
-            "f_score",
-            F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))),
-        )
+        s = F.lit(1)
+        for bd in bounds:
+            s = s + op(col, bd)
+        return s
+
+    scored = scored.select(
+        _score("recency_days", ["r1", "r2", "r3"], below=False).alias("r_score"),
+        _score("frequency", ["f3", "f2", "f1"], below=True).alias("f_score"),
+        _score("monetary_c", ["m3", "m2", "m1"], below=True).alias("m_score"),
+        "monetary",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("nb_customers"),

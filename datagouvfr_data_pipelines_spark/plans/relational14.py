@@ -577,25 +577,24 @@ def a30_gini_by_segment(spark, sf_dir):
     WITH rev AS (
       SELECT p.p_partkey,
              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
-               AS revenue
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))) * 10000
+                  AS BIGINT) AS rev_u
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY p.p_partkey
     ),
     ranked AS (
-      SELECT p_partkey, revenue,
-             SUM(revenue) OVER (ORDER BY revenue DESC, p_partkey
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum_rev,
-             SUM(revenue) OVER () AS total_rev
+      SELECT p_partkey, rev_u,
+             CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, p_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_u,
+             CAST(SUM(rev_u) OVER () AS BIGINT) AS total_u
       FROM rev
     )
-    SELECT CASE WHEN cum_rev / total_rev <= 0.8 THEN 'A'
-                WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+    SELECT CASE WHEN cum_u * 5 <= total_u * 4 THEN 'A'
+                WHEN cum_u * 20 <= total_u * 19 THEN 'B'
                 ELSE 'C' END AS abc_class,
            COUNT(*) AS n_parts,
-           CAST(SUM(CAST(ROUND(revenue * 100) AS BIGINT)) AS BIGINT)
-             AS class_rev_cents
+           CAST(SUM(rev_u) AS BIGINT) AS class_rev_u
     FROM ranked GROUP BY 1
     """,
     tags=["window", "pareto", "abc", "A9", "A10"],
@@ -603,11 +602,16 @@ def a30_gini_by_segment(spark, sf_dir):
 def a28_abc_classification(spark, sf_dir):
     """ABC/Pareto classification of parts by revenue share: cumulative
     revenue over the (revenue DESC, partkey) total order, classes cut at
-    80%/95%. The cumulative window runs over the AGGREGATED part table
-    (|parts| rows, never fact volume); the ordered cumsum adds doubles in
-    the same pinned sequence on both engines, and class revenue re-sums
-    as integer cents — fully hash-exact."""
-    from pyspark.sql import Window as W
+    80%/95%. Revenue is exact integer 1e-4-currency units (decimal sum
+    scaled), so the running total is associative and the cumsum runs as a
+    DISTRIBUTED bucketed prefix sum (``global_prefix_sum``: deterministic
+    fixed-width revenue buckets, bucket-local window, driver-folded
+    64-row prefix map) — no global-order window anywhere, so the plan
+    holds at |parts| ~ 200M. Class cuts compare integers (cum*5 <=
+    total*4 ⇔ share <= 0.8) — no float division, hash-exact."""
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        global_prefix_sum,
+    )
 
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey")
@@ -615,30 +619,37 @@ def a28_abc_classification(spark, sf_dir):
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
-            ).cast("double").alias("revenue")
+            (
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+                )
+                * 10000
+            )
+            .cast("bigint")
+            .alias("rev_u")
         )
+        # consumed by 3 jobs inside global_prefix_sum (bounds, bucket
+        # totals, final plan) — cache lifetime = session, as dsir/bidx
+        .persist()
     )
-    w_cum = W.orderBy(F.desc("revenue"), "p_partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    ranked = global_prefix_sum(
+        rev,
+        "rev_u",
+        [F.col("rev_u").desc(), F.col("p_partkey").asc()],
+        "rev_u",
+        alias="cum_u",
+        descending=True,
+        total_alias="total_u",
     )
-    w_all = W.partitionBy()
-    ranked = rev.select(
-        "revenue",
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(w_all).alias("total_rev"),
-    )
-    share = F.col("cum_rev") / F.col("total_rev")
     cls = (
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+        F.when(F.col("cum_u") * 5 <= F.col("total_u") * 4, "A")
+        .when(F.col("cum_u") * 20 <= F.col("total_u") * 19, "B")
+        .otherwise("C")
     )
     return ranked.groupBy(cls.alias("abc_class")).agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.sum(F.round(F.col("revenue") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("class_rev_cents"),
+        F.sum("rev_u").cast("bigint").alias("class_rev_u"),
     )
 
 

@@ -11,10 +11,18 @@ not the corpus — the shape that keeps a 100 TB corpus ingestable.
 
 Retry safety mirrors streaming/incremental.py: foreachBatch can replay a
 batch whose sink ran but whose checkpoint commit didn't, so the index
-directory carries a ``_last_batch`` watermark written AFTER the atomic
-swap; a replayed batch id appends zero rows, not duplicates. The survivor
-append itself is idempotent per batch (one overwritten subdirectory per
-batch id).
+directory carries a ``_last_batch`` watermark INSIDE it, written into the
+tmp directory BEFORE the atomic ``os.rename`` swap — index contents and
+watermark are one atomic unit and can never disagree (a crash between
+parquet write and rename leaves the old index+watermark intact; a crash
+after the rename leaves the new pair). A replayed batch id therefore
+either sees watermark < id (old pair: full re-run, overwriting its own
+partial survivor dir) or watermark >= id (new pair: no-op) — never the
+torn state where its fingerprints are in the index but its survivors were
+dropped. Spark's parquet scan ignores ``_``-prefixed files, so the
+watermark rides inside the index directory for free. Because the
+watermark lives inside ``index_dir``, two streams with sibling index
+directories never share one watermark file.
 """
 
 from __future__ import annotations
@@ -37,15 +45,17 @@ _WATERMARK = "_last_batch"
 
 
 def _read_watermark(index_path: str) -> int:
-    p = os.path.join(os.path.dirname(index_path.rstrip("/")), _WATERMARK)
+    # Inside the index dir: swapped atomically together with the index
+    # contents, and never shared between sibling index directories.
+    p = os.path.join(index_path.rstrip("/"), _WATERMARK)
     if os.path.exists(p):
         with open(p) as fh:
             return int(fh.read().strip())
     return -1
 
 
-def _write_watermark(index_path: str, batch_id: int) -> None:
-    p = os.path.join(os.path.dirname(index_path.rstrip("/")), _WATERMARK)
+def _write_watermark_into(dir_path: str, batch_id: int) -> None:
+    p = os.path.join(dir_path.rstrip("/"), _WATERMARK)
     with open(p, "w") as fh:
         fh.write(str(batch_id))
 
@@ -98,10 +108,14 @@ def dedup_ingest_stream(
         )
         # survivors: idempotent per-batch subdirectory overwrite
         write_parquet(res.survivors, os.path.join(corpus_dir, f"batch={batch_id}"))
-        # index: atomic swap of old + new rows
+        # index: atomic swap of old + new rows. The watermark is written
+        # into the tmp directory BEFORE the rename, so index contents and
+        # watermark commit as one unit — a replay can never see a state
+        # where its fingerprints are indexed but its batch looks unapplied.
         merged = index.unionByName(res.index_rows)
         tmp = index_dir.rstrip("/") + "__tmp_swap"
         write_parquet(merged, tmp)
+        _write_watermark_into(tmp, batch_id)
         old = index_dir.rstrip("/") + "__old"
         if os.path.exists(old):
             shutil.rmtree(old)
@@ -111,7 +125,6 @@ def dedup_ingest_stream(
         if os.path.exists(old):
             shutil.rmtree(old)
         spark.catalog.clearCache()  # drop the batch fingerprint persist
-        _write_watermark(index_dir, batch_id)
 
     process_available_files(
         spark,

@@ -146,6 +146,89 @@ def main() -> None:
     out["bitmap_distinct"] = {
         "t1": round(t1, 3), "tk": round(tk, 3), "ratio": round(tk / t1, 2)
     }
+
+    # round-4 rewrites (VERDICT r3 "weak" items): the quartile-boundary
+    # RFM scoring and the bucketed-prefix-sum ABC classification — both
+    # formerly single-partition global windows, now broadcast/bucketed.
+    def rfm_shape(o_frame):
+        dec = F.col("o_totalprice").cast("decimal(18,2)")
+        rfm = o_frame.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(dec) * 100).cast("bigint").alias("monetary_c"),
+        ).persist()
+        b = rfm.agg(
+            F.percentile("frequency", 0.25).alias("f1"),
+            F.percentile("frequency", 0.50).alias("f2"),
+            F.percentile("frequency", 0.75).alias("f3"),
+            F.percentile("monetary_c", 0.25).alias("m1"),
+            F.percentile("monetary_c", 0.50).alias("m2"),
+            F.percentile("monetary_c", 0.75).alias("m3"),
+        )
+        s = rfm.crossJoin(F.broadcast(b))
+        f_sc = (
+            F.lit(1)
+            + (F.col("frequency") < F.col("f3")).cast("int")
+            + (F.col("frequency") < F.col("f2")).cast("int")
+            + (F.col("frequency") < F.col("f1")).cast("int")
+        )
+        m_sc = (
+            F.lit(1)
+            + (F.col("monetary_c") < F.col("m3")).cast("int")
+            + (F.col("monetary_c") < F.col("m2")).cast("int")
+            + (F.col("monetary_c") < F.col("m1")).cast("int")
+        )
+        return s.groupBy(f_sc.alias("f"), m_sc.alias("m")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def abc_shape(l_frame):
+        from datagouvfr_data_pipelines_spark.operators.windows import (
+            global_prefix_sum,
+        )
+
+        rev = l_frame.groupBy("l_partkey").agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rev_u")
+        ).persist()
+        ranked = global_prefix_sum(
+            rev,
+            "rev_u",
+            [F.col("rev_u").desc(), F.col("l_partkey").asc()],
+            "rev_u",
+            alias="cum_u",
+            descending=True,
+            total_alias="total_u",
+        )
+        cls = (
+            F.when(F.col("cum_u") * 5 <= F.col("total_u") * 4, "A")
+            .when(F.col("cum_u") * 20 <= F.col("total_u") * 19, "B")
+            .otherwise("C")
+        )
+        return ranked.groupBy(cls.alias("abc")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def timed_clearing(fn, frame) -> float:
+        # the shapes persist intermediates; clearCache between iterations
+        # drops them (and the input — re-persist it untimed each round)
+        best = None
+        for _ in range(3):
+            frame.persist().count()
+            t = timed(fn(frame))
+            spark.catalog.clearCache()
+            best = t if best is None else min(best, t)
+        return best
+
+    for name, base1, basek, fn in (
+        ("rfm_boundary_scores", o1, ok, rfm_shape),
+        ("abc_prefix_sum", li1, lik, abc_shape),
+    ):
+        t1 = timed_clearing(fn, base1)
+        tk = timed_clearing(fn, basek)
+        out[name] = {
+            "t1": round(t1, 3), "tk": round(tk, 3), "ratio": round(tk / t1, 2)
+        }
     lik.unpersist(), ok.unpersist(), li1.unpersist(), o1.unpersist()
 
     print(json.dumps({"k": k, "queries": out}))

@@ -206,6 +206,52 @@ def test_global_dense_ids_match_single_window(spark):
         assert got == want, n
 
 
+def test_global_prefix_sum_matches_single_window(spark):
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    # keys with heavy ties (bucket-boundary stress) + a unique tiebreaker
+    rows = [((i * 7) % 5, i, (i * 13) % 40 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "key long, id long, v long").repartition(9)
+    want_asc, want_desc, acc = {}, {}, 0
+    for key, i, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        acc += v
+        want_asc[(key, i)] = acc
+    acc = 0
+    for key, i, v in sorted(rows, key=lambda r: (-r[0], r[1])):
+        acc += v
+        want_desc[(key, i)] = acc
+    for nb in (1, 4, 16):
+        got = {
+            (r.key, r.id): r.cum
+            for r in global_prefix_sum(
+                df,
+                "key",
+                [F.col("key").asc(), F.col("id").asc()],
+                "v",
+                alias="cum",
+                n_buckets=nb,
+            ).collect()
+        }
+        assert got == want_asc, nb
+        got = {
+            (r.key, r.id): (r.cum, r.tot)
+            for r in global_prefix_sum(
+                df,
+                "key",
+                [F.col("key").desc(), F.col("id").asc()],
+                "v",
+                alias="cum",
+                n_buckets=nb,
+                descending=True,
+                total_alias="tot",
+            ).collect()
+        }
+        total = sum(r[2] for r in rows)
+        assert got == {k: (c, total) for k, c in want_desc.items()}, nb
+
+
 def test_skyline_2d_matches_bruteforce(spark):
     from datagouvfr_data_pipelines_spark.operators.windows import skyline_2d
 

@@ -120,9 +120,77 @@ def test_streaming_ingest_two_drains_and_replay(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
     ) == [1, 2, 12]
-    # watermark survived and matches the last applied batch
-    wm = os.path.join(str(tmp_path), "_last_batch")
+    # watermark lives INSIDE the index dir (atomic with the swap) and
+    # matches the last applied batch
+    wm = os.path.join(index_dir, "_last_batch")
     assert os.path.exists(wm)
+    with open(wm) as fh:
+        last_applied = int(fh.read().strip())
+    assert last_applied >= 1
+
+    # replay safety: wipe the checkpoint so Spark re-delivers every file as
+    # fresh batch ids <= the watermark; the sink must no-op (watermark
+    # check), NOT re-dedup the batch against an index that already holds
+    # its own fingerprints (which would overwrite survivors with 0 rows —
+    # the round-3 crash-window bug).
+    shutil.rmtree(ckpt)
+    dedup_ingest_stream(spark, str(src), **kw)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [1, 2, 12]
+    assert sorted(
+        r["doc"] for r in spark.read.parquet(index_dir).collect()
+    ) == [1, 2, 12]
+
+
+def test_sibling_index_dirs_do_not_share_watermark(spark, tmp_path):
+    """Two dedup streams whose index dirs share a parent must keep
+    independent watermarks (round-3 ADVICE: a parent-level _last_batch was
+    shared, so one stream's commit made the other skip batches)."""
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        dedup_ingest_stream,
+    )
+
+    import glob as globmod
+    import shutil
+
+    schema = "doc_id long, body string"
+
+    def land(df, src, name):
+        stage = str(tmp_path / "stage2")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    parent = tmp_path / "shared"
+    parent.mkdir()
+    out = {}
+    for stream in ("a", "b"):
+        src = tmp_path / f"src_{stream}"
+        src.mkdir()
+        land(
+            spark.createDataFrame([(1, DOC_A), (2, DOC_B)], schema),
+            src,
+            "f1.parquet",
+        )
+        kw = dict(
+            schema=schema,
+            id_col="doc_id",
+            text_col="body",
+            corpus_dir=str(tmp_path / f"corpus_{stream}"),
+            index_dir=str(parent / f"index_{stream}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{stream}"),
+            threshold=0.7,
+        )
+        out[stream] = kw
+        # stream A commits batch 0 first; stream B's batch 0 must still run
+        dedup_ingest_stream(spark, str(src), **kw)
+
+    for stream in ("a", "b"):
+        assert sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(out[stream]["corpus_dir"]).collect()
+        ) == [1, 2], f"stream {stream} lost its batch to a shared watermark"
 
 
 def test_watermarked_dedup_stream(spark, tmp_path):

@@ -175,4 +175,7 @@ def test_read_parquet_resilient_skips_and_reports(spark, tmp_path):
     report = {}
     df = read_parquet_resilient(spark, str(d), report=report)
     assert sorted(r["id"] for r in df.collect()) == [1, 2]
-    assert [f for f in report["corrupt_files"]] == [str(d / "part-corrupt.parquet")]
+    # Hadoop FS listing returns scheme-qualified URIs (file:/, s3a://, …)
+    assert [f.split(":", 1)[-1].lstrip("/") for f in report["corrupt_files"]] == [
+        str(d / "part-corrupt.parquet").lstrip("/")
+    ]

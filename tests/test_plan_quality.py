@@ -203,14 +203,13 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "asm_dsir_weights",       # single-row corpus-total broadcast
         "x1_cuped_adjusted_lift", # 1-row global-moments frame onto 2 variants
         "w24_hourly_seasonality", # 1-row grand-total broadcast
+        "rfm_segments",           # 1-row quartile-boundary broadcast
     }
     # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
     # (|groups| rows, never fact volume) — the global-order window is the
     # operator's semantics (positional quartiles), not a missing partition key.
     INTENDED_GLOBAL_WINDOW = {
-        "rfm_segments",           # ntile(4) over the per-customer agg
         "w12_survival_curve",     # KM cumsums over the |durations| table
-        "a28_abc_classification", # Pareto cumsum over the |parts| agg
         "w15_new_vs_returning",   # cumulative acquisitions over |days|
         "p13_global_row_ids",     # offset window over the K-partition counts
         "a37_pareto_front",       # final pass over front-sized survivors
