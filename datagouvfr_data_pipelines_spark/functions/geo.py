@@ -12,9 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-# metropolitan France + DROM bounding boxes (lon_min, lat_min, lon_max, lat_max),
-# the same envelope logic the reference implements with shapely polygons
-# (schema/irve/geo_utils/geo.py:17-29).
+# metropolitan France + DROM bounding boxes (lon_min, lat_min, lon_max, lat_max)
+# — the cheap prefilter envelope; the PRECISE test below walks real rings.
 FRANCE_BBOXES = [
     (-5.5, 41.2, 9.9, 51.3),      # métropole
     (-63.2, 17.8, -60.8, 18.2),   # Saint-Martin/Saint-Barthélemy
@@ -25,13 +24,52 @@ FRANCE_BBOXES = [
     (44.9, -13.1, 45.4, -12.6),   # Mayotte
 ]
 
+# Simplified metropolitan-France contour (lon, lat), coarse but real: the
+# hexagon's coastline/border turning points, slightly generous outward —
+# the same role as the reference's simplified FRANCE_BBOXES geojson
+# features fed to shapely (schema/irve/geo_utils/geo.py:17-29).
+METROPOLE_RING = [
+    (2.5, 51.2), (4.3, 50.0), (5.5, 49.6), (6.7, 49.3), (8.3, 49.1),
+    (7.6, 47.5), (6.1, 46.3), (6.9, 45.9), (7.2, 45.0), (6.6, 44.1),
+    (7.6, 43.8), (6.6, 43.0), (5.0, 43.2), (3.0, 42.4), (1.7, 42.3),
+    (-1.8, 43.3), (-1.3, 45.5), (-2.5, 47.1), (-4.9, 47.8), (-5.2, 48.5),
+    (-3.5, 48.9), (-1.9, 49.8), (0.1, 49.6), (1.7, 51.0),
+]
+CORSICA_RING = [(8.4, 41.3), (9.7, 41.3), (9.7, 43.1), (8.4, 43.1)]
+
+
+def _bbox_ring(b: tuple[float, float, float, float]) -> list[tuple[float, float]]:
+    x0, y0, x1, y1 = b
+    return [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+
+
+# Multipolygon France: metropole contour + Corsica + one ring per DROM.
+# Disjoint outer rings compose under ONE even-odd parity fold (a point is
+# inside exactly one part -> odd crossings), the same fill rule shapely
+# applies to MultiPolygon — and inner-hole rings subtract for free.
+FRANCE_RINGS = [METROPOLE_RING, CORSICA_RING] + [
+    _bbox_ring(b) for b in FRANCE_BBOXES[1:]
+]
+
 
 def _c(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
 def within_france(lon: Column | str, lat: Column | str) -> Column:
-    """Point-in-France test (bbox union) — geo.py:25-29."""
+    """Point-in-France test against the real simplified multipolygon
+    (metropole contour, Corsica, DROM rings) — parity with the reference's
+    shapely ``Point.within(polygon)`` loop (geo.py:25-29), boundary points
+    excluded by the half-open PNPOLY convention like shapely's strict
+    ``within``. One unrolled JVM boolean expression; use
+    :func:`within_france_bbox` when only the cheap envelope is needed."""
+    return point_in_rings(lon, lat, FRANCE_RINGS)
+
+
+def within_france_bbox(lon: Column | str, lat: Column | str) -> Column:
+    """Bbox-union prefilter (the coarse envelope): cheaper than the contour
+    walk and a superset of it — right for pushdown-style prefiltering
+    before the precise ring test."""
     lo, la = _c(lon), _c(lat)
     cond = F.lit(False)
     for x0, y0, x1, y1 in FRANCE_BBOXES:
@@ -159,31 +197,72 @@ def spatially_ordered(
     return df.orderBy(key(lon_col, lat_col))
 
 
+def point_in_rings(
+    lon: Column | str,
+    lat: Column | str,
+    rings: list[list[tuple[float, float]]],
+) -> Column:
+    """Even-odd ray-casting test against a LITERAL ring list — the general
+    multipolygon-with-holes form (shapely fill-rule semantics): disjoint
+    outer rings union, inner (hole) rings subtract, all through ONE
+    crossing-parity fold over every ring's edges. Broadcast-dim scale
+    (admin boundaries, a few hundred vertices total) as one unrolled JVM
+    boolean expression — no UDF, no spatial lib.
+
+    A horizontal ray to +inf crosses edge (p1, p2) when the edge spans the
+    point's latitude and the crossing longitude lies right of the point.
+    Points exactly on an edge follow the half-open convention (top vertex
+    excluded), matching the classic PNPOLY formulation — boundary points
+    test False like shapely's strict ``within``.
+
+    Built as a LINEAR crossing-count (sum of per-edge indicators, parity
+    at the end), not a nested boolean fold: folding ``when(flip, ~acc)``
+    duplicates the accumulator twice per edge — a 2^edges expression tree
+    that OOMs Catalyst past ~40 edges.
+    """
+    x, y = _c(lon), _c(lat)
+    crossings = F.lit(0)
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue  # horizontal edge never crosses the horizontal ray
+            spans = (F.lit(y1) > y) != (F.lit(y2) > y)
+            x_cross = F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+            crossings = crossings + (spans & (x < x_cross)).cast("int")
+    return F.pmod(crossings, F.lit(2)) == 1
+
+
 def point_in_polygon(
     lon: Column | str, lat: Column | str, polygon: list[tuple[float, float]]
 ) -> Column:
-    """Ray-casting point-in-polygon test against a LITERAL polygon (the
-    broadcast-dim case: admin boundaries, a few hundred vertices) as one
-    unrolled JVM boolean expression — no UDF, no spatial lib.
+    """Single-ring convenience over :func:`point_in_rings`."""
+    return point_in_rings(lon, lat, [polygon])
 
-    Standard even-odd rule: a horizontal ray to +inf crosses edge
-    (p1, p2) when the edge spans the point's latitude and the crossing
-    longitude lies right of the point. Points exactly on an edge follow
-    the half-open convention (top vertex excluded), matching the classic
-    PNPOLY formulation.
-    """
-    x, y = _c(lon), _c(lat)
-    inside = F.lit(False)
-    n = len(polygon)
-    for i in range(n):
-        x1, y1 = polygon[i]
-        x2, y2 = polygon[(i + 1) % n]
-        if y1 == y2:
-            continue  # horizontal edge never crosses the horizontal ray
-        spans = (F.lit(y1) > y) != (F.lit(y2) > y)
-        x_cross = F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
-        inside = F.when(spans & (x < x_cross), ~inside).otherwise(inside)
-    return inside
+
+def pnpoly_sql(
+    rings: list[list[tuple[float, float]]], lon_expr: str, lat_expr: str
+) -> str:
+    """ANSI-SQL replica of :func:`point_in_rings` (crossing count mod 2)
+    for DuckDB oracles — edge literals are Python-computed doubles, so
+    both engines evaluate the identical IEEE expression."""
+    terms = []
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            terms.append(
+                f"CASE WHEN (CASE WHEN {y1!r} > {lat_expr} THEN 1 ELSE 0 END)"
+                f" <> (CASE WHEN {y2!r} > {lat_expr} THEN 1 ELSE 0 END)"
+                f" AND {lon_expr} < {x2 - x1!r} * ({lat_expr} - {y1!r})"
+                f" / {y2 - y1!r} + {x1!r} THEN 1 ELSE 0 END"
+            )
+    return f"(MOD(CAST({' + '.join(terms)} AS BIGINT), 2) = 1)"
 
 
 def haversine_km(

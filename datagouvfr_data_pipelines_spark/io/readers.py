@@ -73,6 +73,91 @@ def read_csv_typed(
     return df
 
 
+def sniff_csv_dialect(
+    path: str,
+    sample_bytes: int = 65536,
+    candidates: tuple[str, ...] = (",", ";", "\t", "|"),
+) -> tuple[str, str]:
+    """Driver-side encoding + separator detection for messy community CSV
+    files, feeding :func:`read_csv_typed` — reference parity with the
+    chardet + dialect cascade of schema/utils/consolidation.py:905-947.
+
+    Encoding: deterministic cascade instead of chardet (not in this stack)
+    — BOM sniff (UTF-8/UTF-16) -> strict UTF-8 decode -> cp1252 when
+    Windows-only bytes 0x80-0x9F appear -> iso-8859-1. This covers the
+    encodings the reference actually sees on data.gouv resources (UTF-8 /
+    latin-1 / cp1252; the reference itself remaps chardet's Windows-1254
+    guess to iso-8859-1, conceding the same "French community file"
+    prior). Separator: ``csv.Sniffer`` over the decoded head restricted to
+    ``candidates``, with a consistent-per-line-count fallback when the
+    sniffer balks (single-column or heavily quoted heads).
+
+    Head-sampling a file is inherently driver-side and local-path — the
+    reference sniffs files it has already downloaded; sniff the landed
+    copy before handing the path to the distributed scan. Gzip heads
+    (magic 1f 8b) are transparently decompressed before sniffing, matching
+    the reader's codec auto-detection.
+    """
+    import csv as _csv
+    import gzip as _gzip
+
+    with open(path, "rb") as fh:
+        head = fh.read(sample_bytes)
+    if head[:2] == b"\x1f\x8b":
+        try:
+            head = _gzip.decompress(head)  # whole-file read fits: small files
+        except Exception:
+            head = _gzip.GzipFile(fileobj=__import__("io").BytesIO(head)).read(
+                sample_bytes
+            )
+    if head.startswith(b"\xef\xbb\xbf"):
+        enc = "UTF-8"  # Spark's univocity parser skips the BOM itself
+        head = head[3:]
+    elif head.startswith(b"\xff\xfe") or head.startswith(b"\xfe\xff"):
+        enc = "UTF-16"
+    else:
+        try:
+            head.decode("utf-8")
+            enc = "UTF-8"
+        except UnicodeDecodeError:
+            enc = (
+                "windows-1252"
+                if any(0x80 <= b <= 0x9F for b in head)
+                else "ISO-8859-1"
+            )
+    text = head.decode("utf-16" if enc == "UTF-16" else enc, errors="replace")
+    lines = [ln for ln in text.splitlines() if ln.strip()][:20]
+    if len(lines) > 2:
+        lines = lines[:-1]  # last sampled line may be truncated mid-row
+    sample = "\n".join(lines)
+    try:
+        sep = _csv.Sniffer().sniff(sample, delimiters="".join(candidates)).delimiter
+    except _csv.Error:
+        best, sep = 0, candidates[0]
+        for c in candidates:
+            counts = [ln.count(c) for ln in lines]
+            if counts and min(counts) > 0 and len(set(counts)) == 1 and counts[0] > best:
+                best, sep = counts[0], c
+    return enc, sep
+
+
+def read_csv_sniffed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    **kwargs,
+) -> DataFrame:
+    """S1 with dialect detection: sniff encoding + separator from the file
+    head (:func:`sniff_csv_dialect`), then run the typed scan. The
+    consolidation engine's per-resource ingest path — community files
+    declare no dialect, so the reference sniffs every one
+    (schema/utils/consolidation.py:923-935)."""
+    encoding, sep = sniff_csv_dialect(path)
+    return read_csv_typed(
+        spark, path, schema, sep=sep, encoding=encoding, **kwargs
+    )
+
+
 @dataclass
 class FixedWidthField:
     name: str

@@ -230,6 +230,7 @@ def near_duplicate_pairs(
     threshold: float = 0.8,
     max_bucket_size: int = 64,
     broadcast_candidates: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash near-dup pipeline computing shingles ONCE.
 
@@ -252,18 +253,54 @@ def near_duplicate_pairs(
     (~n²/2⁶⁴ — negligible at any corpus size), while the cached arrays and
     the verify-join intersections operate on fixed-width longs instead of
     repeated text.
+
+    ``portable=True`` swaps BOTH hashes for ANSI-arithmetic forms — the
+    polynomial rolling shingle hash (fingerprint_rolling algebra, mod
+    2^31-1) and a rolling fold over each signature band instead of
+    ``F.hash`` — so the ENTIRE pipeline (shingle→signature→band→candidate
+    →exact-Jaccard verify) is reproducible in a DuckDB oracle. Same plan
+    shape and scale behavior (hash cost is a per-shingle column fold
+    either way); collision space shrinks to 2^31, which only adds
+    candidates that the exact verify then filters — recall is unaffected,
+    precision is restored by the verify stage.
     """
     from pyspark import StorageLevel
 
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    base = sh.select("doc", F.explode("sh").alias("s")).select(
-        "doc", F.pmod(F.col("s"), F.lit(MERSENNE31)).alias("h")
-    )
+    if portable:
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            ROLLING_HASH_BASE,
+            ROLLING_HASH_MOD,
+        )
+
+        def _rolling(s):
+            codes = F.transform(
+                F.split(s, ""), lambda ch: F.ascii(ch).cast("long")
+            )
+            return F.aggregate(
+                codes,
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(
+                    acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)
+                ),
+            )
+
+        sh = df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(
+                F.transform(word_shingles(text_col, shingle_n), _rolling)
+            ).alias("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base = sh.select("doc", F.explode("sh").alias("h"))
+    else:
+        sh = df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base = sh.select("doc", F.explode("sh").alias("s")).select(
+            "doc", F.pmod(F.col("s"), F.lit(MERSENNE31)).alias("h")
+        )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
         for i, (a, b) in enumerate(_minhash_params(k))
@@ -272,6 +309,17 @@ def near_duplicate_pairs(
         "doc", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
     rows = k // bands
+
+    def _band_key(b):
+        sl = F.slice(F.col("sig"), b * rows + 1, rows)
+        if portable:
+            return F.aggregate(
+                sl,
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * 131 + x, F.lit(MERSENNE31)),
+            )
+        return F.hash(sl).cast("long")
+
     banded = sig.select(
         "doc",
         F.explode(
@@ -279,7 +327,7 @@ def near_duplicate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.cast("int").alias("band"),
-                    F.hash(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+                    _band_key(b).alias("bh"),
                 ),
             )
         ).alias("bk"),
@@ -329,6 +377,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int | None = None,
     max_bucket_size: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded Hamming search.
 
@@ -340,10 +389,26 @@ def simhash_neardup_pairs(
 
     The pigeonhole guarantee needs bands > max_hamming (d differing bits
     can touch at most d bands, so one band survives untouched only then).
-    With ``bands=None`` (default) the smallest sound divisor of 64 is
-    chosen automatically; an EXPLICIT unsound ``bands`` raises ValueError
-    rather than silently losing recall.
+    With ``bands=None`` (default) the smallest sound divisor of the
+    fingerprint width is chosen automatically; an EXPLICIT unsound
+    ``bands`` raises ValueError rather than silently losing recall.
+
+    ``portable=True`` fingerprints with the 31-bit rolling-hash SimHash
+    (``simhash31_exploded`` — same explode/partial-agg plan shape, ANSI
+    arithmetic) banded over a 32-bit width, so the whole search is
+    reproducible in a DuckDB oracle.
     """
+    if portable:
+        fp = simhash31_exploded(df, id_col, text_col)
+        return banded_hamming_pairs(
+            fp,
+            "doc",
+            "simhash31",
+            max_hamming=max_hamming,
+            bands=bands,
+            max_bucket_size=max_bucket_size,
+            width_bits=32,
+        )
     fp = simhash64(df, id_col, text_col)
     return banded_hamming_pairs(
         fp,
@@ -362,9 +427,11 @@ def banded_hamming_pairs(
     max_hamming: int = 3,
     bands: int | None = None,
     max_bucket_size: int = 256,
+    width_bits: int = 64,
 ) -> DataFrame:
-    """Generic banded-Hamming near-dup pairing over any 64-bit fingerprint
-    column (SimHash text fingerprints, image dHash, audio chromaprints…).
+    """Generic banded-Hamming near-dup pairing over any fixed-width
+    fingerprint column (SimHash text fingerprints, image dHash, audio
+    chromaprints…) — ``width_bits`` wide (default 64).
 
     Same pigeonhole machinery as ``simhash_neardup_pairs`` (which
     delegates here): band the signature, pair bucket-locally under a size
@@ -372,7 +439,11 @@ def banded_hamming_pairs(
     (band, band-hash) key — never O(n²) in the table.
     """
     if bands is None:
-        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+        bands = next(
+            b
+            for b in (1, 2, 4, 8, 16, 32, 64)
+            if b > max_hamming and width_bits % b == 0
+        )
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
@@ -380,9 +451,9 @@ def banded_hamming_pairs(
             "one band is untouched by the differing bits; raise bands or "
             "lower max_hamming (or pass bands=None to auto-size)"
         )
-    if 64 % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide 64")
-    width = 64 // bands
+    if width_bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide {width_bits}")
+    width = width_bits // bands
     mask = (1 << width) - 1
     banded = fp.select(
         F.col(id_col).alias("doc"),
@@ -472,6 +543,93 @@ def simhash31_portable(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     sim = F.transform(F.array(hs), fp)[0]
     return df.select(F.col(id_col), sim.alias("simhash31"))
+
+
+def simhash31_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """31-bit portable SimHash in the PRODUCTION plan shape: explode(tokens)
+    -> rolling-hash column fold per token -> 31 conditional partial-agg bit
+    sums -> bit reassembly. Same algebra as ``simhash31_portable`` (per-row
+    fold, verification path) — parity is test-pinned — but the map-side
+    combiner keeps the shuffle at one row per (doc, 31 sums), the shape
+    that holds at corpus scale."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        tokens,
+    )
+
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tk")
+    ).withColumn(
+        "h",
+        F.aggregate(
+            F.transform(F.split(F.col("tk"), ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)),
+        ),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(31)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(31):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return agg.select("doc", fp.alias("simhash31"))
+
+
+ROLLING_HASH_BASE2 = 137  # second independent base for the 62-bit stack
+
+
+def simhash62_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """62-bit ENGINE-PORTABLE SimHash, production plan shape: each token is
+    hashed by TWO independent polynomial rolling hashes (bases 131 and 137,
+    both mod 2^31-1) stacked into one 62-bit value (h1 | h2 << 31), then
+    explode -> 62 conditional partial-agg bit sums -> reassembly. Doubles
+    the ``simhash31_exploded`` bit budget to the 64-bit class the xxhash64
+    production path targets, while every bit stays reproducible in ANSI
+    SQL (two list_reduce folds per token)."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        tokens,
+    )
+
+    def _fold(base):
+        return F.aggregate(
+            F.transform(F.split(F.col("tk"), ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * base + x, F.lit(ROLLING_HASH_MOD)),
+        )
+
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tk")
+        )
+        .withColumn(
+            "h",
+            _fold(ROLLING_HASH_BASE)
+            + _fold(ROLLING_HASH_BASE2) * F.lit(1 << 31).cast("long"),
+        )
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(62)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(62):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return agg.select("doc", fp.alias("simhash62"))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

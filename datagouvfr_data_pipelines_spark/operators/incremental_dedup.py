@@ -62,6 +62,7 @@ def build_dedup_index(
     bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-document dedup fingerprints: (doc, content_sha, sig, band_hashes).
 
@@ -74,17 +75,33 @@ def build_dedup_index(
     with no shingles get NULL sig/band_hashes and are excluded from the
     LSH path (two whitespace-only docs must match via their sha, never
     via a hash of an all-null signature).
+
+    ``portable=True`` swaps the shingle hash and band keys for the
+    ANSI-arithmetic forms of ``near_duplicate_pairs(portable=True)`` so
+    the whole index — and every decision derived from it — reproduces in
+    a DuckDB oracle. Portable and xxhash indexes are INCOMPARABLE; an
+    index must be rebuilt, not mixed.
     """
     rows = k // bands
     base = df.select(
         F.col(id_col).alias("doc"),
         content_hash(text_col).alias("content_sha"),
         F.explode_outer(word_shingles(text_col, shingle_n)).alias("s"),
-    ).select(
-        "doc",
-        "content_sha",
-        F.pmod(F.xxhash64("s"), F.lit(MERSENNE31)).alias("h"),
     )
+    if portable:
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            ROLLING_HASH_BASE,
+            ROLLING_HASH_MOD,
+        )
+
+        h = F.aggregate(
+            F.transform(F.split(F.col("s"), ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)),
+        )
+    else:
+        h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
+    base = base.select("doc", "content_sha", h.alias("h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(
             f"m{i}"
@@ -95,10 +112,20 @@ def build_dedup_index(
         F.first("content_sha").alias("content_sha"), *aggs
     )
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(k)])
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.hash(F.slice(sig_arr, b * rows + 1, rows)).cast("long"),
-    )
+    if portable:
+        band_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.aggregate(
+                F.slice(sig_arr, b * rows + 1, rows),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(acc * 131 + x, F.lit(MERSENNE31)),
+            ),
+        )
+    else:
+        band_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(F.slice(sig_arr, b * rows + 1, rows)).cast("long"),
+        )
     has_sig = F.col("m0").isNotNull()
     return agged.select(
         "doc",
@@ -125,17 +152,26 @@ def incremental_dedup(
     threshold: float = 0.8,
     max_bucket_size: int = 64,
     seed: int = 42,
+    portable: bool = False,
 ) -> IncrementalDedupResult:
     """Dedup ``batch`` against ``index`` (see module docstring).
 
     ``index`` must have the ``build_dedup_index`` schema and the SAME
-    (k, bands, shingle_n, seed) — signatures from different parameters are
-    incomparable. The batch fingerprint projection is persisted around its
-    four consumers (exact join, band join, agreement verify, ledger);
-    callers stream-ingesting forever should clearCache() between batches.
+    (k, bands, shingle_n, seed, portable) — signatures from different
+    parameters are incomparable. The batch fingerprint projection is
+    persisted around its four consumers (exact join, band join, agreement
+    verify, ledger); callers stream-ingesting forever should clearCache()
+    between batches.
     """
     bidx = build_dedup_index(
-        batch, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n, seed=seed
+        batch,
+        id_col,
+        text_col,
+        k=k,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        portable=portable,
     ).persist()
 
     # -- exact tier ---------------------------------------------------------
@@ -208,6 +244,7 @@ def incremental_dedup(
         shingle_n=shingle_n,
         threshold=threshold,
         max_bucket_size=max_bucket_size,
+        portable=portable,
     ).select(F.col("id_b").alias("doc")).distinct()
 
     return _combine(

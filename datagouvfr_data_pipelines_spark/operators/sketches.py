@@ -155,6 +155,21 @@ def theta_overlap(
 # State is ~16 B x k per group, same ballpark as an HLL at lgK=12.
 
 
+def portable_id_hash(col) -> "F.Column":
+    """Two-round LCG mix of an integer id, mod 2^31-1 — an engine-portable
+    stand-in for xxhash64 where the hash only drives uniform SAMPLING (not
+    adversarial collision resistance). ANSI arithmetic only, so a DuckDB
+    oracle reproduces it bit-for-bit:
+    ``((id*1103515245 + 12345) % 2147483647 * 784588716 + 997) % 2147483647``.
+    Overflow-safe for ids < 8.3e9 under ANSI BIGINT (id * 1103515245 must
+    stay under 2^63)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h1 = F.pmod(
+        c.cast("long") * F.lit(1103515245) + F.lit(12345), F.lit(2147483647)
+    )
+    return F.pmod(h1 * F.lit(784588716) + F.lit(997), F.lit(2147483647))
+
+
 def quantile_sample_states(
     df: DataFrame,
     group_cols: list[str],
@@ -162,16 +177,24 @@ def quantile_sample_states(
     id_col: str,
     k: int = 1024,
     state_col: str = "st_qsample",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-group mergeable quantile state: array<struct<h,v>> of the k
     smallest-hash rows, hash-ascending. Built skew-safely with the
     two-stage salted bottom-k (grouped_top_k) so a hot group never funnels
-    through one reducer."""
+    through one reducer.
+
+    ``portable=True`` samples by :func:`portable_id_hash` (ANSI-arithmetic
+    LCG) instead of xxhash64, making the whole state — and any quantile
+    estimated from it — reproducible in a DuckDB oracle; sampling quality
+    is equivalent for rank estimation (uniform mixing is all the bound
+    needs)."""
     from datagouvfr_data_pipelines_spark.operators.aggregates import grouped_top_k
 
+    h = portable_id_hash(id_col) if portable else F.xxhash64(F.col(id_col))
     proj = df.select(
         *group_cols,
-        F.xxhash64(F.col(id_col)).alias("__h"),
+        h.alias("__h"),
         F.col(value_col).cast("double").alias("__v"),
     )
     # total order (h, v): hash collisions with distinct values would

@@ -44,6 +44,7 @@ def curate_corpus(
     model_quality_threshold: float | None = None,
     dsir_target_lang: str | None = None,
     dsir_min_micro_per_token: int = 0,
+    portable_neardup: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
     "stats": one-row corpus stats}.
@@ -186,7 +187,11 @@ def curate_corpus(
     # chain runs, where bounded min-propagation under-merges V-shaped
     # clusters (a-c, b-c keeps both a and b)
     pairs = near_duplicate_pairs(
-        e_ok, "doc_id", "text", threshold=neardup_threshold
+        e_ok,
+        "doc_id",
+        "text",
+        threshold=neardup_threshold,
+        portable=portable_neardup,
     ).select("id_a", "id_b")
     comp = connected_components(
         pairs, "id_a", "id_b", max_iterations=max_cluster_iterations

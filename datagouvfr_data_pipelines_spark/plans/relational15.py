@@ -73,21 +73,141 @@ def d_incremental_exact_dedup(spark, sf_dir):
     return _decisions(batch, res)
 
 
+def _incremental_dedup_oracle(
+    k: int = 64, bands: int = 8, threshold: float = 0.8, cap: int = 64
+) -> str:
+    """DuckDB replica of the FULL portable incremental-dedup decision:
+    exact sha tiers + LSH-vs-corpus with capped buckets and signature
+    agreement + exact-Jaccard within the batch, with reason precedence."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import _minhash_params
+
+    rows = k // bands
+    mins = ",\n             ".join(
+        f"CAST(list_min(list_transform(hs, v -> ({a} * v + {b}) % 2147483647)) AS BIGINT)"
+        for (a, b) in _minhash_params(k, seed=42)
+    )
+    agree_min = int(threshold * k)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ), h AS (
+      SELECT doc_id, list_distinct(list_transform(sh, sg -> list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(sg, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483647))) AS hs
+      FROM s
+    ), sig AS (
+      SELECT doc_id, hs,
+             [{mins}] AS sig
+      FROM h
+    ), bandkeys AS (
+      SELECT doc_id, r.b AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 sig[CAST(r.b * {rows} + 1 AS INT) : CAST(r.b * {rows} + {rows} AS INT)]),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS bh
+      FROM sig CROSS JOIN range(0, {bands}) r(b)
+    ), shas AS (
+      SELECT doc_id,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS sha
+      FROM t
+    ), batch AS (SELECT doc_id FROM t WHERE doc_id % 4 = 3),
+    corpus AS (SELECT doc_id FROM t WHERE doc_id % 4 <> 3),
+    exact_corpus AS (
+      SELECT b.doc_id FROM batch b JOIN shas sb ON sb.doc_id = b.doc_id
+      WHERE sb.sha IN (SELECT sc.sha FROM corpus c JOIN shas sc ON sc.doc_id = c.doc_id)
+    ),
+    keep AS (
+      SELECT sb.sha, MIN(b.doc_id) AS keep_id
+      FROM batch b JOIN shas sb ON sb.doc_id = b.doc_id GROUP BY sb.sha
+    ),
+    exact_batch AS (
+      SELECT b.doc_id
+      FROM batch b JOIN shas sb ON sb.doc_id = b.doc_id
+      JOIN keep k2 ON k2.sha = sb.sha
+      WHERE b.doc_id <> k2.keep_id
+    ),
+    bbands AS (
+      SELECT bk.doc_id, bk.band, bk.bh
+      FROM bandkeys bk JOIN batch b ON b.doc_id = bk.doc_id
+    ),
+    bkeys AS (SELECT DISTINCT band, bh FROM bbands),
+    cmatched AS (
+      SELECT bk.band, bk.bh, bk.doc_id AS cdoc,
+             ROW_NUMBER() OVER (PARTITION BY bk.band, bk.bh ORDER BY bk.doc_id)
+               AS rn
+      FROM bandkeys bk
+      JOIN corpus c ON c.doc_id = bk.doc_id
+      JOIN bkeys kk ON kk.band = bk.band AND kk.bh = bk.bh
+    ),
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS doc, cm.cdoc
+      FROM bbands bb
+      JOIN cmatched cm ON cm.band = bb.band AND cm.bh = bb.bh AND cm.rn <= {cap}
+    ),
+    near_corpus AS (
+      SELECT DISTINCT c.doc AS doc_id FROM cand c
+      JOIN sig s1 ON s1.doc_id = c.doc
+      JOIN sig s2 ON s2.doc_id = c.cdoc
+      WHERE len(list_filter(generate_series(1, {k}),
+                            i -> s1.sig[i] = s2.sig[i])) >= {agree_min}
+    ),
+    nb_buckets AS (
+      SELECT band, bh FROM bbands GROUP BY band, bh
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
+    ),
+    nb_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b
+      FROM nb_buckets nb
+      JOIN bbands a ON a.band = nb.band AND a.bh = nb.bh
+      JOIN bbands c2 ON c2.band = nb.band AND c2.bh = nb.bh
+                    AND a.doc_id < c2.doc_id
+    ),
+    near_batch AS (
+      SELECT DISTINCT n.id_b AS doc_id FROM nb_cand n
+      JOIN h ha ON ha.doc_id = n.id_a
+      JOIN h hb ON hb.doc_id = n.id_b
+      WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE)
+            >= {threshold}
+    )
+    SELECT b.doc_id AS doc,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_corpus) THEN 'exact_corpus'
+                WHEN b.doc_id IN (SELECT doc_id FROM exact_batch) THEN 'exact_batch'
+                WHEN b.doc_id IN (SELECT doc_id FROM near_corpus) THEN 'near_corpus'
+                WHEN b.doc_id IN (SELECT doc_id FROM near_batch) THEN 'near_batch'
+                ELSE 'survived' END AS status
+    FROM batch b
+    """
+
+
 @register(
     "d_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
     tags=["dedup", "incremental", "minhash", "flagship"],
 )
 def d_incremental_dedup(spark, sf_dir):
     """Full incremental ingest decision: exact tiers plus MinHash-LSH
     near-dup vs the corpus index (signature-agreement verify — the corpus
     text is never read) and exact-Jaccard near-dup within the batch.
-    Rows-only check: the near tiers hash shingles with xxhash64, which no
-    SQL oracle reproduces; the exact tier of the SAME pipeline is
-    hash-verified by d_incremental_exact_dedup, and the LSH/verify kernels
-    are oracle-covered by d_minhash_sig / d_ngram_jaccard_pairs."""
+    Oracle-checked end to end (round 4): with the portable hash family
+    (rolling shingle hash, banded fold keys) every tier — index build,
+    capped corpus buckets, signature agreement, batch Jaccard, reason
+    precedence — reproduces in one DuckDB query; the xxhash64 index stays
+    the default for production callers."""
     corpus, batch = _split(spark, sf_dir)
-    idx = build_dedup_index(corpus, "doc_id", "text").persist()
-    res = incremental_dedup(batch, idx, "doc_id", "text", threshold=0.8)
+    idx = build_dedup_index(corpus, "doc_id", "text", portable=True).persist()
+    res = incremental_dedup(
+        batch, idx, "doc_id", "text", threshold=0.8, portable=True
+    )
     return _decisions(batch, res)
 
 
@@ -160,9 +280,44 @@ def g_pagerank_exact(spark, sf_dir):
     return pagerank_exact(edges, "src", "dst", iterations=6)
 
 
+def _qinterp_sql(p: float, alias: str) -> str:
+    """DuckDB replica of sketches.quantile_estimate's interpolation at
+    probability ``p`` over sorted list ``vs`` of length ``n`` — identical
+    IEEE expression order (v_lo + frac * (v_hi - v_lo))."""
+    pos = f"({p} * (CAST(n AS DOUBLE) - 1))"
+    lo = f"CAST(floor({pos}) AS INT)"
+    frac = f"({pos} - floor({pos}))"
+    v_lo = f"vs[{lo} + 1]"
+    v_hi = f"vs[least({lo} + 2, CAST(n AS INT))]"
+    return f"{v_lo} + {frac} * ({v_hi} - {v_lo}) AS {alias}"
+
+
 @register(
     "sk_quantile_rollup",
-    tags=["sketch", "quantile", "incremental", "no-oracle"],
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderstatus,
+             (((o_orderkey * 1103515245 + 12345) % 2147483647)
+              * 784588716 + 997) % 2147483647 AS h,
+             CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderstatus, h, v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY h, v)
+               AS rn
+      FROM h
+    ),
+    st AS (
+      SELECT o_orderstatus, list(v ORDER BY v) AS vs, COUNT(*) AS n
+      FROM ranked WHERE rn <= 1024 GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           {_qinterp_sql(0.5, "q0_5")},
+           {_qinterp_sql(0.95, "q0_95")}
+    FROM st
+    """,
+    tags=["sketch", "quantile", "incremental"],
 )
 def sk_quantile_rollup(spark, sf_dir):
     """Incremental quantile rollup: per-orderstatus order-value p50/p95
@@ -170,8 +325,12 @@ def sk_quantile_rollup(spark, sf_dir):
     (operators/sketches.py:quantile_sample_states) — the quantile face of
     the partial_agg_states rollup; merging the yearly states is bit-equal
     to a direct build (test-pinned), so history is never rescanned.
-    xxhash-based sampling -> rows-only check; merge exactness and rank
-    error bounds are pinned in tests/test_sketches.py."""
+
+    Oracle-checked (round 4): sampling by the ANSI-portable LCG id hash
+    (sketches.portable_id_hash), so the DuckDB replica takes the same
+    bottom-1024 per status DIRECTLY (merge associativity means per-year
+    states + merge == one global bottom-k) and interpolates with the
+    identical IEEE expression — full value compare, not rows-only."""
     from datagouvfr_data_pipelines_spark.operators.sketches import (
         quantile_estimate,
         quantile_sample_merge,
@@ -189,6 +348,7 @@ def sk_quantile_rollup(spark, sf_dir):
             "o_totalprice",
             "o_orderkey",
             k=1024,
+            portable=True,
         )
         for y in sorted(years)
     ]

@@ -56,6 +56,15 @@ def _lat():
     return (v - F.floor(v / 180) * 180) - 90
 
 
+def _france_pnpoly_sql() -> str:
+    from datagouvfr_data_pipelines_spark.functions.geo import (
+        FRANCE_RINGS,
+        pnpoly_sql,
+    )
+
+    return pnpoly_sql(FRANCE_RINGS, "lon", "lat")
+
+
 @register(
     "geo_bbox_stats",
     oracle=f"""
@@ -64,13 +73,7 @@ def _lat():
     )
     SELECT event_type,
            COUNT(*) AS nb_points,
-           CAST(SUM(CASE WHEN (lon BETWEEN -5.5 AND 9.9 AND lat BETWEEN 41.2 AND 51.3)
-                      OR (lon BETWEEN -63.2 AND -60.8 AND lat BETWEEN 17.8 AND 18.2)
-                      OR (lon BETWEEN -61.9 AND -60.9 AND lat BETWEEN 15.8 AND 16.6)
-                      OR (lon BETWEEN -61.3 AND -60.7 AND lat BETWEEN 14.3 AND 14.9)
-                      OR (lon BETWEEN -54.7 AND -51.5 AND lat BETWEEN 2.1 AND 5.9)
-                      OR (lon BETWEEN 55.1 AND 55.9 AND lat BETWEEN -21.5 AND -20.8)
-                      OR (lon BETWEEN 44.9 AND 45.4 AND lat BETWEEN -13.1 AND -12.6)
+           CAST(SUM(CASE WHEN {_france_pnpoly_sql()}
                  THEN 1 ELSE 0 END) AS BIGINT) AS nb_in_france,
            MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax
     FROM pts GROUP BY event_type

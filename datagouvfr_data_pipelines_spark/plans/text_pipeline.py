@@ -30,7 +30,6 @@ from datagouvfr_data_pipelines_spark.operators.dedup import (
     exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
-    simhash64,
 )
 from datagouvfr_data_pipelines_spark.plans.catalog import register, table
 
@@ -420,43 +419,303 @@ def d_simhash_sig(spark, sf_dir):
     return simhash31_portable(docs, "doc_id", "text")
 
 
-@register("d_minhash_neardups", oracle=None, tags=["dedup-minhash", "no-oracle"])
+def _minhash_neardup_oracle(
+    k: int = 64, bands: int = 8, threshold: float = 0.5, cap: int = 64
+) -> str:
+    """DuckDB replica of the FULL portable MinHash near-dup pipeline:
+    shingle -> rolling hash -> k permutation minima -> banded fold keys ->
+    capped-bucket candidates -> exact hashed-shingle Jaccard verify."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import _minhash_params
+
+    rows = k // bands
+    mins = ",\n             ".join(
+        f"CAST(list_min(list_transform(hs, v -> ({a} * v + {b}) % 2147483647)) AS BIGINT)"
+        for (a, b) in _minhash_params(k, seed=42)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ), h AS (
+      SELECT doc_id, list_distinct(list_transform(sh, sg -> list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(sg, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483647))) AS hs
+      FROM s
+    ), sig AS (
+      SELECT doc_id, hs,
+             [{mins}] AS sig
+      FROM h
+    ), bands AS (
+      SELECT doc_id, r.b AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 sig[CAST(r.b * {rows} + 1 AS INT) : CAST(r.b * {rows} + {rows} AS INT)]),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS bh
+      FROM sig CROSS JOIN range(0, {bands}) r(b)
+    ), buckets AS (
+      SELECT band, bh FROM bands GROUP BY band, bh
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets k
+      JOIN bands a ON a.band = k.band AND a.bh = k.bh
+      JOIN bands b ON b.band = k.band AND b.bh = k.bh AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE)
+               AS jaccard
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.id_a
+      JOIN h hb ON hb.doc_id = c.id_b
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+@register(
+    "d_minhash_neardups",
+    oracle=_minhash_neardup_oracle(),
+    tags=["dedup-minhash"],
+)
 def d_minhash_neardups(spark, sf_dir):
     """MinHash+LSH near-dup pipeline: shingle -> 64-perm signature -> 8-band
     LSH candidates (capped buckets) -> exact Jaccard verify (threshold 0.5),
     using the fused operator that computes shingles once for both the
-    signature and verify stages. No DuckDB oracle (xxhash64); driver
-    records a rows-only check."""
+    signature and verify stages. Oracle-checked end to end (round 4): the
+    portable hash family (rolling shingle hash + banded fold keys) makes
+    every stage reproducible in DuckDB — same candidates, same verified
+    pairs, bit-identical jaccard."""
     from datagouvfr_data_pipelines_spark.operators.dedup import near_duplicate_pairs
 
     docs = table(spark, sf_dir, "documents")
     return near_duplicate_pairs(
         docs, "doc_id", "text", k=64, bands=8, shingle_n=3, threshold=0.5,
-        broadcast_candidates=True,
+        broadcast_candidates=True, portable=True,
     )
 
 
-@register("corpus_curation", oracle=None, tags=["pipeline", "no-oracle"])
+def _corpus_curation_oracle(
+    min_quality: float = 0.3,
+    threshold: float = 0.6,
+    k: int = 64,
+    bands: int = 8,
+    cap: int = 64,
+) -> str:
+    """DuckDB replica of the curate_corpus composition used by the
+    ``corpus_curation`` query: quality gate -> exact sha dedup -> portable
+    MinHash near-dup pairs -> connected components (recursive min-label
+    reachability == the alternating-star component minimum) -> survivors."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import _minhash_params
+
+    rows = k // bands
+    mins = ",\n             ".join(
+        f"CAST(list_min(list_transform(hs, v -> ({a} * v + {b}) % 2147483647)) AS BIGINT)"
+        for (a, b) in _minhash_params(k, seed=42)
+    )
+    punct = (
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(text), 1)"
+    )
+    stop = (
+        f"CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)"
+        f" / greatest(len({_TOKENS_SQL}), 1)"
+    )
+    quality = f"""(CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN {stop} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) / 3.0"""
+    marker = {
+        "de": ["der", "die", "und", "das", "ist"],
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "los", "que", "de", "y"],
+        "fr": ["le", "la", "les", "et", "des"],
+    }
+
+    def _m(code):
+        arr = "[" + ", ".join(f"'{m}'" for m in marker[code]) + "]"
+        return f"len(list_filter({_TOKENS_SQL}, t -> list_contains({arr}, t)))"
+
+    gmax = f"greatest({_m('de')}, {_m('en')}, {_m('es')}, {_m('fr')})"
+    lang = f"""CASE WHEN {gmax} = 0 THEN 'und'
+                WHEN {_m('de')} = {gmax} THEN 'de'
+                WHEN {_m('en')} = {gmax} THEN 'en'
+                WHEN {_m('es')} = {gmax} THEN 'es'
+                ELSE 'fr' END"""
+    return f"""
+    WITH RECURSIVE ann AS (
+      SELECT doc_id, text,
+             {quality} AS quality,
+             {lang} AS lang_pred,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len({_TOKENS_SQL}) END AS INTEGER) AS n_tokens,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS sha
+      FROM documents
+    ),
+    q_ok AS (SELECT * FROM ann WHERE quality >= {min_quality}),
+    keepers AS (SELECT sha, MIN(doc_id) AS kid FROM q_ok GROUP BY sha),
+    e_ok AS (
+      SELECT a.* FROM q_ok a
+      JOIN keepers kk ON kk.sha = a.sha AND kk.kid = a.doc_id
+    ),
+    tk2 AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM e_ok
+    ),
+    sgl AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM tk2
+    ),
+    hh AS (
+      SELECT doc_id, list_distinct(list_transform(sh, sg -> list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(sg, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483647))) AS hs
+      FROM sgl
+    ),
+    sg AS (
+      SELECT doc_id, hs,
+             [{mins}] AS sig
+      FROM hh
+    ),
+    bnd AS (
+      SELECT doc_id, r.b AS band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 sig[CAST(r.b * {rows} + 1 AS INT) : CAST(r.b * {rows} + {rows} AS INT)]),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS bh
+      FROM sg CROSS JOIN range(0, {bands}) r(b)
+    ),
+    bkt AS (
+      SELECT band, bh FROM bnd GROUP BY band, bh
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
+    ),
+    cnd AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bkt
+      JOIN bnd a ON a.band = bkt.band AND a.bh = bkt.bh
+      JOIN bnd b2 ON b2.band = bkt.band AND b2.bh = bkt.bh
+                  AND a.doc_id < b2.doc_id
+    ),
+    vrf AS (
+      SELECT c.id_a, c.id_b FROM cnd c
+      JOIN hh ha ON ha.doc_id = c.id_a
+      JOIN hh hb ON hb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE)
+            >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vrf
+      UNION ALL SELECT id_b, id_a FROM vrf
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+      UNION
+        SELECT e.dst, r2.lbl FROM reach r2 JOIN edges e ON e.src = r2.node
+    ),
+    losers AS (
+      SELECT node FROM (
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+      ) WHERE component <> node
+    )
+    SELECT doc_id, quality, lang_pred, n_tokens FROM e_ok
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    """
+
+
+@register(
+    "corpus_curation",
+    oracle=_corpus_curation_oracle(),
+    tags=["pipeline", "flagship"],
+)
 def corpus_curation(spark, sf_dir):
-    """North-star composition: quality filter -> lang filter -> exact dedup
-    -> MinHash near-dup removal over the documents table; returns the kept
-    doc ids + annotations. Rows-only check (MinHash has no SQL oracle);
-    deterministic across runs (seeded signatures, min-id survivors)."""
+    """North-star composition: quality filter -> exact dedup -> MinHash
+    near-dup cluster removal over the documents table; returns the kept
+    doc ids + annotations. Oracle-checked end to end (round 4): the
+    portable near-dup hash family plus a recursive min-label reachability
+    CTE (== the alternating-star component minimum) reproduce the whole
+    composition in one DuckDB query."""
     from datagouvfr_data_pipelines_spark.pipelines.corpus import curate_corpus
 
     docs = table(spark, sf_dir, "documents")
-    out = curate_corpus(docs, min_quality=0.3, neardup_threshold=0.6)
+    out = curate_corpus(
+        docs, min_quality=0.3, neardup_threshold=0.6, portable_neardup=True
+    )
     return out["kept"].select("doc_id", "quality", "lang_pred", "n_tokens")
 
 
-@register("d_simhash_neardups", oracle=None, tags=["dedup-simhash", "no-oracle"])
+def _simhash_neardup_oracle(max_hamming: int = 3, bands: int = 4, cap: int = 256) -> str:
+    """DuckDB replica of the portable banded-Hamming SimHash search: 31-bit
+    rolling-hash SimHash, ``bands`` bands over a 32-bit width, capped
+    buckets, bit_count(xor) verify."""
+    rolling = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(acc, x) -> (acc * 131 + x) % 2147483647)"
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
+        f"v -> CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(31)
+    )
+    width = 32 // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                            tok -> {rolling}) AS hs
+      FROM documents WHERE length(trim(text)) > 0
+    ), f AS (
+      SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sig FROM t
+    ), bands AS (
+      SELECT doc_id, sig, r.b AS band,
+             (sig >> CAST(r.b * {width} AS INT)) & {mask} AS bh
+      FROM f CROSS JOIN range(0, {bands}) r(b)
+    ), buckets AS (
+      SELECT band, bh FROM bands GROUP BY band, bh
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sa, b.sig AS sb
+      FROM buckets k
+      JOIN bands a ON a.band = k.band AND a.bh = k.bh
+      JOIN bands b ON b.band = k.band AND b.bh = k.bh AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@register(
+    "d_simhash_neardups",
+    oracle=_simhash_neardup_oracle(),
+    tags=["dedup-simhash"],
+)
 def d_simhash_neardups(spark, sf_dir):
-    """SimHash banded-Hamming near-dup pairs (pigeonhole over 4x16-bit
-    bands, bit_count(xor) verify). Rows-only check (xxhash64)."""
+    """SimHash banded-Hamming near-dup pairs (pigeonhole banding,
+    bit_count(xor) verify). Oracle-checked end to end (round 4): the
+    portable 31-bit rolling-hash SimHash (production explode/partial-agg
+    shape — operators/dedup.py:simhash31_exploded) over 4x8-bit bands is
+    fully reproducible in DuckDB."""
     from datagouvfr_data_pipelines_spark.operators.dedup import simhash_neardup_pairs
 
     docs = table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=3, portable=True
+    )
 
 
 @register("sim_ivf_search", oracle=None, tags=["similarity", "ann", "no-oracle"])
@@ -478,11 +737,45 @@ def sim_ivf_search(spark, sf_dir):
                       n_probe_cells=3, top_k=10)
 
 
-@register("d_simhash", oracle=None, tags=["dedup-simhash", "no-oracle"])
+def _simhash62_oracle() -> str:
+    """DuckDB replica of the 62-bit two-base rolling-hash SimHash."""
+
+    def _roll(base: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+            f"(acc, x) -> (acc * {base} + x) % 2147483647)"
+        )
+
+    stacked = f"({_roll(131)} + {_roll(137)} * CAST(2147483648 AS BIGINT))"
+    bit_terms = " + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
+        f"v -> CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(62)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                            tok -> {stacked}) AS hs
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id AS doc, CAST({bit_terms} AS BIGINT) AS simhash62
+    FROM t
+    """
+
+
+@register("d_simhash", oracle=_simhash62_oracle(), tags=["dedup-simhash"])
 def d_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (explode + conditional bit sums). No
-    oracle (xxhash64); rows-only check — one row per document."""
-    return simhash64(table(spark, sf_dir, "documents"), "doc_id", "text")
+    """62-bit SimHash fingerprints in the production explode/partial-agg
+    shape (operators/dedup.py:simhash62_exploded) — one row per document.
+    Oracle-checked (round 4): two stacked rolling token hashes replace
+    xxhash64, so all 62 bits reproduce in DuckDB; the xxhash64 simhash64
+    variant stays available for callers preferring the native hash."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import simhash62_exploded
+
+    return simhash62_exploded(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 _DOT_SQL = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

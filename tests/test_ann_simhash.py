@@ -76,6 +76,43 @@ def test_simhash_neardup_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert all(p in {(1, 2)} or 3 not in p for p in got)
+    # portable (31-bit rolling-hash) search finds the same near pair
+    ppairs = simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=8, portable=True
+    )
+    pgot = {(r["id_a"], r["id_b"]) for r in ppairs.collect()}
+    assert (1, 2) in pgot
+    assert all(p in {(1, 2)} or 3 not in p for p in pgot)
+
+
+def test_simhash31_exploded_matches_portable(spark):
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        simhash31_exploded,
+        simhash31_portable,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta  theta"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    ).repartition(3)
+    got = {
+        r["doc"]: r["simhash31"]
+        for r in simhash31_exploded(docs, "doc_id", "text").collect()
+    }
+    want = {
+        r["doc_id"]: r["simhash31"]
+        for r in simhash31_portable(docs, "doc_id", "text").collect()
+    }
+    # the exploded production shape agrees with the per-row fold wherever
+    # both produce a row; token-less docs (empty text) have no rows to
+    # explode and drop out of the agg — the per-row fold keeps them (sig 0)
+    assert got == {k: want[k] for k in got}
+    assert set(want) - set(got) == {4}
 
 
 def test_read_xml_permissive(spark, tmp_path):

@@ -39,6 +39,84 @@ def test_within_france(spark):
     }
 
 
+def test_within_france_contour_vs_bbox(spark):
+    """The contour test must beat the bbox envelope on the classic false
+    positives (sea/abroad points inside the metropole bbox) while keeping
+    Corsica and every DROM."""
+    from datagouvfr_data_pipelines_spark.functions.geo import within_france_bbox
+
+    pts = spark.createDataFrame(
+        [
+            ("ajaccio", 8.74, 41.93),        # Corsica
+            ("cayenne", -52.33, 4.94),       # Guyane
+            ("fort_de_france", -61.07, 14.6),
+            ("mamoudzou", 45.23, -12.78),    # Mayotte
+            ("atlantic_sea", -4.5, 45.0),    # inside bbox, NOT in France
+            ("barcelona", 2.17, 41.4),       # inside bbox, Spain
+            ("turin", 7.69, 45.07),          # inside bbox, Italy
+            ("london", -0.13, 51.5),         # outside both
+        ],
+        "name string, lon double, lat double",
+    )
+    rows = pts.select(
+        "name",
+        within_france("lon", "lat").alias("contour"),
+        within_france_bbox("lon", "lat").alias("bbox"),
+    ).collect()
+    got = {r["name"]: (r["contour"], r["bbox"]) for r in rows}
+    for name in ("ajaccio", "cayenne", "fort_de_france", "mamoudzou"):
+        assert got[name] == (True, True), name
+    for name in ("atlantic_sea", "barcelona", "turin"):
+        assert got[name] == (False, True), name  # bbox FP, contour correct
+    assert got["london"] == (False, False)
+    # the contour is a strict subset of its envelope
+    for contour, bbox in got.values():
+        assert not (contour and not bbox)
+
+
+def _pnpoly_ref(x, y, rings):
+    """Brute-force even-odd reference (classic PNPOLY over a ring list)."""
+    inside = False
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                inside = not inside
+    return inside
+
+
+def test_point_in_rings_matches_bruteforce_with_holes(spark):
+    from datagouvfr_data_pipelines_spark.functions.geo import point_in_rings
+
+    # multipolygon: a pentagon with a square hole, plus a detached triangle
+    rings = [
+        [(0.0, 0.0), (4.0, 0.0), (5.0, 2.5), (2.0, 5.0), (-1.0, 2.5)],
+        [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)],   # hole
+        [(6.0, 6.0), (8.0, 6.0), (7.0, 8.0)],               # island
+    ]
+    pts = [
+        (round(-2 + i * 0.37, 4), round(-1 + j * 0.41, 4))
+        for i in range(30)
+        for j in range(25)
+    ] + [(2.0, 2.0), (0.5, 0.5), (7.0, 6.5), (2.0, 0.0)]  # hole/solid/island/edge
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {
+        (r["x"], r["y"]): r["inside"]
+        for r in df.select(
+            "x", "y", point_in_rings("x", "y", rings).alias("inside")
+        ).collect()
+    }
+    for (x, y), inside in got.items():
+        assert inside == _pnpoly_ref(x, y, rings), (x, y)
+    assert got[(2.0, 2.0)] is False     # inside the hole
+    assert got[(0.5, 0.5)] is True      # solid part
+    assert got[(7.0, 6.5)] is True      # detached island
+
+
 def test_fix_reversed_coords(spark):
     out = fix_reversed_coords(_points(spark), "lon", "lat")
     got = {r["name"]: (r["lon"], r["lat"]) for r in out.collect()}
