@@ -130,6 +130,68 @@ def bpe_train(
     return merges
 
 
+def bpe_train_driver(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """BPE training with ONE Spark job regardless of vocabulary size — the
+    32k-merge scale path (round-3 VERDICT: ``bpe_train``'s
+    one-job-per-merge loop is driver-latency-bound at realistic vocab
+    sizes).
+
+    The corpus scan stays distributed (``word_frequencies`` — the only
+    stage that touches corpus bytes); only the vocabulary-sized
+    (word, count) table collects to the driver (~MBs at 100k words,
+    invariant of corpus size), where the classic incremental trainer runs:
+    pair counts maintained in a dict with a pair->words inverted index, so
+    each merge touches only the words containing it. Identical merge list
+    to :func:`bpe_train` — same weighted pair statistics, same
+    (count DESC, pair ASC) tie-break, same leftmost non-overlapping fold —
+    pinned by parity test.
+    """
+    from collections import defaultdict
+
+    rows = word_frequencies(df, text_col).collect()
+    words = [list(r["word"]) for r in rows]
+    cnts = [r["cnt"] for r in rows]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnts[wi]
+            pair_words[p].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        (a, b), n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        for wi in list(pair_words.get((a, b), ())):
+            syms, c = words[wi], cnts[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+            new = apply_merge_py(syms, a, b)
+            words[wi] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += c
+                pair_words[p].add(wi)
+        # the leftmost fold removes every (a, b) adjacency ("ab" is a new
+        # symbol), so any residue here is bookkeeping, not data
+        pair_counts.pop((a, b), None)
+        pair_words.pop((a, b), None)
+    return merges
+
+
 def apply_merge_py(syms: list[str], a: str, b: str) -> list[str]:
     """Python twin of :func:`_merge_once`: leftmost non-overlapping fold."""
     out: list[str] = []

@@ -833,3 +833,66 @@ def s5_fixed_width(spark, sf_dir):
         F.trim(F.substring("text", 17, 12)).alias("f_mid"),
         F.length("text").cast("int").alias("reclen"),
     )
+
+
+@register(
+    "sql_metrics_pyramid",
+    oracle="""
+    WITH daily_orders AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS nb_orders
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    daily_events AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS nb_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    metrics_daily AS (
+      SELECT COALESCE(o.d, e.d) AS d,
+             COALESCE(o.nb_orders, 0) AS nb_orders,
+             COALESCE(e.nb_events, 0) AS nb_events
+      FROM daily_orders o FULL JOIN daily_events e ON o.d = e.d
+    )
+    SELECT strftime(d, '%Y-%m') AS metric_month,
+           CAST(SUM(nb_orders) AS BIGINT) AS monthly_orders,
+           CAST(SUM(nb_events) AS BIGINT) AS monthly_events
+    FROM metrics_daily GROUP BY strftime(d, '%Y-%m')
+    """,
+    tags=["J4", "sql-front-door", "pyramid"],
+)
+def sql_metrics_pyramid(spark, sf_dir):
+    """The reference's materialized-view pyramid ported as SQL TEXT through
+    the SQL front door (plans/sqlviews.py:run_sql_views): daily per-table
+    aggregates -> J4 full-outer coalesced merge -> monthly rollup — the
+    create_tables.sql:127-342 shape pasted as SELECTs, executed as
+    ordinary Catalyst plans. The same views in DataFrame form
+    (j4_full_outer_daily) compile to the same physical plan — test-pinned
+    in tests/test_sqlviews.py."""
+    from datagouvfr_data_pipelines_spark.plans.sqlviews import run_sql_views
+
+    views = {
+        "mv_daily_orders": """
+            SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS nb_orders
+            FROM mv_orders GROUP BY CAST(o_orderdate AS DATE)""",
+        "mv_daily_events": """
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS nb_events
+            FROM mv_events GROUP BY CAST(ts AS DATE)""",
+        "mv_metrics_daily": """
+            SELECT COALESCE(o.d, e.d) AS d,
+                   COALESCE(o.nb_orders, 0) AS nb_orders,
+                   COALESCE(e.nb_events, 0) AS nb_events
+            FROM mv_daily_orders o FULL JOIN mv_daily_events e ON o.d = e.d""",
+        "mv_metrics_monthly": """
+            SELECT date_format(d, 'yyyy-MM') AS metric_month,
+                   SUM(nb_orders) AS monthly_orders,
+                   SUM(nb_events) AS monthly_events
+            FROM mv_metrics_daily GROUP BY date_format(d, 'yyyy-MM')""",
+    }
+    out = run_sql_views(
+        spark,
+        views,
+        base={
+            "mv_orders": table(spark, sf_dir, "orders"),
+            "mv_events": table(spark, sf_dir, "events"),
+        },
+    )
+    return out["mv_metrics_monthly"]

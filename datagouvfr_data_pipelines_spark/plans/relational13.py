@@ -503,22 +503,23 @@ def st8_sliding_windows(spark, sf_dir):
     tags=["text", "bpe", "tokenizer", "no-oracle"],
 )
 def t_bpe_tokens(spark, sf_dir):
-    """Distributed BPE subword tokenization (functions/bpe.py): learn 8
-    merges from the corpus word-frequency table (per-round pair counts are
-    vocabulary-sized, never corpus-sized), then tokenize every document
-    with the learned table via an Arrow-batched mapInPandas. Rows-only:
-    the learned merges are deterministic (count-desc/pair-asc tiebreak,
-    partition-invariant — pinned by tests/test_bpe.py parity vs a pure-
-    Python reference) but the iterative trainer is not SQL-expressible."""
+    """BPE subword tokenization (functions/bpe.py): learn 8 merges on the
+    driver from the distributed word-frequency table (bpe_train_driver —
+    ONE Spark job however many merges, the 32k-vocab scale path; parity
+    with the per-merge-job distributed trainer is test-pinned), then
+    tokenize every document with the learned table via an Arrow-batched
+    mapInPandas. Rows-only: the learned merges are deterministic
+    (count-desc/pair-asc tiebreak, partition-invariant) but the iterative
+    trainer is not SQL-expressible."""
     from datagouvfr_data_pipelines_spark.functions.bpe import (
         bpe_apply,
-        bpe_train,
+        bpe_train_driver,
     )
 
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars"
     )
-    merges = bpe_train(docs, "text", num_merges=8)
+    merges = bpe_train_driver(docs, "text", num_merges=8)
     toked = bpe_apply(docs, merges, "text")
     return toked.select(
         "doc_id",

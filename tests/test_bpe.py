@@ -53,6 +53,21 @@ def test_bpe_train_matches_reference(spark):
     assert got == want, (got, want)
 
 
+def test_bpe_train_driver_matches_distributed_and_reference(spark):
+    """The one-job driver trainer must reproduce the distributed trainer's
+    merge list exactly (and both the pure-Python reference), including deep
+    merge chains where the incremental pair index gets rewritten often."""
+    from datagouvfr_data_pipelines_spark.functions.bpe import bpe_train_driver
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    want = ref_bpe_train(TEXTS, 30, min_pair_count=1)
+    got_driver = bpe_train_driver(df, "text", num_merges=30, min_pair_count=1)
+    assert got_driver == want, (got_driver, want)
+    # spot-check the distributed trainer agrees on a shorter horizon (it
+    # runs one Spark job per merge, so keep its share small)
+    assert bpe_train(df, "text", num_merges=8) == want[:8]
+
+
 def test_bpe_train_partition_invariant(spark):
     df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
     a = bpe_train(df.repartition(7), "text", num_merges=5)
