@@ -48,6 +48,8 @@ def kmeans_fit(
     k: int = 16,
     iterations: int = 3,
     seed_mod: int = 9973,
+    portable: bool = False,
+    init_id_col: str | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on an embedding column with pure DataFrame ops — the
     IVF coarse quantizer trainer.
@@ -58,29 +60,61 @@ def kmeans_fit(
     posexplode + groupBy(cell, dim) mean — two shuffles per iteration,
     no data leaves the cluster. Returns the centroid list (small, driver).
     Train on a SAMPLE at 100 TB scale; assignment stays full-data.
+
+    ``portable=True`` (requires ``init_id_col``) makes EVERY step
+    reproducible in a DuckDB oracle: seeds ordered by the ANSI LCG id hash
+    (sketches.portable_id_hash) instead of xxhash64, and centroid updates
+    accumulated as floor(x*1e9) integer nano-units (the README float
+    policy — decimal casts OF FLOAT are not engine-portable) with the mean
+    finished as the same (s / n) / 1e9 double expression both engines
+    evaluate. Same plan shape and convergence behavior.
     """
     dim = len(df.select(vec_col).first()[0])
-    seeds = (
-        df.select(vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(vec_col).cast("array<string>")), F.lit(seed_mod)))
-        .limit(k)
-        .collect()
-    )
+    if portable:
+        if init_id_col is None:
+            raise ValueError("portable k-means init needs init_id_col")
+        from datagouvfr_data_pipelines_spark.operators.sketches import (
+            portable_id_hash,
+        )
+
+        seeds = (
+            df.select(vec_col, init_id_col)
+            .orderBy(portable_id_hash(init_id_col), F.col(init_id_col))
+            .limit(k)
+            .collect()
+        )
+    else:
+        seeds = (
+            df.select(vec_col)
+            .orderBy(
+                F.pmod(
+                    F.xxhash64(F.col(vec_col).cast("array<string>")),
+                    F.lit(seed_mod),
+                )
+            )
+            .limit(k)
+            .collect()
+        )
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _i in range(iterations):
         assigned = df.select(
             F.col(vec_col).alias("v"),
             nearest_centroid(vec_col, centroids).alias("cell"),
         )
-        # decimal sums: centroid updates must be bit-identical across runs
-        # and shuffle orders, else boundary points flip cells run-to-run
+        # exact integer/decimal sums: centroid updates must be bit-identical
+        # across runs and shuffle orders, else boundary points flip cells
+        if portable:
+            s_expr = F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(1e9)).cast("long")
+            ).alias("s")
+        else:
+            s_expr = (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s")
+            )
         sums = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            .agg(s_expr, F.count(F.lit(1)).alias("n"))
         )
         rows = sums.collect()
         new = [list(c) for c in centroids]
@@ -90,7 +124,10 @@ def kmeans_fit(
             acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["s"]
             cnt[r["cell"]] = r["n"]
         for cell, vec in acc.items():
-            new[cell] = [x / cnt[cell] for x in vec]
+            if portable:
+                new[cell] = [(x / cnt[cell]) / 1e9 for x in vec]
+            else:
+                new[cell] = [x / cnt[cell] for x in vec]
         centroids = new
     return centroids
 
@@ -130,13 +167,19 @@ def ivf_search(
 ) -> "DataFrame":
     """ANN search: score only vectors in the ``n_probe_cells`` cells nearest
     the probe — the IVF scale path (search cost / n_cells, recall tuned by
-    n_probe_cells)."""
-    import numpy as np
+    n_probe_cells).
 
-    c = np.array(centroids)
-    p = np.array(probe)
-    d2 = ((c - p) ** 2).sum(axis=1)
-    probe_cells = [int(i) for i in d2.argsort()[:n_probe_cells]]
+    Probe-cell ranking uses a sequential left-to-right distance fold
+    (ties to the lower cell id) — the same association order as the
+    JVM/SQL folds, so a DuckDB oracle reproduces the cell choice
+    (numpy's pairwise-summed ``.sum`` rounds differently)."""
+    d2 = [
+        sum((float(ci) - float(pi)) ** 2 for ci, pi in zip(c, probe))
+        for c in centroids
+    ]
+    probe_cells = [
+        cell for _, cell in sorted((d, i) for i, d in enumerate(d2))
+    ][:n_probe_cells]
     parr = F.array(*[F.lit(float(x)) for x in probe])
     candidates = df.where(
         nearest_centroid(vec_col, centroids).isin(probe_cells)
@@ -329,6 +372,8 @@ def pq_fit(
     m: int = 4,
     k: int = 16,
     iterations: int = 3,
+    portable: bool = False,
+    init_id_col: str | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the vector into ``m`` subspaces
     and k-means each independently (Jegou et al., "Product Quantization for
@@ -344,12 +389,17 @@ def pq_fit(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    id_cols = [F.col(init_id_col)] if portable and init_id_col else []
     return [
         kmeans_fit(
-            df.select(F.slice(_col(vec_col), j * sub + 1, sub).alias("__sub")),
+            df.select(
+                F.slice(_col(vec_col), j * sub + 1, sub).alias("__sub"), *id_cols
+            ),
             "__sub",
             k=k,
             iterations=iterations,
+            portable=portable,
+            init_id_col=init_id_col,
         )
         for j in range(m)
     ]

@@ -281,13 +281,121 @@ def t_dup_span_stats(spark, sf_dir):
     return duplicated_span_stats(docs, "doc_id", "text", n=8)
 
 
-@register("sim_pq_search", oracle=None, tags=["similarity", "pq", "no-oracle"])
+def _pq_oracle(
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    top_k: int = 10,
+    probe_id: int = 3,
+) -> str:
+    """DuckDB replica of the FULL portable PQ pipeline: per-subspace
+    LCG-seeded Lloyd's (nano-quantized updates), encode = per-subspace
+    argmin, ADC = sum of probe->sub-centroid distances in subspace order."""
+    sub = dim // m
+    lcg = (
+        "(((vec_id * 1103515245 + 12345) % 2147483647) * 784588716 + 997)"
+        " % 2147483647"
+    )
+
+    def dsub(off: int, e: str, c: str) -> str:
+        t = f"(CAST({e}[{off} + i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {sub}), i -> {t} * {t})), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    parts = ["    WITH "]
+    first = True
+    for j in range(m):
+        off = j * sub
+        lead = "" if first else ","
+        first = False
+        parts.append(
+            f"""{lead}
+    c{j}_0 AS (
+      SELECT cell, list_transform(generate_series(1, {sub}),
+                                  i -> CAST(c[{off} + i] AS DOUBLE)) AS c
+      FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {lcg}, vec_id) - 1 AS cell,
+               embedding AS c
+        FROM embeddings) WHERE cell < {k}
+    )"""
+        )
+        for t in range(1, iterations + 1):
+            parts.append(
+                f""",
+    a{j}_{t} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dsub(off, 'e.embedding', 's.c')},
+                                           s.cell) AS rn
+        FROM embeddings e CROSS JOIN c{j}_{t - 1} s
+      ) WHERE rn = 1
+    ),
+    u{j}_{t} AS (
+      SELECT cell, i AS pos,
+             SUM(CAST(FLOOR(CAST(embedding[{off} + i] AS DOUBLE)
+                            * 1000000000.0) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{j}_{t} CROSS JOIN generate_series(1, {sub}) t(i)
+      GROUP BY cell, i
+    ),
+    c{j}_{t} AS (
+      SELECT s.cell, COALESCE(ua.c, s.c) AS c
+      FROM c{j}_{t - 1} s LEFT JOIN (
+        SELECT cell, list((s / n) / 1000000000.0 ORDER BY pos) AS c
+        FROM u{j}_{t} GROUP BY cell
+      ) ua USING (cell)
+    )"""
+            )
+        parts.append(
+            f""",
+    af{j} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dsub(off, 'e.embedding', 's.c')},
+                                           s.cell) AS rn
+        FROM embeddings e CROSS JOIN c{j}_{iterations} s
+      ) WHERE rn = 1
+    ),
+    pd{j} AS (
+      SELECT s.cell, {dsub(off, 'pr.p', 's.c')} AS v
+      FROM c{j}_{iterations} s,
+           (SELECT embedding AS p FROM embeddings WHERE vec_id = {probe_id}) pr
+    )"""
+        )
+    adc = "0.0"
+    for j in range(m):
+        adc = f"({adc} + pd{j}.v)"
+    joins = "af0"
+    for j in range(1, m):
+        joins += f" JOIN af{j} ON af{j}.vec_id = af0.vec_id"
+    for j in range(m):
+        joins += f" JOIN pd{j} ON pd{j}.cell = af{j}.cell"
+    parts.append(
+        f"""
+    SELECT af0.vec_id, round({adc}, 6) AS adc_dist
+    FROM {joins}
+    ORDER BY adc_dist ASC, af0.vec_id ASC LIMIT {top_k}
+    """
+    )
+    return "".join(parts)
+
+
+@register("sim_pq_search", oracle=_pq_oracle(), tags=["similarity", "pq"])
 def sim_pq_search(spark, sf_dir):
     """Product-quantization ANN: m=4 sub-codebooks (k=16 each, seeded
-    Lloyd's with decimal-exact updates -> deterministic), encode to 4
-    sub-centroid ids, ADC top-10 via driver-side distance tables
-    (functions/similarity.py:pq_fit/pq_encode/pq_search). Rows-only check;
-    the recall-vs-brute-force assertion lives in tests/test_pq.py."""
+    Lloyd's), encode to 4 sub-centroid ids, ADC top-10 via driver-side
+    distance tables (functions/similarity.py:pq_fit/pq_encode/pq_search).
+    Oracle-checked end to end (round 4): the portable trainer (LCG seeds,
+    integer nano-unit centroid sums) plus sequential distance folds let a
+    DuckDB query replay all four codebooks, the encoding argmins, and the
+    ADC accumulation in subspace order; recall-vs-brute-force stays pinned
+    in tests/test_pq.py."""
     from datagouvfr_data_pipelines_spark.functions.similarity import (
         pq_encode,
         pq_fit,
@@ -295,7 +403,10 @@ def sim_pq_search(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    books = pq_fit(emb, "embedding", m=4, k=16, iterations=2)
+    books = pq_fit(
+        emb, "embedding", m=4, k=16, iterations=2,
+        portable=True, init_id_col="vec_id",
+    )
     enc = pq_encode(emb, "embedding", books)
     probe = [
         float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]

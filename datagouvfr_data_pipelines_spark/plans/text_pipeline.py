@@ -718,11 +718,121 @@ def d_simhash_neardups(spark, sf_dir):
     )
 
 
-@register("sim_ivf_search", oracle=None, tags=["similarity", "ann", "no-oracle"])
+def _ivf_oracle(
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    n_probe: int = 3,
+    top_k: int = 10,
+    probe_id: int = 3,
+) -> str:
+    """DuckDB replica of the FULL portable IVF pipeline: LCG-seeded Lloyd's
+    k-means (nano-quantized centroid updates), probe-cell ranking by the
+    same sequential distance fold, cell-restricted cosine top-k."""
+
+    def dist(e: str, c: str) -> str:
+        t = f"(CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), i -> {t} * {t})), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(af.embedding[i] AS DOUBLE) * CAST(pr.p[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+    def norm(e: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x))"
+        )
+
+    lcg = "(((vec_id * 1103515245 + 12345) % 2147483647) * 784588716 + 997) % 2147483647"
+    parts = [
+        f"""
+    WITH c0 AS (
+      SELECT cell, list_transform(c, v -> CAST(v AS DOUBLE)) AS c FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY {lcg}, vec_id) - 1 AS cell,
+               embedding AS c
+        FROM embeddings) WHERE cell < {k}
+    )"""
+    ]
+    for j in range(1, iterations + 1):
+        parts.append(
+            f""",
+    a{j} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.embedding', 's.c')}, s.cell)
+                 AS rn
+        FROM embeddings e CROSS JOIN c{j - 1} s
+      ) WHERE rn = 1
+    ),
+    u{j} AS (
+      SELECT cell, i AS pos,
+             SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000000.0)
+                      AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{j} CROSS JOIN generate_series(1, {dim}) t(i)
+      GROUP BY cell, i
+    ),
+    c{j} AS (
+      SELECT s.cell, COALESCE(ua.c, s.c) AS c
+      FROM c{j - 1} s LEFT JOIN (
+        SELECT cell, list((s / n) / 1000000000.0 ORDER BY pos) AS c
+        FROM u{j} GROUP BY cell
+      ) ua USING (cell)
+    )"""
+        )
+    cf = f"c{iterations}"
+    parts.append(
+        f""",
+    pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {probe_id}),
+    pcells AS (
+      SELECT cell FROM {cf}, pr
+      ORDER BY {dist(cf + '.c', 'pr.p')}, cell LIMIT {n_probe}
+    ),
+    af AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist('e.embedding', 's.c')}, s.cell)
+                 AS rn
+        FROM embeddings e CROSS JOIN {cf} s
+      ) WHERE rn = 1
+    )
+    SELECT af.vec_id,
+           round(CASE WHEN {norm('af.embedding')} = 0.0 OR {norm('pr.p')} = 0.0
+                      THEN 0.0
+                      ELSE {dot} / ({norm('af.embedding')} * {norm('pr.p')})
+                 END, 6) AS sim
+    FROM af, pr
+    WHERE af.cell IN (SELECT cell FROM pcells)
+    ORDER BY sim DESC, af.vec_id LIMIT {top_k}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_ivf_search",
+    oracle=_ivf_oracle(),
+    tags=["similarity", "ann"],
+)
 def sim_ivf_search(spark, sf_dir):
-    """True-IVF ANN: k-means coarse quantizer (DataFrame Lloyd's, decimal-
-    exact updates) + n-probe cell-restricted cosine top-k. Rows-only check;
-    deterministic (seeded init, exact centroid sums)."""
+    """True-IVF ANN: k-means coarse quantizer (DataFrame Lloyd's) + n-probe
+    cell-restricted cosine top-k. Oracle-checked end to end (round 4): the
+    portable trainer (LCG-seeded init, floor(x*1e9) integer nano-unit
+    centroid sums, same (s/n)/1e9 finishing expression) and the sequential
+    distance folds reproduce every step — seeding, 2 Lloyd iterations,
+    probe-cell choice, final cosine ranking — in one DuckDB query."""
     import pyspark.sql.functions as FF
 
     from datagouvfr_data_pipelines_spark.functions.similarity import (
@@ -731,7 +841,9 @@ def sim_ivf_search(spark, sf_dir):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, "embedding", k=8, iterations=2)
+    centroids = kmeans_fit(
+        emb, "embedding", k=8, iterations=2, portable=True, init_id_col="vec_id"
+    )
     probe = [float(x) for x in emb.where(FF.col("vec_id") == 3).first()["embedding"]]
     return ivf_search(emb, "embedding", "vec_id", probe, centroids,
                       n_probe_cells=3, top_k=10)
