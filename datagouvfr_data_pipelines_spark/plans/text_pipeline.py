@@ -4,8 +4,10 @@ embedding similarity (BASELINE.json north-star operators).
 Oracle notes: DuckDB lambdas (`list_filter`, `list_reduce`, `list_transform`)
 mirror Spark's higher-order functions exactly (left-to-right folds, same
 interpolation), so even the rolling-hash fingerprint and cosine top-k are
-hash-checkable. MinHash/SimHash rely on ``xxhash64`` which DuckDB lacks —
-those entries are declared without oracles (driver records rows-only checks).
+hash-checkable. The MinHash/SimHash catalog queries run on the portable
+hash family (rolling polynomial hashes + banded fold keys — round 4), so
+their full pipelines are oracle-checked too; xxhash64 variants remain in
+the operator library for callers preferring the native hash.
 """
 
 from __future__ import annotations
@@ -1125,4 +1127,85 @@ def sim_pca_project(spark, sf_dir):
         "vec_id",
         F.round(F.element_at("pca", 1), 4).alias("p1"),
         F.round(F.element_at("pca", 2), 4).alias("p2"),
+    )
+
+
+_BLOCKLIST = ["slow", "spam", "junk", "garbage"]
+_BLOCKLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _BLOCKLIST) + "]"
+
+
+@register(
+    "t_blocklist_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter({_TOKENS_SQL},
+                 t -> list_contains({_BLOCKLIST_SQL}, t))) AS INTEGER)
+             AS n_blocked,
+           CAST(len(list_filter({_TOKENS_SQL},
+                 t -> list_contains({_BLOCKLIST_SQL}, t))) AS DOUBLE)
+             / greatest(len({_TOKENS_SQL}), 1) AS blocked_frac,
+           CAST(CASE WHEN CAST(len(list_filter({_TOKENS_SQL},
+                 t -> list_contains({_BLOCKLIST_SQL}, t))) AS DOUBLE)
+                 / greatest(len({_TOKENS_SQL}), 1) <= 0.05
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM documents
+    """,
+    tags=["text", "quality", "blocklist", "c4"],
+)
+def t_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist gate: per document, the count and fraction of
+    tokens hitting a (broadcast literal) blocklist and the keep decision
+    at a 5% ceiling — the dirty-word/boilerplate filter every public
+    web-corpus recipe applies before dedup. Pure column expressions (the
+    blocklist ships as an array literal; at a real blocklist's size swap
+    the literal for a broadcast join on token) — no UDF, one scan."""
+    from datagouvfr_data_pipelines_spark.functions.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    blocked = F.filter(
+        tok, lambda t: t.isin(_BLOCKLIST)
+    )
+    n_blocked = F.size(blocked)
+    frac = n_blocked.cast("double") / F.greatest(F.size(tok), F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_blocked.cast("int").alias("n_blocked"),
+        frac.alias("blocked_frac"),
+        (frac <= 0.05).cast("int").alias("kept"),
+    )
+
+
+@register(
+    "d_dup_rate_curve",
+    oracle=f"""
+    WITH pairs AS ({_minhash_neardup_oracle(threshold=0.5)})
+    SELECT CAST(FLOOR(jaccard * 10) AS INTEGER) AS jaccard_band,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_droppable
+    FROM pairs GROUP BY CAST(FLOOR(jaccard * 10) AS INTEGER)
+    """,
+    tags=["dedup-minhash", "analytics", "tuning"],
+)
+def d_dup_rate_curve(spark, sf_dir):
+    """Dedup-rate-vs-threshold curve — the tuning artifact behind choosing
+    a near-dup threshold at corpus scale: verified candidate pairs (one
+    LSH+verify pass at the lowest threshold of interest) bucketed by
+    jaccard band, with how many pairs and how many droppable docs each
+    band contributes. One extra aggregation over the pair set the dedup
+    pass already computes; run it once, pick the threshold, never rescan."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        near_duplicate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_duplicate_pairs(
+        docs, "doc_id", "text", k=64, bands=8, shingle_n=3, threshold=0.5,
+        broadcast_candidates=True, portable=True,
+    )
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_b").cast("bigint").alias("n_docs_droppable"),
     )
