@@ -58,7 +58,8 @@ HEADLINE = [
     "q5_local_supplier_volume",  # TPC-H Q5: 6-table join, dims broadcast
     "geo_nearest_join",       # grid-bucketed nearest-neighbor join
     "j18_brand_affinity",     # market-basket pair co-occurrence
-    "rfm_segments",           # RFM segmentation (agg + ntile windows)
+    "rfm_segments",           # RFM segmentation (agg + boundary scoring)
+    "d_incremental_dedup",    # incremental ingest dedup vs corpus index
     "q13_order_count_distribution",  # TPC-H Q13: left join + 2-level agg
     "q18_large_volume_customers",    # TPC-H Q18: HAVING threshold + enrich
     "q21_waiting_supplier",   # TPC-H Q21: EXISTS/NOT-EXISTS as key-bounded aggs

@@ -43,6 +43,22 @@ def _dot(weights: list[float], feature_cols: list[str]) -> Column:
     return acc
 
 
+def _p_of(z: Column, link: str) -> Column:
+    """P(y=1|z) under the chosen link.
+
+    ``logistic``: the classic 1/(1+exp(-z)). ``algebraic``: the rational
+    sigmoid 0.5 + 0.5*z/(1+|z|) — same shape, range and monotonicity, but
+    built from +,*,/,abs ONLY, which are bit-portable across engines
+    (measured: libm exp disagrees with DuckDB's on ~13% of inputs at the
+    last ulp), so algebraic-link training AND scoring reproduce exactly in
+    a DuckDB oracle."""
+    if link == "logistic":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if link == "algebraic":
+        return F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    raise ValueError(f"unknown link {link!r}")
+
+
 def logreg_fit(
     df: DataFrame,
     feature_cols: list[str],
@@ -50,12 +66,15 @@ def logreg_fit(
     iters: int = 30,
     lr: float = 0.5,
     l2: float = 0.0,
+    link: str = "logistic",
 ) -> list[float]:
     """Full-batch gradient descent; returns [w_0..w_{d-1}, bias].
 
     ``label_col`` must be 0/1. One aggregation job per iteration; the
     gradient is exact (quantized at 1e-9, far below lr-scale noise) and
-    deterministic across partitionings.
+    deterministic across partitionings. ``link='algebraic'`` swaps the
+    sigmoid for the rational form (see ``_p_of``) — engine-portable, so
+    the whole training trajectory unrolls into a DuckDB oracle.
     """
     d = len(feature_cols)
     weights = [0.0] * (d + 1)
@@ -65,9 +84,7 @@ def logreg_fit(
     cached = df.select(*feature_cols, F.col(label_col).alias("__y")).persist()
     try:
         for _ in range(iters):
-            margin = F.lit(1.0) / (
-                F.lit(1.0) + F.exp(-_dot(weights, feature_cols))
-            ) - F.col("__y")
+            margin = _p_of(_dot(weights, feature_cols), link) - F.col("__y")
             aggs = [
                 F.sum(
                     F.floor(margin * F.col(c) * _Q).cast("bigint")
@@ -93,10 +110,10 @@ def logreg_predict(
     weights: list[float],
     feature_cols: list[str],
     out_col: str = "p",
+    link: str = "logistic",
 ) -> DataFrame:
     """Score rows with a trained model: P(y=1|x), pure JVM expression."""
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(weights, feature_cols)))
-    return df.withColumn(out_col, p)
+    return df.withColumn(out_col, _p_of(_dot(weights, feature_cols), link))
 
 
 def sigmoid(x: float) -> float:

@@ -51,20 +51,102 @@ def sk_user_reach_rollup(spark, sf_dir):
     )
 
 
+def _logreg_oracle(iters: int = 40, lr: float = 1.0) -> str:
+    """DuckDB replica of the algebraic-link teacher-student training run:
+    the feature projection, all ``iters`` nano-quantized gradient steps
+    (1-row weight CTE per step), and the final scoring — every op is
+    +,*,/,abs/floor, so the trajectory is bit-identical to Spark's."""
+    tokens = "string_split_regex(lower(trim(text)), '\\s+')"
+    stop = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'on', 'for']"
+    punct = (
+        "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(text), 1)"
+    )
+    stopr = (
+        f"CAST(len(list_filter({tokens}, t -> list_contains({stop}, t))) AS DOUBLE)"
+        f" / greatest(len({tokens}), 1)"
+    )
+    quality = f"""(CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN {stopr} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) / 3.0"""
+    ntoks = f"CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({tokens}) END AS INTEGER)"
+
+    def z(w: str) -> str:
+        return (
+            f"(((({w}.b + {w}.w0 * f0) + {w}.w1 * f1) + {w}.w2 * f2)"
+            f" + {w}.w3 * f3)"
+        )
+
+    def p(w: str) -> str:
+        return f"(0.5 + 0.5 * {z(w)} / (1.0 + abs({z(w)})))"
+
+    # MATERIALIZED everywhere: DuckDB otherwise inlines CTEs at each
+    # reference — feats would re-open the parquet 40x, and the 1-row
+    # w{t}/g{t} chain (w referenced ~10x per step via p/z) would grow an
+    # exponential expression tree that never finishes planning
+    parts = [
+        f"""
+    WITH feats AS MATERIALIZED (
+      SELECT doc_id,
+             length(text) / 1000.0 AS f0,
+             {punct} AS f1,
+             {stopr} AS f2,
+             {ntoks} / 200.0 AS f3,
+             CASE WHEN {quality} >= 0.99 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM feats),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)"""
+    ]
+    for t in range(iters):
+        m = f"({p(f'w{t}')} - y)"
+        parts.append(
+            f""",
+    g{t} AS MATERIALIZED (
+      SELECT SUM(CAST(FLOOR({m} * f0 * 1000000000) AS BIGINT)) AS g0,
+             SUM(CAST(FLOOR({m} * f1 * 1000000000) AS BIGINT)) AS g1,
+             SUM(CAST(FLOOR({m} * f2 * 1000000000) AS BIGINT)) AS g2,
+             SUM(CAST(FLOOR({m} * f3 * 1000000000) AS BIGINT)) AS g3,
+             SUM(CAST(FLOOR({m} * 1000000000) AS BIGINT)) AS gb
+      FROM feats CROSS JOIN w{t}
+    ),
+    w{t + 1} AS MATERIALIZED (
+      SELECT w{t}.w0 - {lr} * ((g{t}.g0 / 1000000000) / nn.n) AS w0,
+             w{t}.w1 - {lr} * ((g{t}.g1 / 1000000000) / nn.n) AS w1,
+             w{t}.w2 - {lr} * ((g{t}.g2 / 1000000000) / nn.n) AS w2,
+             w{t}.w3 - {lr} * ((g{t}.g3 / 1000000000) / nn.n) AS w3,
+             w{t}.b - {lr} * ((g{t}.gb / 1000000000) / nn.n) AS b
+      FROM w{t}, g{t}, nn
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id, CAST(y AS INTEGER) AS teacher_label,
+           {p(f'w{iters}')} AS p_good
+    FROM feats CROSS JOIN w{iters}
+    """
+    )
+    return "".join(parts)
+
+
 @register(
     "t_quality_classifier",
-    tags=["text", "ml", "quality", "teacher-student", "no-oracle"],
+    oracle=_logreg_oracle(),
+    tags=["text", "ml", "quality", "teacher-student"],
 )
 def t_quality_classifier(spark, sf_dir):
     """Model-based quality filtering, distilled teacher-student style:
     the heuristic quality gate (functions/text.py:quality_score) labels
-    the corpus, then a logistic regression over raw text features
-    (length, punctuation ratio, stopword ratio, token count) is trained
+    the corpus, then a classifier over raw text features (length,
+    punctuation ratio, stopword ratio, token count) is trained
     DISTRIBUTED with deterministic nano-quantized gradient sums
     (functions/ml.py) and scores every document with a calibrated
-    probability. Rows-only: float probabilities have no SQL oracle;
-    learnability, partition-invariant training, and teacher agreement
-    >= 85% are pinned by tests/test_ml.py."""
+    probability. Oracle-checked end to end (round 4): the ALGEBRAIC link
+    (0.5 + 0.5*z/(1+|z|) — same shape as the logistic, but +,*,/,abs only;
+    measured libm exp is NOT bit-portable) makes all 40 gradient steps and
+    the final scores reproduce in one unrolled DuckDB query. Learnability,
+    partition-invariant training, and teacher agreement >= 85% stay pinned
+    by tests/test_ml.py."""
     from datagouvfr_data_pipelines_spark.functions.ml import (
         logreg_fit,
         logreg_predict,
@@ -87,8 +169,10 @@ def t_quality_classifier(spark, sf_dir):
         ),
     )
     feats = ["f_len", "f_punct", "f_stop", "f_tokens"]
-    w = logreg_fit(docs, feats, "teacher", iters=40, lr=1.0)
-    return logreg_predict(docs, w, feats, out_col="p_good").select(
+    w = logreg_fit(docs, feats, "teacher", iters=40, lr=1.0, link="algebraic")
+    return logreg_predict(
+        docs, w, feats, out_col="p_good", link="algebraic"
+    ).select(
         "doc_id",
         F.col("teacher").cast("int").alias("teacher_label"),
         "p_good",
