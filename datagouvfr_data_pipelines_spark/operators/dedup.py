@@ -231,8 +231,16 @@ def near_duplicate_pairs(
     max_bucket_size: int = 64,
     broadcast_candidates: bool = False,
     portable: bool = False,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """End-to-end MinHash near-dup pipeline computing shingles ONCE.
+
+    ``metric`` picks the verify score: ``"jaccard"`` (|A∩B|/|A∪B|, the
+    symmetric near-dup test) or ``"containment"`` (|A∩B|/min(|A|,|B|) —
+    fires when EITHER document's shingle set is mostly inside the other,
+    the quote-inclusion / subset-duplicate test that Jaccard misses when
+    one document is much longer). Same candidate generation either way;
+    only the verify expression and the output column name change.
 
     ``minhash_lsh_candidates`` + ``jaccard_verify`` each derive shingles
     from raw text; at corpus scale the shingle projection is the dominant
@@ -363,10 +371,17 @@ def near_duplicate_pairs(
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
-    return joined.select("id_a", "id_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
+    if metric == "containment":
+        denom = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+        out_col = "containment"
+    elif metric == "jaccard":
+        denom = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        out_col = "jaccard"
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    score = F.when(denom == 0.0, F.lit(0.0)).otherwise(inter / denom)
+    return joined.select("id_a", "id_b", score.alias(out_col)).where(
+        F.col(out_col) >= threshold
     )
 
 
@@ -683,4 +698,95 @@ def minhash_merge_states(states: list[DataFrame], id_col: str = "doc") -> DataFr
                 F.zip_with(acc, x, lambda a, b: F.least(a, b))
             ),
         ).alias("sig")
+    )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_bucket_size: int = 64,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Containment (quote-inclusion) near-dup pairs via a shared-shingle
+    inverted index — NOT MinHash LSH, deliberately.
+
+    MinHash banding surfaces a pair with probability Jaccard^rows per
+    band, and a short document quoted inside a much longer one has LOW
+    Jaccard by construction (|A∩B|/|A∪B| ~ |A|/|B|), so LSH candidate
+    generation is structurally blind to exactly the pairs containment is
+    for. The classic fix (Broder's supershingles / LSH-Ensemble) indexes
+    shingles directly: two documents become candidates when they share
+    ANY indexed shingle whose corpus frequency is within
+    ``max_bucket_size`` (the cap drops boilerplate shingles that would
+    pair everything with everything — same role as the LSH bucket cap;
+    a contained quote of >= shingle_n words shares a RARE shingle with
+    its source essentially always, so recall survives the cap).
+
+    Scale: one explode+groupBy on the 31-bit shingle hash (map-side
+    combinable), pair expansion only inside capped buckets —
+    O(docs x shingles + buckets x cap²) — then a verify join that touches
+    candidates only. Portable rolling hashes end to end, so the whole
+    pipeline reproduces in a DuckDB oracle. Returns (id_a, id_b,
+    containment >= threshold) with containment = |A∩B|/min(|A|,|B|).
+
+    The shared (id, hashed-shingle-set) projection is persisted across
+    the index and verify branches (same lifetime note as
+    ``near_duplicate_pairs``).
+    """
+    from pyspark import StorageLevel
+
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+    )
+
+    def _rolling(s):
+        codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(
+                acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)
+            ),
+        )
+
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(word_shingles(text_col, shingle_n), _rolling)
+        ).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inv = sh.select("doc", F.explode("sh").alias("h"))
+    buckets = (
+        inv.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    if broadcast_candidates:
+        pairs = F.broadcast(pairs)
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    denom = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    score = F.when(denom == 0.0, F.lit(0.0)).otherwise(inter / denom)
+    return joined.select("id_a", "id_b", score.alias("containment")).where(
+        F.col("containment") >= threshold
     )

@@ -337,6 +337,151 @@ def e_markov_transitions(spark, sf_dir):
 
 
 @register(
+    "e_funnel_conversion",
+    oracle="""
+    WITH codes AS (
+      SELECT user_id,
+             list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                       WHEN 'purchase' THEN 3 ELSE 0 END
+                  ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    ),
+    stages AS (
+      SELECT user_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(evs, x -> CAST(x AS BIGINT))),
+               (acc, x) -> CASE WHEN acc = 0 AND x = 1 THEN 1
+                                WHEN acc = 1 AND x = 2 THEN 2
+                                WHEN acc = 2 AND x = 3 THEN 3
+                                ELSE acc END) AS stage
+      FROM codes
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END), 1)
+             AS view_to_click,
+           CAST(SUM(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END), 1)
+             AS click_to_purchase
+    FROM stages
+    """,
+    tags=["events", "funnel"],
+)
+def e_funnel_conversion(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase): each user's
+    events are folded IN (ts, event_id) ORDER through a 4-state machine —
+    a later step only counts after an earlier one, the strict-sequence
+    semantics the min-timestamp-per-step shortcut gets wrong when a
+    purchase precedes the first view. One shuffle (groupBy user collects
+    the ordered code list), then a partial-combined global aggregate;
+    the fold is a JVM higher-order expression, no UDF, and reproduces in
+    DuckDB's list_reduce verbatim. Conversion ratios are single IEEE
+    divisions of exact bigints."""
+    ev = table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    per_user = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), code.cast("long").alias("c")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+        .select(
+            "user_id",
+            F.aggregate(
+                F.transform(F.col("evs"), lambda e: e["c"]),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.when((acc == 0) & (x == 1), F.lit(1).cast("long"))
+                .when((acc == 1) & (x == 2), F.lit(2).cast("long"))
+                .when((acc == 2) & (x == 3), F.lit(3).cast("long"))
+                .otherwise(acc),
+            ).alias("stage"),
+        )
+    )
+    n1 = F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).cast("bigint")
+    n2 = F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).cast("bigint")
+    n3 = F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).cast("bigint")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        n1.alias("n_view"),
+        n2.alias("n_click"),
+        n3.alias("n_purchase"),
+    ).select(
+        "n_users",
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (
+            F.col("n_click").cast("double")
+            / F.greatest(F.col("n_view"), F.lit(1))
+        ).alias("view_to_click"),
+        (
+            F.col("n_purchase").cast("double")
+            / F.greatest(F.col("n_click"), F.lit(1))
+        ).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "e_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INTEGER)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=["events", "retention", "cohort"],
+)
+def e_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort matrix: users grouped by first-activity
+    week, counted once per (cohort, week-offset) they were active in —
+    the triangle chart behind every retention dashboard. Two shuffles on
+    user_id (first-week aggregate, then the distinct-activity join; both
+    hash-partition on the same key so AQE reuses the exchange), then one
+    partial-combined count on the tiny (cohort, offset) grid. Week
+    truncation and the day-diff/7 offset are exact integer calendar
+    arithmetic — no floats anywhere."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
     "geo_nearest_join",
     oracle=f"""
     WITH pts AS (

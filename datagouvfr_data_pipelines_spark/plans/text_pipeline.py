@@ -422,11 +422,16 @@ def d_simhash_sig(spark, sf_dir):
 
 
 def _minhash_neardup_oracle(
-    k: int = 64, bands: int = 8, threshold: float = 0.5, cap: int = 64
+    k: int = 64,
+    bands: int = 8,
+    threshold: float = 0.5,
+    cap: int = 64,
+    metric: str = "jaccard",
 ) -> str:
     """DuckDB replica of the FULL portable MinHash near-dup pipeline:
     shingle -> rolling hash -> k permutation minima -> banded fold keys ->
-    capped-bucket candidates -> exact hashed-shingle Jaccard verify."""
+    capped-bucket candidates -> exact hashed-shingle verify (``metric``:
+    jaccard |A∩B|/|A∪B| or containment |A∩B|/min(|A|,|B|))."""
     from datagouvfr_data_pipelines_spark.operators.dedup import _minhash_params
 
     rows = k // bands
@@ -473,13 +478,18 @@ def _minhash_neardup_oracle(
     SELECT * FROM (
       SELECT c.id_a, c.id_b,
              CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE)
-               AS jaccard
+             / {{denom}} AS {metric}
       FROM cand c
       JOIN h ha ON ha.doc_id = c.id_a
       JOIN h hb ON hb.doc_id = c.id_b
-    ) WHERE jaccard >= {threshold}
-    """
+    ) WHERE {metric} >= {threshold}
+    """.format(
+        denom=(
+            "CAST(least(len(ha.hs), len(hb.hs)) AS DOUBLE)"
+            if metric == "containment"
+            else "CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE)"
+        )
+    )
 
 
 @register(

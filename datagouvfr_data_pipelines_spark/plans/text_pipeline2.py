@@ -1,0 +1,407 @@
+"""Training-data-pipeline catalog, batch 2: contrastive hard-negative
+mining, tokenizer fertility analysis, temperature-scaled mixture weights,
+and containment (quote-inclusion) near-dup search.
+
+Same oracle discipline as text_pipeline.py: every float that reaches the
+driver compare is either a ratio of exact integer sums, a single shared
+IEEE expression (sqrt/÷/× are correctly rounded in both engines), or the
+portable rolling-hash family — bit-identical to DuckDB by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.functions.similarity import cosine
+from datagouvfr_data_pipelines_spark.functions.text import (
+    TOKEN_RE,
+    token_count_bpe,
+    token_count_ws,
+)
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+from datagouvfr_data_pipelines_spark.plans.text_pipeline import (
+    _DOT_SQL,
+    _NORM_E_SQL,
+    _NORM_P_SQL,
+    _TOKENS_SQL,
+)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS p, label AS plabel
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_P_SQL}), 6) AS sim
+    FROM embeddings e, p
+    WHERE e.label <> p.plabel
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=["similarity", "ann", "contrastive"],
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: the top-k vectors
+    most similar to the anchor (vec_id=0) whose label DIFFERS from the
+    anchor's — the in-batch-negative upgrade every embedding-model recipe
+    uses. Same shuffle-free scan+TakeOrdered shape as sim_topk_cosine
+    (anchor collected once driver-side, inlined as a literal); at fleet
+    scale the anchor batch goes through sim_knn_join's broadcast path."""
+    emb = table(spark, sf_dir, "embeddings")
+    anchor = (
+        emb.where(F.col("vec_id") == 0).select("embedding", "label").head()
+    )
+    p = F.array(*[F.lit(float(v)) for v in anchor["embedding"]])
+    out = emb.where(F.col("label") != F.lit(anchor["label"])).select(
+        "vec_id",
+        "label",
+        F.round(cosine("embedding", p), 6).alias("sim"),
+    )
+    return out.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "t_fertility_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len({_TOKENS_SQL}) END AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS bpe,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS tok_ws,
+           CAST(SUM(bpe) AS BIGINT) AS tok_bpe,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(chars) AS DOUBLE) / greatest(SUM(ws), 1) AS chars_per_token,
+           CAST(SUM(bpe) AS DOUBLE) / greatest(SUM(ws), 1) AS fertility
+    FROM t GROUP BY lang
+    """,
+    tags=["text", "tokenizer", "fertility"],
+)
+def t_fertility_stats(spark, sf_dir):
+    """Tokenizer fertility per language: chars-per-whitespace-token and
+    BPE-ish-tokens-per-whitespace-token — the standard check that a
+    tokenizer doesn't tax some languages with more subwords per word
+    (fertility skews both cost and mixture math). Exact bigint sums,
+    one partial-aggregated shuffle on lang; ratios are single shared
+    IEEE divisions, bit-identical cross-engine."""
+    docs = table(spark, sf_dir, "documents")
+    ws = token_count_ws("text").cast("bigint")
+    bpe = token_count_bpe("text").cast("bigint")
+    chars = F.length("text").cast("bigint")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).alias("tok_ws"),
+        F.sum(bpe).alias("tok_bpe"),
+        F.sum(chars).alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "tok_ws",
+        "tok_bpe",
+        "n_chars",
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(F.col("tok_ws"), F.lit(1))
+        ).alias("chars_per_token"),
+        (
+            F.col("tok_bpe").cast("double")
+            / F.greatest(F.col("tok_ws"), F.lit(1))
+        ).alias("fertility"),
+    )
+
+
+_MIX_BUDGET = 1_000_000
+
+
+@register(
+    "asm_temperature_mixture",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len({_TOKENS_SQL}) END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    q AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS qs
+      FROM per
+    ),
+    tot AS (SELECT CAST(SUM(qs) AS BIGINT) AS qtot FROM q)
+    SELECT lang, n_tokens,
+           CAST(qs AS DOUBLE) / CAST(qtot AS DOUBLE) AS weight,
+           CAST(FLOOR((CAST(qs AS DOUBLE) / CAST(qtot AS DOUBLE))
+                      * {_MIX_BUDGET}) AS BIGINT) AS budget_tokens
+    FROM q, tot
+    """,
+    tags=["assembly", "mixture", "temperature"],
+)
+def asm_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled language mixture (alpha=0.5): sampling weights
+    proportional to sqrt(corpus tokens) — the multilingual rebalancing
+    rule (upsample tails, downsample heads) used by every public
+    multilingual pretraining recipe. One shuffle on lang; the 1-row
+    sqrt-sum total broadcasts back (INTENDED_CARTESIAN). Portability:
+    sqrt and ÷ are IEEE-correctly-rounded everywhere; the sqrt values are
+    nano-floor-quantized to bigints BEFORE summing so the denominator is
+    an exact integer under any partition/summation order."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(token_count_ws("text").cast("bigint")).alias("n_tokens")
+    )
+    q = per.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e9)
+        .cast("bigint")
+        .alias("qs"),
+    )
+    tot = q.agg(F.sum("qs").cast("bigint").alias("qtot"))
+    w = F.col("qs").cast("double") / F.col("qtot").cast("double")
+    return q.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        w.alias("weight"),
+        F.floor(w * _MIX_BUDGET).cast("bigint").alias("budget_tokens"),
+    )
+
+
+def _containment_oracle(threshold: float = 0.6, cap: int = 64) -> str:
+    """DuckDB replica of the shared-shingle containment search: rolling
+    shingle hashes -> capped inverted index -> bucket pairs -> exact
+    containment verify (|A∩B|/min(|A|,|B|))."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ), h AS (
+      SELECT doc_id, list_distinct(list_transform(sh, sg -> list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(sg, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483647))) AS hs
+      FROM s
+    ), inv AS (
+      SELECT doc_id, unnest(hs) AS sh_h FROM h
+    ), buckets AS (
+      SELECT sh_h FROM inv GROUP BY sh_h
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets k
+      JOIN inv a ON a.sh_h = k.sh_h
+      JOIN inv b ON b.sh_h = k.sh_h AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / CAST(least(len(ha.hs), len(hb.hs)) AS DOUBLE) AS containment
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.id_a
+      JOIN h hb ON hb.doc_id = c.id_b
+    ) WHERE containment >= {threshold}
+    """
+
+
+@register(
+    "d_containment_pairs",
+    oracle=_containment_oracle(),
+    tags=["dedup", "containment"],
+)
+def d_containment_pairs(spark, sf_dir):
+    """Quote-inclusion near-dup search: CONTAINMENT |A∩B|/min(|A|,|B|)
+    over shared-rare-shingle candidates — catches a short document
+    embedded inside a long one (boilerplate wrappers, quoted articles).
+    Deliberately NOT MinHash LSH: band collisions happen with probability
+    Jaccard^rows and contained pairs have low Jaccard by construction, so
+    LSH never surfaces them (pinned by
+    tests/test_round4_batch2.py::test_containment_catches_subset_jaccard_misses);
+    the inverted shingle index with a frequency cap is the
+    Broder/LSH-Ensemble answer
+    (operators/dedup.py:shingle_containment_pairs)."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return shingle_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.6
+    )
+
+
+_CELL_SQL = """CAST(32 * (embedding[1] >= 0)::INT + 16 * (embedding[2] >= 0)::INT
+         + 8 * (embedding[3] >= 0)::INT + 4 * (embedding[4] >= 0)::INT
+         + 2 * (embedding[5] >= 0)::INT + (embedding[6] >= 0)::INT AS INTEGER)"""
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    pcell AS (SELECT {_CELL_SQL} AS cell FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, {_CELL_SQL} AS cell,
+             round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_P_SQL}), 6) AS sim
+      FROM embeddings e, p
+    ),
+    exact10 AS (SELECT vec_id FROM sims ORDER BY sim DESC, vec_id LIMIT 10),
+    approx10 AS (
+      SELECT vec_id FROM sims WHERE cell = (SELECT cell FROM pcell)
+      ORDER BY sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST((SELECT COUNT(*) FROM approx10) AS BIGINT) AS n_approx,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM exact10 JOIN approx10 USING (vec_id)
+    """,
+    tags=["similarity", "ann", "evaluation"],
+)
+def sim_ivf_recall(spark, sf_dir):
+    """ANN quality measurement: recall@10 of the sign-bit IVF cell
+    restriction against brute-force cosine for the anchor vector — the
+    evaluation loop every ANN deployment runs before trading exactness
+    for speed. Both rankings share one scan's bit-identical similarity
+    column, so the overlap count (and thus recall) is engine-exact.
+    Scale: two TakeOrdered passes over the same projection; the join is
+    10x10 ids."""
+    emb = table(spark, sf_dir, "embeddings")
+    from datagouvfr_data_pipelines_spark.functions.similarity import ivf_cell
+
+    anchor = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    p = F.array(*[F.lit(float(v)) for v in anchor])
+    bits = [1 if float(anchor[i]) >= 0 else 0 for i in range(6)]
+    anchor_cell = int("".join(map(str, bits)), 2)
+    sims = emb.select(
+        "vec_id",
+        ivf_cell("embedding", 64).alias("cell"),
+        F.round(cosine("embedding", p), 6).alias("sim"),
+    )
+    exact10 = (
+        sims.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    approx10 = (
+        sims.where(F.col("cell") == anchor_cell)
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    n_approx = approx10.count()
+    return (
+        exact10.join(approx10, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(n_approx).cast("bigint").alias("n_approx"),
+            F.col("n_overlap").cast("bigint"),
+            (F.col("n_overlap").cast("double") / 10.0).alias("recall_at_10"),
+        )
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "t_zipf_slope",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, unnest({_TOKENS_SQL}) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tk WHERE length(tok) > 0 GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, f,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok ASC)
+               AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT lang,
+             CAST(FLOOR(ln(r) * 1000000000) AS BIGINT) AS qx,
+             CAST(FLOOR(ln(f) * 1000000000) AS BIGINT) AS qy,
+             CAST(FLOOR(ln(r) * ln(f) * 1000000000) AS BIGINT) AS qxy,
+             CAST(FLOOR(ln(r) * ln(r) * 1000000000) AS BIGINT) AS qxx
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    ),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+             CAST(SUM(qxy) AS BIGINT) AS sxy, CAST(SUM(qxx) AS BIGINT) AS sxx
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, n,
+           ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000000))
+            - ((CAST(sx AS DOUBLE) / 1000000000)
+               * (CAST(sy AS DOUBLE) / 1000000000)))
+           / ((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000))
+              - ((CAST(sx AS DOUBLE) / 1000000000)
+                 * (CAST(sx AS DOUBLE) / 1000000000))) AS zipf_slope
+    FROM s
+    """,
+    tags=["text", "corpus-stats", "zipf"],
+)
+def t_zipf_slope(spark, sf_dir):
+    """Zipf exponent per language: least-squares slope of ln(freq) vs
+    ln(rank) over the top-100 tokens — the classic corpus-health check
+    (natural text ~ -1; boilerplate or spam bends the curve). ln runs on
+    INTEGER rank/frequency inputs (bit-identical across engines, the
+    t_tfidf_weights precedent); each regression term is ONE IEEE product
+    nano-floor-quantized to a bigint BEFORE summing, so the per-lang sums
+    are exact integers and the closing slope expression is a fixed IEEE
+    tree on identical inputs. Plan: explode -> (lang, tok) count (one
+    map-combined shuffle), lang-partitioned rank window, 100-row-per-lang
+    regression aggregate."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    from datagouvfr_data_pipelines_spark.functions.text import tokens
+
+    tk = docs.where(F.length(F.trim("text")) > 0).select(
+        "lang", F.explode(tokens("text")).alias("tok")
+    )
+    freq = (
+        tk.where(F.length("tok") > 0)
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= _ZIPF_TOP
+    )
+    lnr = F.log(F.col("r").cast("double"))
+    lnf = F.log(F.col("f").cast("double"))
+    q = lambda c: F.floor(c * 1e9).cast("bigint")  # noqa: E731
+    s = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q(lnr)).alias("sx"),
+        F.sum(q(lnf)).alias("sy"),
+        F.sum(q(lnr * lnf)).alias("sxy"),
+        F.sum(q(lnr * lnr)).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    dx = F.col("sx").cast("double") / 1e9
+    dy = F.col("sy").cast("double") / 1e9
+    dxy = F.col("sxy").cast("double") / 1e9
+    dxx = F.col("sxx").cast("double") / 1e9
+    return s.select(
+        "lang",
+        "n",
+        ((nd * dxy - dx * dy) / (nd * dxx - dx * dx)).alias("zipf_slope"),
+    )

@@ -231,6 +231,73 @@ def main() -> None:
         }
     lik.unpersist(), ok.unpersist(), li1.unpersist(), o1.unpersist()
 
+    # round-4 batch-2 event shapes: the ordered funnel fold (one user_id
+    # shuffle + collect-sorted-list + global partial agg) and the
+    # retention cohort matrix (two same-key shuffles + tiny-grid count).
+    # Replication offsets user_id/event_id, so each copy is a disjoint
+    # user population with identical per-user behavior — pure volume.
+    from datagouvfr_data_pipelines_spark.plans.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+
+    def funnel_shape(frame):
+        code = (
+            F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "purchase", 3)
+            .otherwise(0)
+        )
+        per_user = (
+            frame.select(
+                "user_id",
+                F.struct(
+                    F.col("ts"), F.col("event_id"), code.cast("long").alias("c")
+                ).alias("e"),
+            )
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+            .select(
+                F.aggregate(
+                    F.transform(F.col("evs"), lambda e: e["c"]),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: F.when((acc == 0) & (x == 1), F.lit(1).cast("long"))
+                    .when((acc == 1) & (x == 2), F.lit(2).cast("long"))
+                    .when((acc == 2) & (x == 3), F.lit(3).cast("long"))
+                    .otherwise(acc),
+                ).alias("stage"),
+            )
+        )
+        return per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n"))
+
+    def cohort_shape(frame):
+        wk = F.date_trunc("week", F.col("ts")).cast("date")
+        first = frame.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+        )
+        act = frame.select("user_id", wk.alias("week")).distinct()
+        return (
+            act.join(first, "user_id")
+            .groupBy(
+                "cw",
+                F.floor(F.datediff(F.col("week"), F.col("cw")) / 7)
+                .cast("int")
+                .alias("off"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    ev1 = ev.persist()
+    ev1.count()
+    evk = replicate(ev1, k, ["user_id", "event_id"], OFF).persist()
+    evk.count()
+    for name, fn in (("funnel_fold", funnel_shape), ("retention_cohorts", cohort_shape)):
+        t1 = min(timed(fn(ev1)) for _ in range(3))
+        tk = min(timed(fn(evk)) for _ in range(3))
+        out[name] = {
+            "t1": round(t1, 3), "tk": round(tk, 3), "ratio": round(tk / t1, 2)
+        }
+    evk.unpersist(), ev1.unpersist()
+
     print(json.dumps({"k": k, "queries": out}))
     spark.stop()
 

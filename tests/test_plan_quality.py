@@ -204,6 +204,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "x1_cuped_adjusted_lift", # 1-row global-moments frame onto 2 variants
         "w24_hourly_seasonality", # 1-row grand-total broadcast
         "rfm_segments",           # 1-row quartile-boundary broadcast
+        "asm_temperature_mixture",  # 1-row sqrt-sum denominator broadcast
     }
     # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
     # (|groups| rows, never fact volume) — the global-order window is the
