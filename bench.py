@@ -74,6 +74,9 @@ HEADLINE = [
     "w19_ohlc_daily",         # OHLC bars via min_by/max_by (no window sort)
     "asm_dsir_weights",       # DSIR data-selection weights (token fold)
     "a38_autocorr_lag1",      # day-over-day revenue autocorrelation
+    "e_funnel_conversion",    # ordered funnel fold (one user shuffle)
+    "d_containment_pairs",    # quote-inclusion search (inverted shingle index)
+    "e_retention_cohorts",    # weekly cohort matrix (shared-key shuffles)
 ]
 
 

@@ -482,6 +482,49 @@ def e_retention_cohorts(spark, sf_dir):
 
 
 @register(
+    "e_last_touch_attribution",
+    oracle="""
+    WITH tl AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'none') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM tl WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=["events", "attribution"],
+)
+def e_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent NON-purchase event (consecutive purchases look through to the
+    true touch — plain lag(1) gets this wrong), 'none' when a purchase
+    opens the timeline. One user-partitioned window (bounded per-user
+    data, never a global sort) + a tiny |event_types| count."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("touch"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+@register(
     "geo_nearest_join",
     oracle=f"""
     WITH pts AS (

@@ -24,6 +24,7 @@ from datagouvfr_data_pipelines_spark.plans.text_pipeline import (
     _NORM_E_SQL,
     _NORM_P_SQL,
     _TOKENS_SQL,
+    _minhash_neardup_oracle,
 )
 
 
@@ -404,4 +405,107 @@ def t_zipf_slope(spark, sf_dir):
         "lang",
         "n",
         ((nd * dxy - dx * dy) / (nd * dxx - dx * dx)).alias("zipf_slope"),
+    )
+
+
+@register(
+    "d_dup_source_matrix",
+    oracle=f"""
+    SELECT da.source AS source_a, db.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM ({_minhash_neardup_oracle()}) p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    tags=["dedup", "provenance"],
+)
+def d_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplication attribution: near-dup pairs rolled up by
+    (source_a, source_b) — which feed copies which, the provenance signal
+    that decides whether to drop a whole source or just its duplicates.
+    The verified pair set is tiny relative to the corpus, so it (and its
+    once-enriched successor) BROADCASTS into the two document-side
+    enrichment joins — the corpus is never shuffled; everything upstream
+    is the oracle-checked portable MinHash pipeline (d_minhash_neardups)."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        near_duplicate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_duplicate_pairs(
+        docs, "doc_id", "text", k=64, bands=8, shingle_n=3, threshold=0.5,
+        broadcast_candidates=True, portable=True,
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    e1 = src.withColumnsRenamed(
+        {"doc_id": "id_a", "source": "source_a"}
+    ).join(F.broadcast(pairs), "id_a")
+    e2 = src.withColumnsRenamed(
+        {"doc_id": "id_b", "source": "source_b"}
+    ).join(F.broadcast(e1), "id_b")
+    return e2.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@register(
+    "d_cluster_size_hist",
+    oracle=f"""
+    WITH RECURSIVE pr AS (
+      SELECT id_a, id_b FROM ({_minhash_neardup_oracle()})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pr
+      UNION ALL SELECT id_b, id_a FROM pr
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+      UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node, CAST(MIN(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=["dedup", "clusters"],
+)
+def d_cluster_size_hist(spark, sf_dir):
+    """Near-dup cluster-size distribution: LSH-verified pairs collapse to
+    components (large-star/small-star, operators/graph.py) and the
+    histogram reports how duplication mass is shaped — a few giant
+    boilerplate clusters vs many twins decide whether to fix extraction
+    or just dedup. The oracle replicates the component collapse with a
+    recursive min-label reachability CTE (== the star-contraction
+    minimum, the corpus_curation precedent)."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        near_duplicate_pairs,
+    )
+    from datagouvfr_data_pipelines_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = near_duplicate_pairs(
+        docs, "doc_id", "text", k=64, bands=8, shingle_n=3, threshold=0.5,
+        broadcast_candidates=True, portable=True,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
     )

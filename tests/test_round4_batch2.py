@@ -124,3 +124,54 @@ def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
     assert all(r.label != anchor_label for r in rows)
     sims = [r.sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_batch3_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical shapes of the batch-3 additions: the
+    provenance matrix never shuffles the corpus (both enrichments are
+    broadcast joins of the tiny verified-pair set), and the containment
+    search has no cartesian anywhere."""
+    from datagouvfr_data_pipelines_spark.plans.text_pipeline2 import (
+        d_containment_pairs,
+        d_dup_source_matrix,
+    )
+
+    p1 = _plan(d_containment_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p1
+    assert "BroadcastHashJoin" in p1  # candidate pairs broadcast into verify
+
+    p2 = _plan(d_dup_source_matrix(spark, sf_dir))
+    assert "CartesianProduct" not in p2
+    assert p2.count("BroadcastHashJoin") >= 2  # both enrichment joins
+    assert "SortMergeJoin" not in p2  # the corpus is never shuffled for a join
+
+
+def test_last_touch_skips_consecutive_purchases(spark):
+    """Two back-to-back purchases both credit the same earlier click —
+    the IGNORE NULLS look-through lag(1) can't express."""
+    import datetime as dt
+
+    from datagouvfr_data_pipelines_spark.plans.relational10 import (
+        e_last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "purchase", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        (4, t0, 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.touch: r.n_purchases for r in e_last_touch_attribution(spark, d).collect()}
+    assert out == {"click": 2, "none": 1}
