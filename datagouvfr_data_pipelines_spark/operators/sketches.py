@@ -306,3 +306,89 @@ def topk_merge(
     for s in states[1:]:
         out = out.unionByName(s)
     return topk_state(out, group_cols, score_col, id_col, k)
+
+
+def hll_portable_states(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Hand-rolled Flajolet HLL registers with the PORTABLE hash family —
+    the oracle-checkable twin of :func:`hll_states` (same role as
+    g_pagerank_exact next to g_pagerank: the DataSketches binary state has
+    no SQL twin, the register math does).
+
+    m=64 registers over ``portable_id_hash`` (31-bit): bucket = h mod 64,
+    rho = leading-zero rank of the remaining 25-bit suffix computed as an
+    INTEGER comparison sum (no log), register = max(rho) per (group,
+    bucket). One partial-aggregated shuffle of (group, bucket) pairs —
+    64 tiny rows per group, mergeable by max like any HLL."""
+    m = 64
+    h = portable_id_hash(value_col)
+    bucket = F.pmod(h, F.lit(m))
+    # h < 2^31 is exactly representable in double; /64 is a power-of-two
+    # scale, so floor(h/64) is the exact integer quotient
+    rest = F.floor(h / m).cast("long")
+    bitlen = sum(
+        [(rest >= F.lit(1 << k)).cast("int") for k in range(25)],
+        F.lit(0),
+    )
+    rho = (F.lit(26) - bitlen).alias("rho")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_portable_estimate(
+    states: DataFrame, group_cols: list[str], alias: str = "n_distinct_est"
+) -> DataFrame:
+    """Finalize portable-HLL registers: harmonic-mean estimate with the
+    standard small-range linear-counting correction.
+
+    Exactness note: each register term is 1/2^reg — a dyadic rational
+    with <= 26 fractional bits — and there are at most 64 of them, so the
+    per-group SUM is EXACT in double under ANY summation order (<= 33
+    significant bits), which is what makes the estimate bit-identical to
+    a SQL oracle without quantization. Absent buckets contribute 2^0 = 1
+    each: S = S_present + (m - n_present), V (zero registers) =
+    m - n_present."""
+    m = 64
+    s = F.col("__s") + (F.lit(float(m)) - F.col("__n"))
+    v = F.lit(m) - F.col("__n").cast("int")
+    raw = F.lit(0.709) * m * m / s
+    linear = F.lit(float(m)) * (
+        F.log(F.lit(float(m))) - F.log(v.cast("double"))
+    )
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(raw)
+    return (
+        states.groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.lit(1.0)
+                / F.expr("cast(shiftleft(1L, cast(reg as int)) as double)")
+            ).alias("__s"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
+        .select(
+            *group_cols,
+            v.alias("zero_registers"),
+            est.alias(alias),
+        )
+    )
+
+
+def kmv_bottom_k(df: DataFrame, id_col: str, k: int = 128) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch over the portable hash:
+    the k smallest ``portable_id_hash`` values of the distinct ids — a
+    ~k-row mergeable state whose union/intersection algebra estimates
+    |A∪B| and |A∩B| without joining raw keys (Beyer et al., SIGMOD'07;
+    the deterministic, oracle-checkable twin of the Theta sketch, same
+    role hll_portable_states plays for HLL). Merge = union the states
+    and re-take the bottom k. Estimator: with the k-th minimum m_k
+    normalized by the hash modulus, distinct ≈ (k-1)/m_k."""
+    h = portable_id_hash(id_col)
+    return (
+        df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    )

@@ -1,12 +1,14 @@
 """Catalog batch 13 (round 3): approximate-sketch rollups — the scale
 path for distinct-heavy analytics (operators/sketches.py).
 
-Both queries are rows-only: DataSketches HLL/Theta estimates are
-deterministic functions of the input SET (order/partitioning independent
-— pinned by tests/test_sketches.py along with error bounds and
-merge-vs-direct equivalence) but not bit-portable to DuckDB's HLL
-variant, so there is no SQL oracle. The EXACT versions of these
-aggregations are already oracle-checked elsewhere (a7_distinct_counts,
+The DataSketches queries (sk_user_reach_rollup, sk_customer_cohort_overlap)
+are rows-only: their estimates are deterministic functions of the input SET
+(order/partitioning independent — pinned by tests/test_sketches.py along
+with error bounds and merge-vs-direct equivalence) but not bit-portable to
+DuckDB's HLL variant, so there is no SQL oracle. sk_hll_portable_reach is
+their ORACLE-CHECKED twin: hand-rolled Flajolet registers over the portable
+hash family (the g_pagerank_exact pattern). The EXACT versions of these
+aggregations are also oracle-checked elsewhere (a7_distinct_counts,
 a16_monthly_rollup); this tier is their 100 TB replacement.
 """
 
@@ -745,3 +747,179 @@ def sk_customer_cohort_overlap(spark, sf_dir):
         "o_custkey",
         suffixes=("_1996", "_1999"),
     ).orderBy("c_mktsegment")
+
+
+_HLL_HASH = ("((user_id * 1103515245 + 12345) % 2147483647"
+             " * 784588716 + 997) % 2147483647")
+_HLL_BITLEN = " + ".join(
+    f"CASE WHEN rest >= {1 << k} THEN 1 ELSE 0 END" for k in range(25)
+)
+
+
+@register(
+    "sk_hll_portable_reach",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, {_HLL_HASH} AS hh FROM events
+    ),
+    br AS (
+      SELECT event_type, hh % 64 AS bucket, hh // 64 AS rest FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             MAX(26 - ({_HLL_BITLEN})) AS reg
+      FROM br GROUP BY event_type, bucket
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(1.0 / CAST(1::BIGINT << reg AS DOUBLE)) AS s_present,
+             CAST(COUNT(*) AS DOUBLE) AS n_present
+      FROM regs GROUP BY event_type
+    ),
+    fin AS (
+      SELECT event_type,
+             CAST(64 - n_present AS INTEGER) AS zero_registers,
+             s_present + (64.0 - n_present) AS s,
+             0.709 * 64 * 64 / (s_present + (64.0 - n_present)) AS raw
+      FROM agg
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, f.zero_registers,
+           CASE WHEN f.raw <= 160.0 AND f.zero_registers > 0
+                THEN 64.0 * (ln(64.0) - ln(CAST(f.zero_registers AS DOUBLE)))
+                ELSE f.raw END AS n_users_est,
+           ex.n_exact
+    FROM fin f JOIN ex ON ex.event_type = f.event_type
+    """,
+    tags=["sketch", "hll", "portable"],
+)
+def sk_hll_portable_reach(spark, sf_dir):
+    """Hand-rolled Flajolet HLL reach per event type with the portable
+    hash family — the oracle-checkable twin of sk_user_reach_rollup
+    (operators/sketches.py:hll_portable_states/hll_portable_estimate;
+    same exact-twin pattern as g_pagerank_exact). Register terms 1/2^reg
+    are dyadic rationals (<= 33 significant bits over 64 registers), so
+    the harmonic sum is EXACT in double under any partitioning — the
+    whole estimate is bit-identical cross-engine without quantization.
+    The exact distinct count rides along for an accuracy view."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_states,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    states = hll_portable_states(ev, ["event_type"], "user_id")
+    est = hll_portable_estimate(states, ["event_type"], alias="n_users_est")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type")
+
+
+_KMV_K = 128
+_KMV_M = 2147483646.0
+_KMV_HASH = ("((o_custkey * 1103515245 + 12345) % 2147483647"
+             " * 784588716 + 997) % 2147483647")
+
+
+@register(
+    "sk_kmv_portable_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT {_KMV_HASH} AS h FROM orders
+      WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+    ),
+    b AS (
+      SELECT DISTINCT {_KMV_HASH} AS h FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    ),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+    ku AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    th AS (SELECT MAX(h) AS mk FROM ku),
+    rho AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS r FROM ku
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+    ),
+    ex AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+             CAST((SELECT COUNT(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b)) AS BIGINT)
+               AS n_inter_exact
+    )
+    SELECT CAST({_KMV_K} AS INTEGER) AS k, rho.r AS shared_minima,
+           ({_KMV_K} - 1) * {_KMV_M} / th.mk AS n_union_est,
+           (CAST(rho.r AS DOUBLE) / {_KMV_K})
+             * (({_KMV_K} - 1) * {_KMV_M} / th.mk) AS n_inter_est,
+           ex.n_a, ex.n_b, ex.n_inter_exact
+    FROM th, rho, ex
+    """,
+    tags=["sketch", "kmv", "portable", "overlap"],
+)
+def sk_kmv_portable_overlap(spark, sf_dir):
+    """Cohort overlap (1994 vs 1995 buyers) via portable KMV sketches —
+    the oracle-checked twin of the Theta query sk_customer_cohort_overlap
+    (operators/sketches.py:kmv_bottom_k): |A∪B| from the k-th minimum of
+    the merged state, |A∩B| from the shared-minima fraction, raw keys
+    never joined. Every number is integer or a single shared IEEE
+    expression — bit-identical cross-engine; the exact counts ride along
+    for an accuracy view. At scale each side's state is k rows after one
+    distinct-shuffle; the overlap math is driver-sized."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        kmv_bottom_k,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+
+    def year(y):
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("date"))
+        ).select("o_custkey")
+
+    a, b = year(1994), year(1995)
+    ka = kmv_bottom_k(a, "o_custkey", _KMV_K)
+    kb = kmv_bottom_k(b, "o_custkey", _KMV_K)
+    ku = ka.union(kb).distinct().orderBy("h").limit(_KMV_K)
+    mk = ku.agg(F.max("h").alias("mk"))
+    shared = (
+        ku.join(ka.withColumnRenamed("h", "h"), "h", "semi")
+        .join(kb, "h", "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        portable_id_hash,
+    )
+
+    ha = a.select(portable_id_hash("o_custkey").alias("h")).distinct()
+    hb = b.select(portable_id_hash("o_custkey").alias("h")).distinct()
+    exact = (
+        ha.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        .crossJoin(hb.agg(F.count(F.lit(1)).cast("bigint").alias("n_b")))
+        .crossJoin(
+            ha.join(hb, "h", "semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter_exact"))
+        )
+    )
+    est_union = (F.lit(_KMV_K - 1) * F.lit(_KMV_M)) / F.col("mk")
+    return (
+        mk.crossJoin(shared)
+        .crossJoin(exact)
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.col("r").alias("shared_minima"),
+            est_union.alias("n_union_est"),
+            ((F.col("r").cast("double") / F.lit(_KMV_K)) * est_union).alias(
+                "n_inter_est"
+            ),
+            "n_a",
+            "n_b",
+            "n_inter_exact",
+        )
+    )

@@ -175,3 +175,28 @@ def test_last_touch_skips_consecutive_purchases(spark):
         df.write.parquet(f"{d}/events.parquet")
         out = {r.touch: r.n_purchases for r in e_last_touch_attribution(spark, d).collect()}
     assert out == {"click": 2, "none": 1}
+
+
+def test_portable_hll_accuracy(spark, sf_dir):
+    """The hand-rolled 64-register HLL lands within the expected error
+    band (~13% rel. stderr at m=64; assert a generous 3-sigma 40%)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["sk_hll_portable_reach"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        rel = abs(r.n_users_est - r.n_exact) / r.n_exact
+        assert rel < 0.4, (r.event_type, r.n_users_est, r.n_exact)
+
+
+def test_kmv_overlap_accuracy(spark, sf_dir):
+    """KMV union/intersection estimates track the exact counts within the
+    sketch's error band (~1/sqrt(k) ≈ 9% stderr at k=128; assert 3-sigma)."""
+    import __spark_entry__ as entry
+
+    r = entry.queries()["sk_kmv_portable_overlap"](spark, sf_dir).collect()[0]
+    n_union_exact = r.n_a + r.n_b - r.n_inter_exact
+    assert abs(r.n_union_est - n_union_exact) / n_union_exact < 0.3
+    if r.n_inter_exact > 0:
+        assert abs(r.n_inter_est - r.n_inter_exact) / r.n_inter_exact < 0.5
