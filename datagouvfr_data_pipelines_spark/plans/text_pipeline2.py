@@ -509,3 +509,62 @@ def d_cluster_size_hist(spark, sf_dir):
         .cast("bigint")
         .alias("n_docs"),
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    WITH v AS (
+      SELECT i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings e
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) i
+    ),
+    q AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(x * 1000000000) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(FLOOR(x * x * 1000000000) AS BIGINT)) AS BIGINT) AS s2,
+             MIN(x) AS mn, MAX(x) AS mx
+      FROM v GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           (CAST(s1 AS DOUBLE) / 1000000000) / n AS mean,
+           (CAST(s2 AS DOUBLE) / 1000000000) / n
+             - ((CAST(s1 AS DOUBLE) / 1000000000) / n)
+               * ((CAST(s1 AS DOUBLE) / 1000000000) / n) AS variance,
+           mn AS min_x, mx AS max_x
+    FROM q
+    """,
+    tags=["similarity", "monitoring", "drift"],
+)
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean/variance/min/max) — the
+    drift monitor every vector pipeline runs between model versions: a
+    shifted mean or collapsed variance in one dimension flags a bad
+    encoder rollout before ANN recall degrades. posexplode -> one
+    partial-aggregated shuffle on the (tiny) dim key; moments come from
+    nano-floor-quantized integer sums so mean and variance are
+    bit-identical cross-engine."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    q = lambda c: F.sum(F.floor(c * 1e9).cast("bigint")).cast("bigint")  # noqa: E731
+    g = v.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        q(F.col("x")).alias("s1"),
+        q(F.col("x") * F.col("x")).alias("s2"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+    mean = (F.col("s1").cast("double") / 1e9) / F.col("n")
+    return g.select(
+        F.col("dim").cast("int"),
+        "n",
+        mean.alias("mean"),
+        ((F.col("s2").cast("double") / 1e9) / F.col("n") - mean * mean).alias(
+            "variance"
+        ),
+        "min_x",
+        "max_x",
+    )

@@ -200,3 +200,50 @@ def test_kmv_overlap_accuracy(spark, sf_dir):
     assert abs(r.n_union_est - n_union_exact) / n_union_exact < 0.3
     if r.n_inter_exact > 0:
         assert abs(r.n_inter_est - r.n_inter_exact) / r.n_inter_exact < 0.5
+
+
+def test_portable_hll_states_merge_equals_direct(spark, sf_dir):
+    """Register-max mergeability: building daily states and max-merging
+    them equals one direct pass — the property that makes incremental
+    reach rollups exact (no history rescans)."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        hll_portable_states,
+    )
+    from datagouvfr_data_pipelines_spark.plans.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+    sa = hll_portable_states(half_a, ["event_type"], "user_id")
+    sb = hll_portable_states(half_b, ["event_type"], "user_id")
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    direct = hll_portable_states(ev, ["event_type"], "user_id")
+    sym = merged.exceptAll(direct).union(direct.exceptAll(merged))
+    assert sym.count() == 0
+
+
+def test_kmv_merge_equals_direct(spark, sf_dir):
+    """Bottom-k-by-hash associativity: merging per-batch KMV states and
+    re-taking the bottom k equals one direct pass over the union."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        kmv_bottom_k,
+    )
+    from datagouvfr_data_pipelines_spark.plans.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    half_a = orders.where(F.col("o_custkey") % 2 == 0)
+    half_b = orders.where(F.col("o_custkey") % 2 == 1)
+    k = 64
+    merged = (
+        kmv_bottom_k(half_a, "o_custkey", k)
+        .union(kmv_bottom_k(half_b, "o_custkey", k))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    direct = kmv_bottom_k(orders, "o_custkey", k)
+    assert [r.h for r in merged.collect()] == [r.h for r in direct.collect()]
