@@ -708,10 +708,15 @@ def shingle_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.6,
     max_bucket_size: int = 64,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Containment (quote-inclusion) near-dup pairs via a shared-shingle
     inverted index — NOT MinHash LSH, deliberately.
+
+    ``broadcast_candidates`` is opt-in like ``near_duplicate_pairs``: at
+    corpus scale the candidate set can exceed driver memory, so only
+    callers who KNOW it's bounded (capped buckets x cap²) should force
+    the broadcast; default lets AQE size it at runtime.
 
     MinHash banding surfaces a pair with probability Jaccard^rows per
     band, and a short document quoted inside a much longer one has LOW

@@ -239,7 +239,8 @@ def d_containment_pairs(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return shingle_containment_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.6
+        docs, "doc_id", "text", shingle_n=3, threshold=0.6,
+        broadcast_candidates=True,
     )
 
 
@@ -369,10 +370,11 @@ def t_zipf_slope(spark, sf_dir):
     tree on identical inputs. Plan: explode -> (lang, tok) count (one
     map-combined shuffle), lang-partitioned rank window, 100-row-per-lang
     regression aggregate."""
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
     from datagouvfr_data_pipelines_spark.functions.text import tokens
+    from datagouvfr_data_pipelines_spark.operators.aggregates import (
+        grouped_top_k,
+    )
 
     tk = docs.where(F.length(F.trim("text")) > 0).select(
         "lang", F.explode(tokens("text")).alias("tok")
@@ -382,9 +384,16 @@ def t_zipf_slope(spark, sf_dir):
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), F.col("tok").asc())
-    ranked = freq.withColumn("r", F.row_number().over(w)).where(
-        F.col("r") <= _ZIPF_TOP
+    # skew-safe top-100: a plain lang-partitioned rank window would drag
+    # the FULL per-lang vocabulary (|vocab| rows at corpus scale) through
+    # one reducer; the salted two-stage top-k prunes to fan x 100 first
+    ranked = grouped_top_k(
+        freq,
+        ["lang"],
+        [F.col("f").desc(), F.col("tok").asc()],
+        _ZIPF_TOP,
+        tiebreak_col="tok",
+        rank_alias="r",
     )
     lnr = F.log(F.col("r").cast("double"))
     lnf = F.log(F.col("f").cast("double"))
