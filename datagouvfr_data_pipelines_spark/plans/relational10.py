@@ -585,3 +585,67 @@ def geo_nearest_join(spark, sf_dir):
     return nearest_neighbor_join(
         pr, pts, probe_id="event_id", point_id="station_id", cell_size=10.0
     )
+
+
+@register(
+    "e_top_session_paths",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM events
+    ),
+    sess AS (
+      SELECT event_id, user_id, ts, event_type,
+             SUM(CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_n
+      FROM lagged
+    ),
+    paths AS (
+      SELECT user_id, session_n,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_n
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    tags=["events", "sessions", "paths"],
+)
+def e_top_session_paths(spark, sf_dir):
+    """Top-10 session paths: 30-min-gap sessionization (the W1 operator),
+    each session's events concatenated IN (ts, event_id) ORDER into a
+    'view>click>purchase' path string, counted corpus-wide — the path
+    analysis behind every UX funnel redesign. Composition evidence: the
+    session_ids operator feeds a per-session ordered fold, one extra
+    shuffle on the (user, session) key, then a tiny path-keyed count +
+    TakeOrdered."""
+    from datagouvfr_data_pipelines_spark.operators.windows import session_ids
+
+    ev = table(spark, sf_dir, "events")
+    s = session_ids(ev, "user_id", "ts", 1800, tiebreak_cols=["event_id"])
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda e: e["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
