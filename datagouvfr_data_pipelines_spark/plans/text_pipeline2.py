@@ -581,3 +581,74 @@ def emb_dim_stats(spark, sf_dir):
         "min_x",
         "max_x",
     )
+
+
+_SHA_SQL = ("sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))")
+_PUNCT_SQL = (
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    " / greatest(length(text), 1)"
+)
+_STOPR_SQL = (
+    f"CAST(len(list_filter({_TOKENS_SQL}, t -> list_contains("
+    "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'on', 'for'], t)))"
+    f" AS DOUBLE) / greatest(len({_TOKENS_SQL}), 1)"
+)
+_QUALITY_SQL = f"""(CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+      + CASE WHEN {_PUNCT_SQL} <= 0.2 THEN 1.0 ELSE 0.0 END
+      + CASE WHEN {_STOPR_SQL} BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END) / 3.0"""
+
+
+@register(
+    "asm_dataset_card",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len({_TOKENS_SQL}) END) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           1.0 - CAST(COUNT(DISTINCT {_SHA_SQL}) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+           CAST(SUM(CASE WHEN {_QUALITY_SQL} >= 0.99 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS quality_pass_rate,
+           quantile_cont(length(text), 0.5) AS median_chars
+    FROM documents
+    """,
+    tags=["assembly", "reporting", "dataset-card"],
+)
+def asm_dataset_card(spark, sf_dir):
+    """One-row dataset card — the datasheet a corpus release ships with:
+    volume (docs/tokens/chars), diversity (langs/sources), hygiene
+    (exact-dup rate via the normalized sha256, heuristic quality pass
+    rate) and the median document length. ONE pass over the corpus: a
+    single global aggregate (partial-combined; the distinct counts
+    expand map-side), no joins. Composes the card from already
+    oracle-checked building blocks (d2 dup-rate, t_quality_scores gate,
+    a2 exact-median policy)."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        quality_score,
+        token_count_ws,
+    )
+    from datagouvfr_data_pipelines_spark.operators.dedup import content_hash
+
+    docs = table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum(token_count_ws("text").cast("bigint")).alias("n_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(content_hash("text")).cast("double")
+            / n.cast("double")
+        ).alias("dup_rate"),
+        (
+            F.sum(
+                F.when(quality_score("text") >= 0.99, 1).otherwise(0)
+            ).cast("double")
+            / n.cast("double")
+        ).alias("quality_pass_rate"),
+        F.percentile(F.length("text"), F.lit(0.5)).alias("median_chars"),
+    )
