@@ -649,3 +649,83 @@ def e_top_session_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@register(
+    "e_dau_wau_mau",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM d
+      GROUP BY day
+    ),
+    wau AS (
+      SELECT d2.day,
+             CAST(COUNT(DISTINCT d7.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day FROM d) d2
+      JOIN d d7 ON d7.day > d2.day - 7 AND d7.day <= d2.day
+      GROUP BY d2.day
+    ),
+    mau AS (
+      SELECT d2.day,
+             CAST(COUNT(DISTINCT d30.user_id) AS BIGINT) AS mau
+      FROM (SELECT DISTINCT day FROM d) d2
+      JOIN d d30 ON d30.day > d2.day - 30 AND d30.day <= d2.day
+      GROUP BY d2.day
+    )
+    SELECT dau.day, dau.dau, wau.wau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day
+    """,
+    tags=["events", "engagement"],
+)
+def e_dau_wau_mau(spark, sf_dir):
+    """DAU/WAU/MAU engagement rollup with DAU/MAU stickiness: trailing
+    7- and 30-day distinct users per day. Each (day, user) row EXPLODES
+    into the n anchor days it contributes to (sequence + explode — a
+    pure projection with bounded fan-out n), then distinct-counts
+    partial-aggregate per anchor: no events-x-events self-join and no
+    nested-loop range join anywhere; anchors past the observed range
+    drop out in the final equi-join with the DAU frame. At fleet scale
+    the sketch path (sk_user_reach_rollup / hll_portable_states)
+    replaces the exact distinct; this is the exact twin."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+
+    def trailing(n, alias):
+        j = d.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), n - 1),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("anchor"),
+            "user_id",
+        )
+        return j.groupBy("anchor").agg(
+            F.countDistinct("user_id").cast("bigint").alias(alias)
+        )
+
+    wau = trailing(7, "wau").withColumnRenamed("anchor", "day")
+    mau = trailing(30, "mau").withColumnRenamed("anchor", "day")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

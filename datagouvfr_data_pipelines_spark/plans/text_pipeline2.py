@@ -652,3 +652,121 @@ def asm_dataset_card(spark, sf_dir):
         ).alias("quality_pass_rate"),
         F.percentile(F.length("text"), F.lit(0.5)).alias("median_chars"),
     )
+
+
+def _langid_pred_sql() -> str:
+    from datagouvfr_data_pipelines_spark.plans.text_pipeline import _marker_sql
+
+    de = _marker_sql("de", ["der", "die", "und", "das", "ist"])
+    en = _marker_sql("en", ["the", "and", "of", "to", "is"])
+    es = _marker_sql("es", ["el", "los", "que", "de", "y"])
+    fr = _marker_sql("fr", ["le", "la", "les", "et", "des"])
+    return f"""
+      SELECT doc_id, lang,
+             CASE WHEN greatest({de}, {en}, {es}, {fr}) = 0 THEN 'und'
+                  WHEN {de} = greatest({de}, {en}, {es}, {fr}) THEN 'de'
+                  WHEN {en} = greatest({de}, {en}, {es}, {fr}) THEN 'en'
+                  WHEN {es} = greatest({de}, {en}, {es}, {fr}) THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM documents"""
+
+
+@register(
+    "t_langid_confusion",
+    oracle=f"""
+    WITH p AS ({_langid_pred_sql()}),
+    n AS (SELECT COUNT(*) AS total FROM p)
+    SELECT lang AS lang_true, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS row_accuracy
+    FROM p GROUP BY lang, lang_pred
+    """,
+    tags=["text", "lang-id", "evaluation"],
+)
+def t_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: declared label x heuristic
+    prediction with per-cell counts and row accuracy — the evaluation
+    every classifier swap runs before shipping (which languages leak
+    into which). One scan + a tiny |langs|^2 aggregate; the prediction
+    is the oracle-checked t_lang_id marker heuristic."""
+    from datagouvfr_data_pipelines_spark.functions.text import lang_id
+
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("lang_true"), lang_id("text").alias("lang_pred")
+    )
+    return p.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(
+                F.when(F.col("lang_true") == F.col("lang_pred"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("row_accuracy"),
+    )
+
+
+@register(
+    "t_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t
+    ), inv AS (
+      SELECT doc_id, unnest(sh) AS g FROM s
+    ), freq AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM inv GROUP BY g
+    )
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+    FROM inv i JOIN freq f ON f.g = i.g
+    GROUP BY i.doc_id
+    """,
+    tags=["text", "novelty", "boilerplate"],
+)
+def t_ngram_novelty(spark, sf_dir):
+    """Corpus n-gram novelty per document: the fraction of a document's
+    distinct 3-gram shingles that appear in NO other document — the
+    inverse-boilerplate signal (low novelty = template/wrapper text,
+    complementary to within-doc repetition and cross-doc dup-span).
+    Two map-combined shuffles: shingle-keyed doc-frequency, then the
+    doc-keyed ratio aggregate; the shingle join carries only (hash, df).
+    Distinct word shingles stay as STRINGS here (df must count exact
+    grams); the hashed variant rides shingle_containment_pairs when the
+    fingerprint width matters at scale."""
+    from datagouvfr_data_pipelines_spark.functions.text import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles("text", 3))
+        ).alias("g"),
+    )
+    freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        inv.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_frac"),
+        )
+    )
