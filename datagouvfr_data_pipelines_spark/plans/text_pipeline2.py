@@ -770,3 +770,66 @@ def t_ngram_novelty(spark, sf_dir):
             ).alias("novelty_frac"),
         )
     )
+
+
+@register(
+    "w26_ema_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT list(day ORDER BY day) AS days,
+             list(revenue ORDER BY day) AS vs
+      FROM daily
+    )
+    SELECT days[t.t] AS day, vs[t.t] AS revenue,
+           list_reduce(vs[1:t.t], (acc, x) -> (acc + x) / 2) AS ema
+    FROM s CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(1, len(vs))) AS t
+    ) t
+    """,
+    tags=["window", "timeseries", "ema"],
+)
+def w26_ema_daily_revenue(spark, sf_dir):
+    """Exponentially-weighted moving average of daily revenue
+    (alpha = 1/2): e_t = (v_t + e_{t-1})/2 — the trend-smoothing signal
+    behind anomaly thresholds. Portability is structural: every step
+    divides by 2 (exact dyadic scaling) over decimal-exact daily sums,
+    so each prefix fold is bit-identical cross-engine with NO
+    quantization. The |days| axis is bounded (the w12/w21 argument), so
+    the sorted day list collapses to ONE row and the per-day prefix
+    folds run as JVM higher-order expressions — no window, no cross
+    join, no shuffle beyond the daily aggregate. Scale note: the EMA
+    recurrence is an affine map e -> (e + v)/2, and affine composition
+    is associative — the segmented (a, b)-pair aggregation parallelizes
+    it if |days| ever stopped being bounded."""
+    orders = table(spark, sf_dir, "orders")
+    from datagouvfr_data_pipelines_spark.operators.aggregates import dsum
+
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum("o_totalprice", "revenue"))
+    one = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "revenue"))).alias("s")
+    )
+    vs = F.transform(F.col("s"), lambda e: e["revenue"])
+    ema_t = lambda t: F.aggregate(  # noqa: E731
+        F.slice(vs, F.lit(2).cast("int"), (t - 1).cast("int")),
+        F.element_at(vs, F.lit(1)),
+        lambda acc, x: (acc + x) / 2,
+    )
+    return one.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s")),
+                lambda t: F.struct(
+                    F.element_at(F.col("s"), t)["day"].alias("day"),
+                    F.element_at(F.col("s"), t)["revenue"].alias("revenue"),
+                    ema_t(t).alias("ema"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.day", "r.revenue", "r.ema")
