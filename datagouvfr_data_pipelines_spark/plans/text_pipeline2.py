@@ -833,3 +833,127 @@ def w26_ema_daily_revenue(spark, sf_dir):
             )
         ).alias("r")
     ).select("r.day", "r.revenue", "r.ema")
+
+
+@register(
+    "a39_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(cents) AS t,
+             SUM(CAST(i AS HUGEINT) * cents) AS s
+      FROM r
+    )
+    SELECT n,
+           2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM s
+    """,
+    tags=["aggregation", "inequality", "gini"],
+)
+def a39_gini_revenue(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the
+    inequality scalar behind 'top X% of customers drive Y%' analyses
+    (the ABC/Pareto family, reduced to one number). Exact: integer-cent
+    revenues, DISTRIBUTED global ranking via global_dense_ids (range
+    shuffle + K-row offset table — never a full single-partition sort;
+    hence the INTENDED_GLOBAL_WINDOW whitelist entry for the K-row
+    offsets frame), rank-weighted sums in decimal (HUGEINT in the
+    oracle), and one shared closing IEEE expression
+    2S/(nT) - (n+1)/n."""
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        global_dense_ids,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(dec) * 100).cast("bigint").alias("cents")
+    )
+    ranked = global_dense_ids(rev, ["cents", "o_custkey"], alias="i")
+    d38 = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast(d38)).alias("t"),
+        F.sum(F.col("i").cast(d38) * F.col("cents").cast(d38)).alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        (
+            F.lit(2.0) * F.col("s").cast("double")
+            / (nd * F.col("t").cast("double"))
+            - (nd + F.lit(1.0)) / nd
+        ).alias("gini"),
+    )
+
+
+@register(
+    "e_bounce_rate",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_n
+      FROM lagged
+    ),
+    per AS (
+      SELECT user_id, session_n, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+           CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS events_per_session
+    FROM per
+    """,
+    tags=["events", "sessions", "engagement"],
+)
+def e_bounce_rate(spark, sf_dir):
+    """Bounce rate + session depth: fraction of 30-min-gap sessions with
+    exactly one event, and mean events per session — the two engagement
+    scalars every web-analytics report opens with. Sessionization (W1
+    operator, user-partitioned windows only) -> per-session counts ->
+    one partial-combined global aggregate."""
+    from datagouvfr_data_pipelines_spark.operators.windows import session_ids
+
+    ev = table(spark, sf_dir, "events")
+    s = session_ids(ev, "user_id", "ts", 1800, tiebreak_cols=["event_id"])
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    n = F.count(F.lit(1))
+    b = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per.agg(
+        n.cast("bigint").alias("n_sessions"),
+        b.cast("bigint").alias("n_bounces"),
+        (b.cast("double") / n.cast("double")).alias("bounce_rate"),
+        (
+            F.sum("n_events").cast("double") / n.cast("double")
+        ).alias("events_per_session"),
+    )
