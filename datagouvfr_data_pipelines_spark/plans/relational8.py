@@ -14,9 +14,7 @@ import pyspark.sql.functions as F
 from datagouvfr_data_pipelines_spark.plans.catalog import register, table
 
 
-@register(
-    "h1_scd2_history",
-    oracle="""
+_H1_SCD2_SQL = """
     WITH o AS (
       SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
              o_orderstatus AS st
@@ -41,7 +39,12 @@ from datagouvfr_data_pipelines_spark.plans.catalog import register, table
            LEAD(valid_from) OVER w2 AS valid_to,
            LEAD(valid_from) OVER w2 IS NULL AS is_current
     FROM g WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, run)
-    """,
+"""
+
+
+@register(
+    "h1_scd2_history",
+    oracle=_H1_SCD2_SQL,
     tags=["history", "scd2", "window"],
 )
 def h1_scd2_history(spark, sf_dir):
@@ -412,3 +415,41 @@ def sim_pq_search(spark, sf_dir):
         float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]
     ]
     return pq_search(enc, "vec_id", probe, books, top_k=10)
+
+
+_PIT_DATE = "1997-01-01"
+
+
+@register(
+    "h2_point_in_time",
+    oracle=f"""
+    SELECT o_custkey, o_orderstatus, valid_from, n_observations
+    FROM ({_H1_SCD2_SQL}) h
+    WHERE h.valid_from <= TIMESTAMP '{_PIT_DATE}'
+      AND (h.valid_to IS NULL OR h.valid_to > TIMESTAMP '{_PIT_DATE}')
+    """,
+    tags=["history", "scd2", "point-in-time"],
+)
+def h2_point_in_time(spark, sf_dir):
+    """Point-in-time snapshot over the SCD2 history: the state of every
+    customer's order-status dimension AS OF {_PIT_DATE} — the read that
+    makes bitemporal history useful (training-data reproducibility,
+    audit reconstruction). Pure interval predicate over h1_scd2_history's
+    validity intervals: no join, no extra shuffle beyond the history
+    build; at scale the filter prunes history partitions when valid_from
+    is a partition column."""
+    from datagouvfr_data_pipelines_spark.operators.history import scd2_history
+
+    orders = table(spark, sf_dir, "orders")
+    h = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    d = F.lit(_PIT_DATE).cast("timestamp")
+    return h.where(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    ).select("o_custkey", "o_orderstatus", "valid_from", "n_observations")
