@@ -957,3 +957,153 @@ def e_bounce_rate(spark, sf_dir):
             F.sum("n_events").cast("double") / n.cast("double")
         ).alias("events_per_session"),
     )
+
+
+@register(
+    "scalar_siren_luhn",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey % 1000000000 AS VARCHAR), 9, '0') AS siren
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT o_orderkey, siren,
+           CAST(list_sum(list_transform(generate_series(1, 9), i ->
+             CASE WHEN (9 - i) % 2 = 1
+                  THEN CASE WHEN CAST(siren[i] AS INTEGER) * 2 > 9
+                            THEN CAST(siren[i] AS INTEGER) * 2 - 9
+                            ELSE CAST(siren[i] AS INTEGER) * 2 END
+                  ELSE CAST(siren[i] AS INTEGER) END)) % 10 = 0
+             AS INTEGER) AS luhn_valid
+    FROM s
+    """,
+    tags=["scalar", "validation", "siren"],
+)
+def scalar_siren_luhn(spark, sf_dir):
+    """SIREN Luhn-checksum validation — the identifier-integrity gate
+    French open-data pipelines apply to every SIREN/SIRET column
+    (reference: schema/utils consolidation validates business ids before
+    joining registries). Pure integer column arithmetic over the padded
+    digit string (double every second digit from the right, fold mod
+    10) — no UDF, shuffle-free; the synthetic SIREN derives from
+    o_orderkey so the check is reproducible on the test tables."""
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    siren = F.lpad(
+        (F.col("o_orderkey") % 1_000_000_000).cast("string"), 9, "0"
+    )
+    d = lambda i: F.substring(F.col("siren"), i, 1).cast("int")  # noqa: E731
+
+    def term(i):
+        doubled = d(i) * 2
+        return F.when(
+            F.lit((9 - i) % 2 == 1),
+            F.when(doubled > 9, doubled - 9).otherwise(doubled),
+        ).otherwise(d(i))
+
+    total = term(1)
+    for i in range(2, 10):
+        total = total + term(i)
+    return orders.select("o_orderkey", siren.alias("siren")).select(
+        "o_orderkey",
+        "siren",
+        ((total % 10) == 0).cast("int").alias("luhn_valid"),
+    )
+
+
+@register(
+    "w27_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT list(day ORDER BY day) AS days,
+             list(v ORDER BY day) AS vs,
+             CAST(SUM(CAST(v * 100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v * 100 AS DECIMAL(38,0))
+                      * CAST(v * 100 AS DECIMAL(38,0))) AS DOUBLE) / 10000
+               AS sq
+      FROM daily
+    ),
+    p AS (
+      SELECT days, vs, n,
+             tot / n AS mu,
+             sqrt(sq / n - (tot / n) * (tot / n)) AS sigma
+      FROM s
+    )
+    SELECT days[t.t] AS day, vs[t.t] AS revenue,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs[1:t.t]),
+             (acc, x) -> greatest(0.0, acc + (x - mu - 0.5 * sigma)))
+             AS cusum,
+           CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs[1:t.t]),
+             (acc, x) -> greatest(0.0, acc + (x - mu - 0.5 * sigma)))
+             > 4.0 * sigma AS INTEGER) AS is_alarm
+    FROM p CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(1, CAST(n AS INTEGER))) AS t
+    ) t
+    """,
+    tags=["window", "timeseries", "cusum", "drift"],
+)
+def w27_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detector over daily revenue: s_t =
+    max(0, s_{t-1} + (v_t - mu - k)) with slack k = sigma/2 and alarm at
+    4*sigma — the classic sequential change-point monitor for pipeline
+    output volume. Portability: mu/sigma come from decimal-exact
+    centi-unit sums closed by shared IEEE expressions (sqrt is
+    correctly rounded), and the fold itself is only +,-,max — exact.
+    Same bounded-|days| one-row fold shape as w26 (no window, no
+    shuffle beyond the daily aggregate); the max-fold is NOT affine so
+    the sequential form is the honest one — at unbounded scale CUSUM is
+    the canonical stateful-streaming op (streaming/stateful.py)."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+        ).alias("v")
+    )
+    cu = F.col("v") * 100
+    one = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("s"),
+        (F.sum(cu.cast("decimal(38,0)")).cast("double") / 100).alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(cu.cast("decimal(38,0)") * cu.cast("decimal(38,0)"))
+            .cast("double")
+            / 10000
+        ).alias("sq"),
+    )
+    mu = (F.col("tot") / F.col("n")).alias("mu")
+    sigma = F.sqrt(
+        F.col("sq") / F.col("n")
+        - (F.col("tot") / F.col("n")) * (F.col("tot") / F.col("n"))
+    )
+    p = one.select("s", "n", mu, sigma.alias("sigma"))
+    vs = F.transform(F.col("s"), lambda e: e["v"])
+    fold = lambda t: F.aggregate(  # noqa: E731
+        F.slice(vs, F.lit(1).cast("int"), t.cast("int")),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            F.lit(0.0), acc + (x - F.col("mu") - F.lit(0.5) * F.col("sigma"))
+        ),
+    )
+    return p.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n").cast("int")),
+                lambda t: F.struct(
+                    F.element_at(F.col("s"), t)["day"].alias("day"),
+                    F.element_at(F.col("s"), t)["v"].alias("revenue"),
+                    fold(t).alias("cusum"),
+                    (fold(t) > F.lit(4.0) * F.col("sigma"))
+                    .cast("int")
+                    .alias("is_alarm"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.day", "r.revenue", "r.cusum", "r.is_alarm")
