@@ -1107,3 +1107,82 @@ def w27_cusum_drift(spark, sf_dir):
             )
         ).alias("r")
     ).select("r.day", "r.revenue", "r.cusum", "r.is_alarm")
+
+
+_ILV_HASH = ("((doc_id * 1103515245 + 12345) % 2147483647"
+             " * 784588716 + 997) % 2147483647")
+
+
+@register(
+    "asm_interleave_stream",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, {_ILV_HASH} AS hh FROM documents
+    ),
+    src AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS source_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_in_source
+      FROM h GROUP BY source
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM src),
+    r AS (
+      SELECT doc_id, source, hh,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY hh, doc_id
+             ) AS rank_in_source
+      FROM h
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.rank_in_source AS BIGINT) AS rank_in_source,
+           CAST((r.rank_in_source - 1) * ns.n_sources + s.source_idx
+                AS BIGINT) AS stream_pos
+    FROM r JOIN src s ON s.source = r.source CROSS JOIN ns
+    """,
+    tags=["assembly", "ordering", "interleave"],
+)
+def asm_interleave_stream(spark, sf_dir):
+    """Deterministic round-robin training-stream order: documents are
+    hash-shuffled WITHIN each source (the LCG portable hash as the
+    deterministic seed) and sources interleave position-by-position —
+    stream_pos = (rank_in_source - 1) * n_sources + source_idx — so a
+    sequential reader sees sources evenly mixed from step one (the
+    anti-curriculum every pretraining dataloader wants) with zero RNG
+    state. Distributed ranking: global_dense_ids over (source, hash)
+    gives a GLOBAL rank on a range shuffle — never a per-source
+    single-reducer window — and the rank within each source is that
+    global rank minus a broadcast per-source offset (prefix counts over
+    the tiny |sources| frame)."""
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        portable_id_hash,
+    )
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        global_dense_ids,
+    )
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", portable_id_hash("doc_id").alias("hh")
+    )
+    ranked = global_dense_ids(h, ["source", "hh", "doc_id"], alias="g")
+    src = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_in_source"))
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    src = src.select(
+        "source",
+        (F.row_number().over(Window.orderBy("source")) - 1).alias(
+            "source_idx"
+        ),
+        F.coalesce(F.sum("n_in_source").over(w), F.lit(0)).alias("offset"),
+    )
+    n_sources = src.count()
+    out = ranked.join(F.broadcast(src), "source")
+    rank_in_source = F.col("g") - F.col("offset")
+    return out.select(
+        "doc_id",
+        "source",
+        rank_in_source.cast("bigint").alias("rank_in_source"),
+        ((rank_in_source - 1) * n_sources + F.col("source_idx"))
+        .cast("bigint")
+        .alias("stream_pos"),
+    )

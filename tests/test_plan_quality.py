@@ -217,6 +217,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "a37_pareto_front",       # final pass over front-sized survivors
         "w21_rolling_median_7d",  # range frame over the |days| aggregate
         "a39_gini_revenue",       # K-row offsets frame inside global_dense_ids
+        "asm_interleave_stream",  # |sources|-row offsets + K-row dense-id frame
     }
     flagged = {}
     for name, fn in QUERIES.items():
