@@ -15,6 +15,10 @@ Four tiers, all Spark-first:
            Hamming at scale).
 - ngram-jaccard: exact pairwise verify kernel used by the LSH candidates (and
            usable on its own for small candidate sets).
+- containment: shared-shingle inverted index (capped buckets + shared-count
+           floor) -> |A∩B|/min(|A|,|B|) verify — the quote-inclusion tier
+           MinHash banding is structurally blind to (P(candidate) =
+           Jaccard^rows, and contained pairs have low Jaccard).
 
 MinHash math: h_k(s) = (a_k * (xxhash64(s) mod M) + b_k) mod M with
 M = 2^31 - 1; a_k, b_k from a fixed seeded PRNG so signatures are stable
