@@ -57,12 +57,18 @@ def _c(c: Column | str) -> Column:
 
 
 def within_france(lon: Column | str, lat: Column | str) -> Column:
-    """Point-in-France test against the real simplified multipolygon
-    (metropole contour, Corsica, DROM rings) — parity with the reference's
-    shapely ``Point.within(polygon)`` loop (geo.py:25-29), boundary points
-    excluded by the half-open PNPOLY convention like shapely's strict
-    ``within``. One unrolled JVM boolean expression; use
-    :func:`within_france_bbox` when only the cheap envelope is needed."""
+    """Point-in-France test against a simplified multipolygon (metropole
+    contour, Corsica, DROM rings), boundary points excluded by the
+    half-open PNPOLY convention like shapely's strict ``within``.
+
+    Deliberately STRICTER than the reference: the reference's
+    ``france_bbox.geojson`` features are literal bounding-box polygons, so
+    its shapely ``Point.within(polygon)`` loop (geo.py:25-29) accepts the
+    whole bbox union — sea included. The hand-drawn contour here rejects
+    offshore points the reference would accept; for exact reference parity
+    (and for coordinate-repair heuristics that must match it, see
+    :func:`fix_reversed_coords`) use :func:`within_france_bbox`. One
+    unrolled JVM boolean expression either way."""
     return point_in_rings(lon, lat, FRANCE_RINGS)
 
 
@@ -79,9 +85,15 @@ def within_france_bbox(lon: Column | str, lat: Column | str) -> Column:
 
 def fix_reversed_coords(df: DataFrame, lon_col: str, lat_col: str) -> DataFrame:
     """Coordinate-order repair: if (lon,lat) is outside France but (lat,lon)
-    is inside, swap (geo.py:32-55)."""
-    ok = within_france(lon_col, lat_col)
-    swapped_ok = within_france(lat_col, lon_col)
+    is inside, swap (geo.py:32-55).
+
+    Uses the bbox-union test for exact reference parity: the reference's
+    polygons ARE bounding boxes, so repairing against the stricter contour
+    would miss reversed coordinates that land inside the bbox but outside
+    the coarse contour (round-4 advice). The bbox is also the cheaper
+    expression — the repair is a heuristic, not a precision geometry op."""
+    ok = within_france_bbox(lon_col, lat_col)
+    swapped_ok = within_france_bbox(lat_col, lon_col)
     swap = ~ok & swapped_ok
     return df.withColumns(
         {

@@ -227,10 +227,24 @@ def global_prefix_sum(
     (it is the driver fold's final accumulator) — use it instead of a
     separate ``SUM() OVER ()`` / 1-row crossJoin when the share-of-total
     is needed alongside the running total.
+
+    ``order_key`` must be non-NULL on every row: NULL has no place in a
+    total order, so the function FAILS FAST with a ValueError rather than
+    bucketing NULL rows arbitrarily (they would otherwise surface as a
+    ``None`` bucket and crash the driver fold with an unorderable-types
+    TypeError — round-4 advice). Filter or impute NULL keys first.
     """
     bounds = df.agg(
-        F.min(order_key).alias("mn"), F.max(order_key).alias("mx")
+        F.min(order_key).alias("mn"),
+        F.max(order_key).alias("mx"),
+        F.sum(F.col(order_key).isNull().cast("long")).alias("n_null"),
     ).first()
+    if (bounds.n_null or 0) > 0:
+        raise ValueError(
+            f"global_prefix_sum: order_key {order_key!r} has "
+            f"{bounds.n_null} NULL row(s); a running total needs a total "
+            "order — filter or impute NULL keys before calling"
+        )
     if bounds.mn is None:
         out = df.withColumn(alias, F.lit(None).cast("long"))
         if total_alias:

@@ -67,6 +67,21 @@ def parse_view_script(
         name, select = m.group("name"), m.group("select").strip()
         for s in strip_schemas:
             name = name.removeprefix(s)
-            select = select.replace(s, "")
+            select = _strip_qualifier(select, s)
         views[name] = select
     return views
+
+
+def _strip_qualifier(select: str, qualifier: str) -> str:
+    """Remove ``qualifier`` (e.g. ``metric.``) only where it actually
+    qualifies an identifier: at a word boundary, followed by an identifier
+    character, and OUTSIDE single-quoted string literals. A blind
+    ``str.replace`` would also mangle literals like ``'metric.daily'`` and
+    identifiers that merely contain the prefix substring (round-4 advice).
+    """
+    pat = re.compile(rf"(?<![\w.]){re.escape(qualifier)}(?=\w)")
+    # split on single-quoted literals ('' escapes stay inside one token)
+    parts = re.split(r"('(?:[^']|'')*')", select)
+    return "".join(
+        part if i % 2 else pat.sub("", part) for i, part in enumerate(parts)
+    )

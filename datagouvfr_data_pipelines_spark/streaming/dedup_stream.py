@@ -13,15 +13,29 @@ Retry safety mirrors streaming/incremental.py: foreachBatch can replay a
 batch whose sink ran but whose checkpoint commit didn't, so the index
 directory carries a ``_last_batch`` watermark INSIDE it, written into the
 tmp directory BEFORE the atomic ``os.rename`` swap — index contents and
-watermark are one atomic unit and can never disagree (a crash between
-parquet write and rename leaves the old index+watermark intact; a crash
-after the rename leaves the new pair). A replayed batch id therefore
-either sees watermark < id (old pair: full re-run, overwriting its own
-partial survivor dir) or watermark >= id (new pair: no-op) — never the
-torn state where its fingerprints are in the index but its survivors were
-dropped. Spark's parquet scan ignores ``_``-prefixed files, so the
-watermark rides inside the index directory for free. Because the
-watermark lives inside ``index_dir``, two streams with sibling index
+watermark commit as one unit and can never disagree. The swap itself is
+TWO renames, so every failure point is enumerated and repaired by
+``_recover_swap_state`` at sink entry:
+
+=====================================  ==========================  =========
+crash point                            on-disk layout              recovery
+=====================================  ==========================  =========
+during tmp parquet write               index + stale ``__tmp``     drop tmp; replay re-runs (watermark < id), overwriting its own survivor dir
+after tmp write, before rename #1      index + complete ``__tmp``  same — tmp is DISCARDED, never adopted (its watermark never became current)
+between rename #1 and rename #2        ``__old`` only, no index    roll ``__old`` back to ``index_dir`` (the accumulated fingerprint history is NOT lost); replay re-runs
+after rename #2, before rmtree(old)    new index + ``__old``       drop ``__old``; replay no-ops (watermark >= id)
+after rmtree, before checkpoint        new index only              replay no-ops (watermark >= id)
+=====================================  ==========================  =========
+
+Without the between-renames recovery a restart would read watermark -1,
+rebuild an EMPTY index, and ``rmtree`` the only surviving copy of the
+fingerprint history — the round-4 advice bug this table closes. A replayed
+batch id therefore either sees watermark < id (old pair: full re-run,
+overwriting its own partial survivor dir) or watermark >= id (new pair:
+no-op) — never the torn state where its fingerprints are in the index but
+its survivors were dropped. Spark's parquet scan ignores ``_``-prefixed
+files, so the watermark rides inside the index directory for free. Because
+the watermark lives inside ``index_dir``, two streams with sibling index
 directories never share one watermark file.
 """
 
@@ -33,7 +47,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from datagouvfr_data_pipelines_spark.io.writers import write_parquet
+from datagouvfr_data_pipelines_spark.io.writers import (
+    _recover_swap_state,
+    write_parquet,
+)
 from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
     incremental_dedup,
 )
@@ -81,6 +98,12 @@ def dedup_ingest_stream(
     import glob as _glob
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # repair a torn swap BEFORE reading the watermark: a crash between
+        # the two renames leaves the index only under __old, and reading a
+        # missing index_dir as watermark -1 would rebuild from empty and
+        # rmtree the only copy of the fingerprint history (module docstring
+        # crash-window table, row 3)
+        _recover_swap_state(index_dir)
         if _read_watermark(index_dir) >= batch_id:
             return  # replayed batch: already fully applied
         have_index = bool(

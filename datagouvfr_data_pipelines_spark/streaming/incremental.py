@@ -7,6 +7,26 @@ file drain, availablenow.py) and incremental materialization
 to per-group algebraic states and merged into a persisted state table, so
 the rollup over ALL history is maintained without ever rescanning it —
 the 100 TB answer to the reference's rebuild-the-table-nightly habit.
+
+Retry safety (same contract as streaming/dedup_stream.py): foreachBatch can
+replay a batch whose sink ran but whose checkpoint commit didn't, so the
+state directory carries a ``_last_batch`` watermark INSIDE it, written into
+the tmp directory BEFORE the atomic ``os.rename`` swap — state contents and
+watermark commit as one unit and can never disagree. Crash-window table
+(every failure point, what survives, how the replay recovers):
+
+=====================================  ==========================  =========
+crash point                            on-disk layout              recovery
+=====================================  ==========================  =========
+during tmp parquet write               state + stale ``__tmp``     ``_recover_swap_state`` drops tmp; replay re-merges (watermark < id)
+after tmp write, before rename #1      state + complete ``__tmp``  same — tmp is DISCARDED, never adopted (its watermark never became current)
+between rename #1 and rename #2        ``__old`` only, no state    ``_recover_swap_state`` rolls ``__old`` back to state; replay re-merges
+after rename #2, before rmtree(old)    new state + ``__old``       ``_recover_swap_state`` drops ``__old``; replay no-ops (watermark >= id)
+after rmtree, before checkpoint        new state only              replay no-ops (watermark >= id)
+=====================================  ==========================  =========
+
+Spark's parquet scan ignores ``_``-prefixed files, so the watermark rides
+inside the state directory for free and sibling state dirs never share one.
 """
 
 from __future__ import annotations
@@ -17,7 +37,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from datagouvfr_data_pipelines_spark.io.writers import write_parquet
+from datagouvfr_data_pipelines_spark.io.writers import (
+    _recover_swap_state,
+    write_parquet,
+)
 from datagouvfr_data_pipelines_spark.operators.aggregates import (
     merge_agg_states,
     partial_agg_states,
@@ -26,28 +49,58 @@ from datagouvfr_data_pipelines_spark.streaming.availablenow import (
     process_available_files,
 )
 
+_WATERMARK = "_last_batch"
+
+
+def _read_watermark(state_path: str) -> int:
+    p = os.path.join(state_path.rstrip("/"), _WATERMARK)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return int(fh.read().strip() or "-1")
+    return -1
+
+
+def _write_watermark_into(dir_path: str, batch_id: int) -> None:
+    p = os.path.join(dir_path.rstrip("/"), _WATERMARK)
+    with open(p, "w") as fh:
+        fh.write(str(batch_id))
+
 
 def merge_states_into(
     spark: SparkSession,
     states: DataFrame,
     state_path: str,
     group_cols: list[str],
+    batch_id: int | None = None,
 ) -> None:
     """Merge a batch's agg states into the persisted state table with an
     atomic directory swap (write tmp -> rename). Associativity of the
-    state quartet makes any merge order exact."""
+    state quartet makes any merge order exact. When ``batch_id`` is given,
+    the ``_last_batch`` watermark is stamped into the tmp directory BEFORE
+    the swap, so state and watermark commit as one atomic unit (the module
+    docstring's crash-window table relies on this ordering)."""
     import glob as _glob
 
+    _recover_swap_state(state_path)
     exists = bool(
         _glob.glob(os.path.join(state_path, "**", "*.parquet"), recursive=True)
     )
+    tmp = state_path.rstrip("/") + "__tmp_swap"
     if not exists:
-        write_parquet(states, state_path)
+        # first write goes through the same tmp-then-rename door so even the
+        # initial state + watermark land atomically
+        write_parquet(states, tmp)
+        if batch_id is not None:
+            _write_watermark_into(tmp, batch_id)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)  # parquet-less husk from a dead run
+        os.rename(tmp, state_path)
         return
     current = spark.read.parquet(state_path)
     merged = merge_agg_states([current, states], group_cols)
-    tmp = state_path.rstrip("/") + "__tmp_swap"
     write_parquet(merged, tmp)
+    if batch_id is not None:
+        _write_watermark_into(tmp, batch_id)
     old = state_path.rstrip("/") + "__old"
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -70,26 +123,21 @@ def incremental_rollup_stream(
     """Drain newly-arrived files (Trigger.AvailableNow, checkpoint = the
     processed-file ledger) and fold each batch into the rollup state table.
 
-    Exactly-once across RETRIES, not just re-runs: foreachBatch can replay
-    a batch whose sink ran but whose checkpoint commit didn't, so the state
-    directory carries a ``_last_batch`` watermark written AFTER the atomic
-    swap — a replayed batch id merges zero times, not twice. Query the
-    result by finalizing the states (mean = st_sum / st_count, etc.).
+    Exactly-once across RETRIES, not just re-runs: the ``_last_batch``
+    watermark inside the state directory commits atomically WITH the swap
+    (written into the tmp dir before the rename), so a replayed batch id
+    merges zero times, not twice — and a crash at any point of the swap is
+    repaired by ``_recover_swap_state`` at sink entry (see the module
+    docstring's crash-window table). Query the result by finalizing the
+    states (mean = st_sum / st_count, etc.).
     """
-    # the watermark lives BESIDE the state dir, not inside it — the atomic
-    # swap replaces the directory wholesale and must never take the
-    # watermark with it
-    marker = state_path.rstrip("/") + "__last_batch"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if int(fh.read().strip() or "-1") >= batch_id:
-                    return  # replayed batch: already merged
+        _recover_swap_state(state_path)  # roll a torn swap forward/back first
+        if _read_watermark(state_path) >= batch_id:
+            return  # replayed batch: already merged
         states = partial_agg_states(batch_df, group_cols, value_col)
-        merge_states_into(spark, states, state_path, group_cols)
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        merge_states_into(spark, states, state_path, group_cols, batch_id=batch_id)
 
     process_available_files(
         spark,

@@ -252,6 +252,25 @@ def test_global_prefix_sum_matches_single_window(spark):
         assert got == {k: (c, total) for k, c in want_desc.items()}, nb
 
 
+def test_global_prefix_sum_rejects_null_order_key(spark):
+    """Round-4 advice: NULL order keys previously bucketed to a None key and
+    crashed the driver fold with an unorderable TypeError; now they fail
+    fast with a clear message."""
+    import pytest
+
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 5), (None, 2, 7), (3, 3, 9)], "key long, id long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        global_prefix_sum(
+            df, "key", [F.col("key").asc(), F.col("id").asc()], "v"
+        )
+
+
 def test_skyline_2d_matches_bruteforce(spark):
     from datagouvfr_data_pipelines_spark.operators.windows import skyline_2d
 

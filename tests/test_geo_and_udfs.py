@@ -125,6 +125,22 @@ def test_fix_reversed_coords(spark):
     assert got["new_york"] == (-74.0, 40.7)   # not France either way: untouched
 
 
+def test_fix_reversed_coords_uses_bbox_parity(spark):
+    """Round-4 advice: the reference's france_bbox.geojson polygons ARE
+    bounding boxes, so the repair must accept bbox-inside points even when
+    they fall outside the stricter hand-drawn contour (e.g. sea off
+    Brittany) — otherwise reversed coordinates the reference would repair
+    slip through."""
+    df = spark.createDataFrame(
+        [("sea_reversed", 49.0, -4.5)], "name string, lon double, lat double"
+    )
+    out = fix_reversed_coords(df, "lon", "lat")
+    r = out.collect()[0]
+    # (-4.5, 49.0) is inside the metropole bbox but OUTSIDE the contour:
+    # bbox parity still swaps it
+    assert (r["lon"], r["lat"]) == (-4.5, 49.0)
+
+
 def test_bbox(spark):
     df = _points(spark)
     row = bbox_aggregate(df, "lon", "lat").collect()[0]

@@ -143,6 +143,70 @@ def test_streaming_ingest_two_drains_and_replay(spark, tmp_path):
     ) == [1, 2, 12]
 
 
+def test_dedup_stream_recovers_torn_swap_without_losing_index(spark, tmp_path):
+    """Crash between the two swap renames leaves the fingerprint index only
+    under ``__old``. A restart must roll it FORWARD — not read watermark -1,
+    rebuild an empty index, and rmtree the only surviving copy (round-4
+    ADVICE medium). Simulates the exact torn layout, replays, and asserts
+    the accumulated dedup history survives."""
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        dedup_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, body string"
+
+    def land(df, name):
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    land(spark.createDataFrame([(1, DOC_A), (2, DOC_B)], schema), "f1.parquet")
+    kw = dict(
+        schema=schema,
+        id_col="doc_id",
+        text_col="body",
+        corpus_dir=corpus_dir,
+        index_dir=index_dir,
+        checkpoint_dir=ckpt,
+        threshold=0.7,
+    )
+    dedup_ingest_stream(spark, str(src), **kw)
+    history = sorted(r["doc"] for r in spark.read.parquet(index_dir).collect())
+    assert history == [1, 2]
+
+    # simulate the crash window: rename #1 done (index only under __old),
+    # rename #2 never ran (a stale complete tmp is also left behind)
+    os.rename(index_dir, index_dir + "__old")
+    os.makedirs(index_dir + "__tmp_swap")
+    with open(os.path.join(index_dir + "__tmp_swap", "junk"), "w") as fh:
+        fh.write("stale")
+
+    # an exact dup of DOC_A arrives as a NEW batch; only the RESTORED index
+    # can catch it — without recovery the sink reads watermark -1, builds an
+    # empty index, lets the dup through, and rmtree's the only copy of the
+    # history under __old
+    land(spark.createDataFrame([(30, DOC_A)], schema), "f2.parquet")
+    dedup_ingest_stream(spark, str(src), **kw)
+
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    ) == [1, 2], "duplicate slipped through: fingerprint history was lost"
+    assert sorted(
+        r["doc"] for r in spark.read.parquet(index_dir).collect()
+    ) == [1, 2]
+    assert not os.path.exists(index_dir + "__old")
+    assert not os.path.exists(index_dir + "__tmp_swap")
+
+
 def test_sibling_index_dirs_do_not_share_watermark(spark, tmp_path):
     """Two dedup streams whose index dirs share a parent must keep
     independent watermarks (round-3 ADVICE: a parent-level _last_batch was

@@ -27,6 +27,25 @@ def test_parse_view_script_strips_schema_and_keeps_order():
     assert "--" not in views["daily"]
 
 
+def test_parse_view_script_qualifier_strip_is_quote_and_boundary_aware():
+    """Round-4 advice: stripping must not touch string literals or
+    identifiers that merely CONTAIN the prefix substring."""
+    script = (
+        "CREATE MATERIALIZED VIEW metric.daily AS\n"
+        "  SELECT kind, biometric.score AS s\n"
+        "  FROM metric.raw JOIN biometric ON biometric.id = metric.raw.id\n"
+        "  WHERE kind = 'metric.daily' AND note = 'metric. in prose';\n"
+    )
+    views = parse_view_script(script, strip_schemas=("metric.",))
+    sel = views["daily"]
+    # real qualifiers stripped
+    assert "FROM raw JOIN" in sel and "= raw.id" in sel
+    # identifier containing the substring untouched (boundary-aware)
+    assert "biometric.score" in sel and "biometric.id" in sel
+    # string literals untouched (quote-aware)
+    assert "'metric.daily'" in sel and "'metric. in prose'" in sel
+
+
 def test_run_sql_views_pyramid_and_ddl_port(spark):
     base = spark.createDataFrame(
         [("2024-01-01", 5), ("2024-01-15", 3), ("2024-02-03", 7)],
