@@ -93,6 +93,68 @@ def validate_resources(
     return out if oversized is None else out.unionByName(oversized)
 
 
+def comparer_versions(version: str) -> list[float]:
+    """Semver-ish sort key: numeric parts compare as ints, non-numeric
+    parts (``latest``, ``beta``…) sort LAST via +inf — the reference's
+    comparator (schema/utils/consolidation.py:92-93), re-expressed without
+    numpy."""
+    return [
+        int(part) if part.isnumeric() else float("inf")
+        for part in version.split(".")
+    ]
+
+
+def drop_versions_sample(
+    versions: list[str], nb_to_keep: int = 5, level: int = 0
+) -> list[str]:
+    """Which schema versions NOT to validate: keep a bounded sample of
+    ``nb_to_keep`` representative versions and return the rest, so
+    consolidation's Validata work stays O(nb_to_keep) per schema no matter
+    how many historical versions the registry carries. Exact behavioral
+    parity with the reference (schema/utils/consolidation.py:96-125):
+
+    - sample = the latest version of each of the ``nb_to_keep`` most
+      recent majors;
+    - fewer majors than ``nb_to_keep``: keep the latest of each major and
+      top up with the overall most recent remaining versions;
+    - a SINGLE major: promote minors to the major role and recurse one
+      level deeper (so ``1.0.x``-only histories sample across patch
+      levels); at level 2 (single major.minor.patch lineage) nothing is
+      dropped. NOTE (faithful quirk): the reference's recursion resets
+      ``nb_to_keep`` to its default of 5 — reproduced here so both
+      implementations agree on every input.
+
+    Returns the versions to DROP, preserving input order.
+    """
+    _versions = sorted(versions, key=comparer_versions)
+    majors = {".".join(v.split(".")[: level + 1]) for v in _versions}
+    if len(majors) == 1:
+        if level == 2:
+            return []
+        return drop_versions_sample(versions, level=level + 1)
+    latest_each_major = sorted(
+        (
+            # sorted(...)[-1], not max(): on key ties (e.g. "1.0" vs "1.00")
+            # the reference takes the LAST of the stable sort, max the first
+            sorted(
+                [v for v in _versions if ".".join(v.split(".")[: level + 1]) == m],
+                key=comparer_versions,
+            )[-1]
+            for m in majors
+        ),
+        key=comparer_versions,
+    )
+    if len(latest_each_major) >= nb_to_keep:
+        keep = latest_each_major[-nb_to_keep:]
+        return [v for v in versions if v not in keep]
+    for v in reversed(_versions):
+        if len(latest_each_major) == nb_to_keep:
+            break
+        if v not in latest_each_major:
+            latest_each_major.append(v)
+    return [v for v in versions if v not in latest_each_major]
+
+
 def luhn_valid(col) -> "Column":
     """Luhn mod-10 check as pure column expressions — validates SIREN (9
     digits) / SIRET (14 digits) style identifiers at scan speed, no UDF.

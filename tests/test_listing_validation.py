@@ -145,3 +145,82 @@ def test_validate_resources_size_cap(spark):
     assert out["r1"]["validated_at"] == "fake-run"
     assert out["r2"]["validated_at"] == "skipped:size"
     assert out["r2"]["is_valid"] is None
+
+
+# ---------------------------------------------------------------------------
+# drop_versions_sample: behavioral parity with the reference sampler
+# (schema/utils/consolidation.py:96-125) — bounds Validata work per schema
+# ---------------------------------------------------------------------------
+
+
+def test_drop_versions_sample_more_majors_than_keep():
+    from datagouvfr_data_pipelines_spark.functions.validation import (
+        drop_versions_sample,
+    )
+
+    versions = ["1.0", "1.1", "2.0", "2.1", "3.0", "4.0", "5.2", "5.1", "6.0", "7.3"]
+    # 7 majors >= 5: keep the latest of each of the 5 most recent majors
+    # (3.0, 4.0, 5.2, 6.0, 7.3); drop the rest, input order preserved
+    assert drop_versions_sample(versions) == ["1.0", "1.1", "2.0", "2.1", "5.1"]
+
+
+def test_drop_versions_sample_fill_from_latest():
+    from datagouvfr_data_pipelines_spark.functions.validation import (
+        drop_versions_sample,
+    )
+
+    versions = ["1.0", "1.1", "1.2", "2.0", "2.1", "2.2"]
+    # 2 majors: keep 1.2 and 2.2, then top up with the most recent
+    # remaining (2.1, 2.0, 1.1) to reach 5 -> only 1.0 is dropped
+    assert drop_versions_sample(versions) == ["1.0"]
+
+
+def test_drop_versions_sample_single_major_promotes_minors():
+    from datagouvfr_data_pipelines_spark.functions.validation import (
+        drop_versions_sample,
+    )
+
+    versions = ["1.0.0", "1.1.0", "1.1.5", "1.2.0", "1.3.0", "1.4.0", "1.5.0"]
+    # one major -> minors act as majors: 6 minor lineages, keep the latest
+    # of the 5 most recent (1.1.5, 1.2.0, 1.3.0, 1.4.0, 1.5.0)
+    assert drop_versions_sample(versions) == ["1.0.0", "1.1.0"]
+
+
+def test_drop_versions_sample_level2_and_small_histories():
+    from datagouvfr_data_pipelines_spark.functions.validation import (
+        drop_versions_sample,
+    )
+
+    # single full lineage bottoms out at level 2: nothing dropped
+    assert drop_versions_sample(["1.0.0"]) == []
+    assert drop_versions_sample(["1.0.0", "1.0.0"]) == []
+    # three patch versions of one minor: promoted twice, 3 "majors" < 5,
+    # fill keeps all three
+    assert drop_versions_sample(["1.0.0", "1.0.1", "1.0.2"]) == []
+
+
+def test_drop_versions_sample_non_numeric_sorts_last():
+    from datagouvfr_data_pipelines_spark.functions.validation import (
+        comparer_versions,
+        drop_versions_sample,
+    )
+
+    assert comparer_versions("1.2.3") == [1, 2, 3]
+    assert comparer_versions("latest") == [float("inf")]
+    # 'latest' is the most recent; 3 majors < 5 so everything is kept
+    assert drop_versions_sample(["latest", "1.0", "2.0"]) == []
+    # ...and with 6 majors it wins a keep slot while old majors drop
+    versions = ["1.0", "2.0", "3.0", "4.0", "5.0", "6.0", "latest"]
+    assert drop_versions_sample(versions) == ["1.0", "2.0"]
+
+
+def test_drop_versions_sample_recursion_resets_nb_to_keep():
+    from datagouvfr_data_pipelines_spark.functions.validation import (
+        drop_versions_sample,
+    )
+
+    versions = ["1.0", "1.1", "1.2", "1.3", "1.4", "1.5"]
+    # faithful reference quirk: the single-major recursion calls itself
+    # WITHOUT forwarding nb_to_keep, so the promoted pass uses the default
+    # of 5 — only 1.0 drops even though the caller asked to keep 2
+    assert drop_versions_sample(versions, nb_to_keep=2) == ["1.0"]
