@@ -191,8 +191,10 @@ def read_multi_section(
     changes (sante/finess/task_functions.py:51-101).
 
     Returns (section_id, line_no, value). Needs a global line ordering: uses
-    a single-partition window, correct for the reference's bounded files;
-    huge inputs should carry an explicit line-number column instead.
+    a single-partition window — right for the reference's bounded files
+    (FINESS ships a few hundred thousand lines). For inputs that do not fit
+    one task, :func:`read_multi_section_distributed` computes identical
+    section ids with a partitioned plan.
     """
     from datagouvfr_data_pipelines_spark.operators.windows import section_ids
 
@@ -204,6 +206,40 @@ def read_multi_section(
     return section_ids(raw, "line_no", "prefix").select(
         "section_id", "line_no", "value"
     )
+
+
+def read_multi_section_distributed(
+    spark: SparkSession,
+    path: str,
+    prefix_len: int,
+    n_buckets: int = 64,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """S6 at scale: same contract as :func:`read_multi_section` — contiguous
+    ``line_no``, identical ``section_id`` assignment — but no global-sort
+    window anywhere in the plan.
+
+    Line numbering uses ``textFile().zipWithIndex()`` (one of the few
+    legitimate RDD uses: contiguous order-preserving ids need the extra
+    per-partition count pass zipWithIndex does); sectioning is
+    :func:`distributed_section_ids` — bucket-local lag + an
+    ``n_buckets``-row driver boundary fix, one shuffle total.
+    """
+    from datagouvfr_data_pipelines_spark.operators.windows import (
+        distributed_section_ids,
+    )
+
+    rdd = (
+        spark.sparkContext.textFile(path, min_partitions)
+        if min_partitions
+        else spark.sparkContext.textFile(path)
+    ).zipWithIndex()
+    raw = spark.createDataFrame(rdd, "value string, line_no long").withColumn(
+        "prefix", F.substring("value", 1, prefix_len)
+    )
+    return distributed_section_ids(
+        raw, "line_no", "prefix", n_buckets=n_buckets
+    ).select("section_id", "line_no", "value")
 
 
 def read_json_records(

@@ -100,6 +100,81 @@ def section_ids(
     return df.withColumn(alias, F.sum(is_new).over(w_cum))
 
 
+def distributed_section_ids(
+    df: DataFrame,
+    order_col: str,
+    prefix_col: str,
+    alias: str = "section_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """W4 at scale: section ids WITHOUT the single-partition window.
+
+    Same fixed-width range-bucketing as :func:`global_prefix_sum`: rows
+    bucket by arithmetic on the (unique, numeric, order-contiguous)
+    ``order_col``; a bucket-LOCAL lag marks in-bucket prefix changes; the
+    per-bucket edge summary (first prefix, last prefix, local break count —
+    ``n_buckets`` rows) collects to the driver, which decides for each
+    bucket whether its first row starts a new section (its prefix differs
+    from the previous bucket's last prefix) and folds the exclusive break
+    offsets; a broadcast literal map turns those into per-bucket bases.
+    ``section_id = base[bucket] + running local breaks`` — equal to the
+    global-window form for ANY bucket count, with one shuffle (reused by
+    both window frames) and a K-row driver pass instead of a global sort.
+
+    NULL prefixes compare like ``eqNullSafe`` (NULL == NULL continues a
+    section), matching :func:`section_ids`.
+    """
+    bounds = df.agg(
+        F.min(order_col).alias("mn"),
+        F.max(order_col).alias("mx"),
+        F.sum(F.col(order_col).isNull().cast("long")).alias("n_null"),
+    ).first()
+    if (bounds.n_null or 0) > 0:
+        raise ValueError(
+            f"distributed_section_ids: order_col {order_col!r} has NULL rows"
+        )
+    if bounds.mn is None:
+        return df.withColumn(alias, F.lit(None).cast("long"))
+    mn, mx = int(bounds.mn), int(bounds.mx)
+    width = max((mx - mn + n_buckets) // n_buckets, 1)
+    d = df.withColumn(
+        "__b", ((F.col(order_col) - F.lit(mn)) / width).cast("long")
+    )
+    w = Window.partitionBy("__b").orderBy(F.col(order_col).asc())
+    prev = F.lag(F.col(prefix_col)).over(w)
+    d = d.withColumn(
+        "__new",
+        F.when(prev.isNull(), F.lit(0)).otherwise(
+            (~F.col(prefix_col).eqNullSafe(prev)).cast("int")
+        ),
+    )
+    edges = sorted(
+        d.groupBy("__b")
+        .agg(
+            F.min_by(prefix_col, F.col(order_col)).alias("first_p"),
+            F.max_by(prefix_col, F.col(order_col)).alias("last_p"),
+            F.sum("__new").alias("n_local"),
+        )
+        .collect(),
+        key=lambda r: r["__b"],
+    )
+    base, acc, prev_last = {}, 0, object()  # sentinel: first bucket breaks
+    for r in edges:
+        fb = 1 if r["first_p"] != prev_last else 0
+        base[r["__b"]] = acc + fb
+        acc += fb + int(r["n_local"] or 0)
+        prev_last = r["last_p"]
+    base_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(base.items()) for x in kv]),
+        F.col("__b"),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.withColumn(alias, base_expr + F.sum("__new").over(w_cum))
+        .drop("__b", "__new")
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     user_col: str,
