@@ -379,6 +379,26 @@ def hll_portable_estimate(
     )
 
 
+def kmv_grouped_bottom_k(
+    df: DataFrame, group_cols: list[str], id_col: str, k: int = 128
+) -> DataFrame:
+    """Per-group KMV state: the k smallest ``portable_id_hash`` values of
+    the distinct ids WITHIN each group — :func:`kmv_bottom_k` with a
+    partitioned rank instead of a global sort-limit, so the state build is
+    one distinct shuffle plus a per-group (never global) window. Returns
+    (group_cols..., h)."""
+    from pyspark.sql import Window
+
+    h = portable_id_hash(id_col)
+    d = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def kmv_bottom_k(df: DataFrame, id_col: str, k: int = 128) -> DataFrame:
     """KMV (k-minimum-values) distinct sketch over the portable hash:
     the k smallest ``portable_id_hash`` values of the distinct ids — a

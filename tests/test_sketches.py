@@ -75,12 +75,14 @@ def test_sketch_queries_run(spark, sf_dir):
     qs = plans.queries()
     reach = qs["sk_user_reach_rollup"](spark, sf_dir)
     assert reach.count() > 0
-    assert reach.schema["n_users_est"].dataType.simpleString() == "bigint"
+    # round 5: portable-register estimate (double), oracle-checked
+    assert reach.schema["n_users_est"].dataType.simpleString() == "double"
     ov = qs["sk_customer_cohort_overlap"](spark, sf_dir)
     rows = ov.collect()
     assert len(rows) > 0
     for r in rows:
-        assert r["n_union"] >= max(r["n_1996"], r["n_1999"]) - 1
+        assert r["n_union_est"] >= max(r["n_1996_est"], r["n_1998_est"]) - 1e-9
+        assert r["n_inter_est"] <= min(r["n_1996_est"], r["n_1998_est"]) + 1e-9
 
 
 def test_quantile_sample_merge_equals_direct_and_bounds(spark):

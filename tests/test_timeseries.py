@@ -295,3 +295,28 @@ def test_pagerank_exact_tracks_float_and_is_partition_invariant(spark):
         for r in pagerank_exact(df.repartition(7), iterations=6).collect()
     }
     assert re == exact
+
+
+def test_pagerank_quantized_tracks_float_and_is_partition_invariant(spark):
+    """Round-5: the oracle-checkable float-division face (g_pagerank) must
+    agree with the pure-float pagerank to quantization precision and be
+    bit-stable under repartitioning."""
+    from datagouvfr_data_pipelines_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+        pagerank_quantized,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3), (3, 4), (4, 0), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    flt = {r.node: r.rank for r in pagerank(df, iterations=6).collect()}
+    q = {r.node: r.rank for r in pagerank_quantized(df, iterations=6).collect()}
+    assert set(flt) == set(q)
+    for node, rank in q.items():
+        assert abs(rank / PAGERANK_SCALE - flt[node]) < 1e-8
+
+    rq = {
+        r.node: r.rank
+        for r in pagerank_quantized(df.repartition(7), iterations=6).collect()
+    }
+    assert rq == q
