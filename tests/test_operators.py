@@ -119,6 +119,37 @@ def test_ordered_cdc_apply(spark, tmp_path):
     assert {tuple(r) for r in spark.read.parquet(sink).collect()} == {("z", 9)}
 
 
+def test_ordered_cdc_apply_recovers_torn_swap(spark, tmp_path):
+    """ATOMICITY.md Pattern A: a crash between the two swap renames leaves
+    the CDC sink only under __old; the next apply must roll it forward and
+    converge — not treat the sink as empty (which would turn a merge into
+    an initial_load and silently drop rows absent from the new snapshot)."""
+    import os
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.operators.setops import ordered_cdc_apply
+
+    sink = str(tmp_path / "state")
+    snap1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    ordered_cdc_apply(spark, [("s1", snap1)], sink)
+
+    # torn layout: rename #1 done, rename #2 never ran, stale tmp behind
+    os.rename(sink, sink + "__old")
+    os.makedirs(sink + "__tmp")
+    with open(os.path.join(sink + "__tmp", "junk"), "w") as fh:
+        fh.write("stale")
+
+    snap2 = spark.createDataFrame([("a", 1), ("b", 20), ("c", 3)], "k string, v int")
+    decisions = ordered_cdc_apply(spark, [("s2", snap2)], sink)
+    # recovered sink means MERGE against the restored state, not initial_load
+    assert decisions == ["s2:merge"]
+    state = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert state == {("a", 1), ("b", 20), ("c", 3)}
+    assert not os.path.exists(sink + "__old")
+    assert not os.path.exists(sink + "__tmp")
+    shutil.rmtree(sink)
+
+
 def test_winsorize_clips_to_group_quantiles(spark):
     import pytest as _pytest
 

@@ -118,3 +118,60 @@ def test_write_version_if_conflict(spark, tmp_path):
         spark.createDataFrame([(3, "c")], "id long, v string"), t, 2
     )
     assert current_version(t) == n
+
+
+def test_publish_crash_windows_lose_nothing(spark, tmp_path):
+    """ATOMICITY.md Pattern B: every write_version failure point leaves the
+    previous pointer target readable — a partial v-dir, a complete orphan
+    v-dir, and a stale tmp pointer are all tolerated and never reused."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    write_version(_df(spark, 3), t)
+
+    # crash during the v=2 data write: partial directory, pointer untouched
+    os.makedirs(os.path.join(t, "v=2"))
+    with open(os.path.join(t, "v=2", "part-junk.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    assert current_version(t) == 1
+    assert read_version(spark, t).count() == 3  # readers see v=1
+
+    # next publish never reuses the orphaned number
+    assert write_version(_df(spark, 5), t) == 3
+    assert read_version(spark, t).count() == 5
+
+    # crash before the pointer os.replace: stale tmp pointer lying around
+    with open(os.path.join(t, "_CURRENT.__tmp"), "w") as fh:
+        json.dump({"version": 99, "published_at": 0}, fh)
+    assert current_version(t) == 3  # tmp is invisible to readers
+    assert write_version(_df(spark, 7), t) == 4  # and gets overwritten
+    assert current_version(t) == 4
+    assert read_version(spark, t).count() == 7
+
+
+def test_rollup_pointer_crash_converges(spark, tmp_path):
+    """ATOMICITY.md Pattern B: a refresh that died after writing gen=N but
+    before flipping the pointer leaves an orphan generation; the next
+    refresh re-derives the same N, overwrites the orphan and publishes —
+    readers never see a torn generation."""
+    import os
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.pipelines.rollup import RollupPyramid
+
+    base = str(tmp_path / "pyr")
+    pyr = RollupPyramid(spark, base)
+    pyr.add("daily", lambda _: _df(spark, 4))
+    pyr.refresh_all()
+    assert pyr.current_generation("daily") == 0
+    tdir = os.path.join(base, "daily")
+
+    # simulate the crash: gen=1 fully written, pointer still at 0
+    shutil.copytree(os.path.join(tdir, "gen=0"), os.path.join(tdir, "gen=1"))
+    assert pyr.current_generation("daily") == 0
+    assert pyr.read("daily").count() == 4  # readers untouched
+
+    pyr.refresh_all()  # re-derives gen=1, overwrites the orphan, publishes
+    assert pyr.current_generation("daily") == 1
+    assert pyr.read("daily").count() == 4
