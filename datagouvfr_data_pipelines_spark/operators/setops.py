@@ -143,6 +143,67 @@ def apply_cdc_full_replace_heuristic(
     return "full_replace" if n_del > full_replace_threshold else "merge"
 
 
+def record_field_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    ignore_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-record field-level diff — the engine form of the reference's
+    ``DiffManager.get_diff`` (verticales/simplifions/diff_manager.py, used
+    to decide which Grist records actually changed): for keys present in
+    BOTH snapshots, one row per CHANGED field with its old and new value,
+    where ``ignore_cols`` (the reference's volatile metadata keys —
+    Modifie_le, Modifie_par, anchor_link, technical_title) never count as
+    changes. A record whose only differences are ignored columns produces
+    no rows at all (the reference returns ``diff is None``).
+
+    Values are surfaced as strings so heterogeneous columns share one
+    (key..., column, old_value, new_value) output — the exploded,
+    SQL-expressible twin of a map<col, {old,new}>. NULL-safe comparison;
+    NULL values stringify to NULL. One key join, the change scan is a
+    per-row array filter + explode — no extra shuffle beyond the join.
+    The aggregate companion is :func:`field_change_stats` (how MANY
+    changed per column); this answers WHAT changed per record.
+    """
+    ignore = set(ignore_cols or [])
+    compare = [
+        c for c in new.columns if c not in key_cols and c not in ignore
+    ]
+    missing = [c for c in compare if c not in old.columns]
+    if missing:
+        raise ValueError(f"record_field_diff: columns absent in old: {missing}")
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"__o_{c}") for c in compare]
+    )
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"__n_{c}") for c in compare]
+    )
+    changes = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__o_{c}").cast("string").alias("old_value"),
+                        F.col(f"__n_{c}").cast("string").alias("new_value"),
+                    ),
+                )
+                for c in compare
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        o.join(n, on=key_cols)
+        .select(*key_cols, F.explode(changes).alias("__chg"))
+        .select(
+            *key_cols, "__chg.column", "__chg.old_value", "__chg.new_value"
+        )
+    )
+
+
 def field_change_stats(
     old: DataFrame,
     new: DataFrame,

@@ -148,3 +148,88 @@ def m5_weblog_hits(spark, sf_dir):
         )
         .orderBy("object_type", "segment")
     )
+
+
+@register(
+    "u7_record_field_diff",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
+      FROM orders
+    ),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN '9-SYNTH'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CAST(CASE WHEN o_orderkey % 7 = 0
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+                  AS DECIMAL(18,2)) AS o_price
+      FROM orders
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             o.o_orderstatus AS so, n.o_orderstatus AS sn,
+             o.o_orderpriority AS po, n.o_orderpriority AS pn,
+             o.o_price AS vo, n.o_price AS vn
+      FROM o JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, 'o_orderstatus' AS "column",
+           CAST(so AS VARCHAR) AS old_value, CAST(sn AS VARCHAR) AS new_value
+    FROM j WHERE so IS DISTINCT FROM sn
+    UNION ALL
+    SELECT o_orderkey, 'o_orderpriority', CAST(po AS VARCHAR), CAST(pn AS VARCHAR)
+    FROM j WHERE po IS DISTINCT FROM pn
+    UNION ALL
+    SELECT o_orderkey, 'o_price', CAST(vo AS VARCHAR), CAST(vn AS VARCHAR)
+    FROM j WHERE vo IS DISTINCT FROM vn
+    """,
+    tags=["setops", "cdc", "U2", "field-diff"],
+)
+def u7_record_field_diff(spark, sf_dir):
+    """Per-record field-level diff between two dimension snapshots — the
+    engine form of the reference's DiffManager.get_diff
+    (verticales/simplifions/diff_manager.py: which Grist record fields
+    actually changed, with volatile metadata keys ignored). A synthetic
+    'after' snapshot perturbs status (%5), priority (%11) and price (%7)
+    and touches the IGNORED o_orderdate column (%3) — records whose only
+    change is ignored produce no rows, like the reference's None diff.
+    One key join + per-row array filter/explode
+    (operators/setops.py:record_field_diff); decimal-string casts keep
+    values engine-identical."""
+    from datagouvfr_data_pipelines_spark.operators.setops import (
+        record_field_diff,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_price"),
+        "o_orderdate",
+    )
+    k = F.col("o_orderkey")
+    new = o.withColumns(
+        {
+            "o_orderstatus": F.when(k % 5 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+            "o_orderpriority": F.when(k % 11 == 0, F.lit("9-SYNTH")).otherwise(
+                F.col("o_orderpriority")
+            ),
+            "o_price": F.when(k % 7 == 0, F.col("o_price") * 2)
+            .otherwise(F.col("o_price"))
+            .cast("decimal(18,2)"),
+            # volatile metadata churn that must NOT surface in the diff
+            # (the role o_comment/Modifie_le plays in the reference)
+            "o_orderdate": F.when(
+                k % 3 == 0, F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+            ).otherwise(F.col("o_orderdate")),
+        }
+    )
+    return record_field_diff(
+        o, new, ["o_orderkey"], ignore_cols=["o_orderdate"]
+    ).orderBy("o_orderkey", "column")

@@ -167,3 +167,41 @@ def test_winsorize_clips_to_group_quantiles(spark):
     assert out[("g2", 5.0)] == 5.0   # single-row group: p0 == p50 == value
     with _pytest.raises(ValueError, match="lower"):
         winsorize(df, "x", ["g"], 0.9, 0.1)
+
+
+def test_record_field_diff_matches_diffmanager_semantics(spark):
+    """Reference parity (verticales/simplifions/diff_manager.py): equal
+    records diff to nothing; a changed field surfaces old+new; changes to
+    ignored volatile keys alone produce NO rows (the reference's None)."""
+    from datagouvfr_data_pipelines_spark.operators.setops import (
+        record_field_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "value", "value2", 1729000000, "testman"),
+            (2, "keep", "same", 1729000000, "testman"),
+            (3, None, "x", 1729000000, "testman"),
+        ],
+        "id long, key string, key2 string, modified_at long, modified_by string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "different value", "value2", 1729000001, "Monique"),
+            (2, "keep", "same", 1729000099, "Robot"),   # ignored-only churn
+            (3, "x", "x", 1729000000, "testman"),       # NULL -> value change
+        ],
+        "id long, key string, key2 string, modified_at long, modified_by string",
+    )
+    got = {
+        (r.id, r.column): (r.old_value, r.new_value)
+        for r in record_field_diff(
+            old, new, ["id"], ignore_cols=["modified_at", "modified_by"]
+        ).collect()
+    }
+    assert got == {
+        (1, "key"): ("value", "different value"),
+        (3, "key"): (None, "x"),
+    }
+    # record 2 changed ONLY ignored keys -> absent entirely
+    assert not any(k[0] == 2 for k in got)
