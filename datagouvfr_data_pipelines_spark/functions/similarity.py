@@ -489,3 +489,88 @@ def pq_search_rerank(
         .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def semantic_dedup(
+    df: "DataFrame",
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.5,
+):
+    """SemDeDup semantic deduplication (Abbas et al. 2023, public method):
+    assign every vector to its nearest k-means centroid, and inside each
+    cluster drop one member of every pair with cosine >= ``threshold`` —
+    keeping the member FARTHEST from the centroid (lowest centroid-cosine;
+    ties keep the smaller id), the diversity-preserving rule of the paper.
+    The greedy pairwise form is deterministic and closed under chains: in a
+    similar-chain a~b~c every pair contributes its independent drop vote.
+
+    Returns one row per input vector: (id, cell, c_sim, status) with
+    ``c_sim`` the rounded cosine to its own centroid and ``status``
+    kept|dropped.
+
+    Scale shape: pair expansion happens ONLY within a cluster (one shuffle
+    on the cell key) — O(sum cell_size^2), never all-pairs. Cluster count k
+    must grow with corpus size (k ~ n / target_cell_size, the SemDeDup
+    recipe) so cells stay bounded; train ``kmeans_fit`` on a sample, assign
+    full-data. Norms and centroid cosines are computed per VECTOR before
+    the self-join (the emb_neardup_pairs lesson: higher-order folds are
+    interpreted, so per-pair norm folds dominate the naive form).
+    """
+    cell = nearest_centroid(vec_col, centroids)
+    base = df.select(
+        F.col(id_col),
+        _col(vec_col).alias("__v"),
+        cell.alias("cell"),
+        norm(vec_col).alias("__n"),
+    )
+    c_sim = F.lit(0.0)
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        c_sim = F.when(
+            F.col("cell") == i, F.round(cosine("__v", carr), 6)
+        ).otherwise(c_sim)
+    base = base.withColumn("c_sim", c_sim)
+    a = base.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        "cell",
+        F.col("c_sim").alias("__ca"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        "cell",
+        F.col("c_sim").alias("__cb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        F.when(
+            (F.col("__na") == 0.0) | (F.col("__nb") == 0.0), F.lit(0.0)
+        ).otherwise(dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))),
+        6,
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("__ida") < F.col("__idb"))
+        .withColumn("__sim", sim)
+        .where(F.col("__sim") >= threshold)
+    )
+    drop_id = (
+        F.when(F.col("__ca") < F.col("__cb"), F.col("__idb"))
+        .when(F.col("__cb") < F.col("__ca"), F.col("__ida"))
+        .otherwise(F.greatest("__ida", "__idb"))
+    )
+    dropped = pairs.select(drop_id.alias(id_col)).distinct().withColumn(
+        "__d", F.lit(1)
+    )
+    return base.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        "cell",
+        "c_sim",
+        F.when(F.col("__d").isNotNull(), F.lit("dropped"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )

@@ -630,3 +630,72 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def cross_doc_repeated_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 7,
+    min_docs: int = 2,
+    portable: bool = False,
+):
+    """Merged duplicated-text SPANS shared across documents — the
+    extraction step of suffix-array-style training-data dedup (Lee et al.
+    2022, n-gram approximation): every word position whose n-gram occurs
+    in >= ``min_docs`` DISTINCT documents is marked, and overlapping or
+    touching marked intervals ``[pos, pos+n)`` are merged per document
+    into maximal spans. Unlike :func:`duplicated_span_stats` (per-doc
+    fractions, any repetition incl. within-doc) this returns the actual
+    REMOVABLE regions — one row per (document, span) with word offsets —
+    and only counts cross-document sharing.
+
+    Returns (id, span_start, span_end, span_words, n_grams): 0-based word
+    offsets, end exclusive, ``n_grams`` = marked positions merged into the
+    span. Two marked positions join one span when ``pos - prev <= n``
+    (intervals overlap or touch).
+
+    Scale shape: posexplode -> groupBy(gram key) distinct-doc count
+    (partial-agg, two-phase) -> shuffle semi-join back -> per-DOCUMENT
+    window for the interval merge (bounded by doc length, never global).
+    Linear end to end: no pair expansion at any point, so no bucket caps
+    are needed. ``portable=False`` (default) keys grams by xxhash64;
+    ``portable=True`` groups on the raw gram string so a DuckDB oracle
+    reproduces every step.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+        F.size("__t") >= n
+    )
+    grams = toks.select(
+        F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
+    )
+    key = F.col("g") if portable else F.xxhash64("g")
+    grams = grams.select(F.col(id_col), "pos", key.alias("__k"))
+    shared = (
+        grams.groupBy("__k")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__k")
+    )
+    hits = grams.join(shared, "__k", "leftsemi").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    return (
+        hits.withColumn("__i", F.sum(brk).over(w))
+        .groupBy(F.col(id_col), "__i")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_words"),
+            "n_grams",
+        )
+    )

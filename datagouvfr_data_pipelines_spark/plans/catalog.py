@@ -91,6 +91,7 @@ def _load_all() -> None:
     from datagouvfr_data_pipelines_spark.plans import relational17  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import text_pipeline  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import text_pipeline2  # noqa: F401
+    from datagouvfr_data_pipelines_spark.plans import text_pipeline3  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import dataset_assembly  # noqa: F401
 
 

@@ -730,17 +730,8 @@ def d_simhash_neardups(spark, sf_dir):
     )
 
 
-def _ivf_oracle(
-    k: int = 8,
-    iterations: int = 2,
-    dim: int = 64,
-    n_probe: int = 3,
-    top_k: int = 10,
-    probe_id: int = 3,
-) -> str:
-    """DuckDB replica of the FULL portable IVF pipeline: LCG-seeded Lloyd's
-    k-means (nano-quantized centroid updates), probe-cell ranking by the
-    same sequential distance fold, cell-restricted cosine top-k."""
+def _km_dist(dim: int):
+    """Squared-L2 sequential-fold SQL template over ``dim`` dims."""
 
     def dist(e: str, c: str) -> str:
         t = f"(CAST({e}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
@@ -750,12 +741,11 @@ def _ivf_oracle(
             f"(acc, x) -> acc + x)"
         )
 
-    dot = (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, {dim}), "
-        f"i -> CAST(af.embedding[i] AS DOUBLE) * CAST(pr.p[i] AS DOUBLE))), "
-        f"(acc, x) -> acc + x)"
-    )
+    return dist
+
+
+def _km_norm(dim: int):
+    """L2-norm sequential-fold SQL template over ``dim`` dims."""
 
     def norm(e: str) -> str:
         return (
@@ -765,6 +755,16 @@ def _ivf_oracle(
             f"(acc, x) -> acc + x))"
         )
 
+    return norm
+
+
+def _kmeans_af_ctes(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
+    """Shared DuckDB CTE chain replicating ``kmeans_fit(portable=True)``
+    plus the final nearest-centroid assignment: ``WITH c0, (a_j,u_j,c_j)*,
+    af`` where ``af`` is (vec_id, embedding, cell) and ``c{iterations}``
+    holds the final centroids. Reused by the IVF-search and semantic-dedup
+    oracles so the trainer replica lives in exactly one place."""
+    dist = _km_dist(dim)
     lcg = "(((vec_id * 1103515245 + 12345) % 2147483647) * 784588716 + 997) % 2147483647"
     parts = [
         f"""
@@ -806,11 +806,6 @@ def _ivf_oracle(
     cf = f"c{iterations}"
     parts.append(
         f""",
-    pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {probe_id}),
-    pcells AS (
-      SELECT cell FROM {cf}, pr
-      ORDER BY {dist(cf + '.c', 'pr.p')}, cell LIMIT {n_probe}
-    ),
     af AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, s.cell,
@@ -819,6 +814,40 @@ def _ivf_oracle(
                  AS rn
         FROM embeddings e CROSS JOIN {cf} s
       ) WHERE rn = 1
+    )"""
+    )
+    return "".join(parts)
+
+
+def _ivf_oracle(
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    n_probe: int = 3,
+    top_k: int = 10,
+    probe_id: int = 3,
+) -> str:
+    """DuckDB replica of the FULL portable IVF pipeline: LCG-seeded Lloyd's
+    k-means (nano-quantized centroid updates), probe-cell ranking by the
+    same sequential distance fold, cell-restricted cosine top-k."""
+    dist = _km_dist(dim)
+    norm = _km_norm(dim)
+
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> CAST(af.embedding[i] AS DOUBLE) * CAST(pr.p[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+    cf = f"c{iterations}"
+    parts = [
+        _kmeans_af_ctes(k=k, iterations=iterations, dim=dim),
+        f""",
+    pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {probe_id}),
+    pcells AS (
+      SELECT cell FROM {cf}, pr
+      ORDER BY {dist(cf + '.c', 'pr.p')}, cell LIMIT {n_probe}
     )
     SELECT af.vec_id,
            round(CASE WHEN {norm('af.embedding')} = 0.0 OR {norm('pr.p')} = 0.0
@@ -828,8 +857,8 @@ def _ivf_oracle(
     FROM af, pr
     WHERE af.cell IN (SELECT cell FROM pcells)
     ORDER BY sim DESC, af.vec_id LIMIT {top_k}
-    """
-    )
+    """,
+    ]
     return "".join(parts)
 
 

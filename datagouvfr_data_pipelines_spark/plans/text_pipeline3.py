@@ -1,0 +1,168 @@
+"""Catalog batch (round 5): cross-document span extraction and semantic
+(embedding-cluster) dedup — the removable-region and SemDeDup tiers of the
+LLM training-data pipeline."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from datagouvfr_data_pipelines_spark.plans.catalog import register, table
+
+_SPAN_N = 7
+_SPAN_MIN_DOCS = 2
+
+
+def _cross_doc_spans_oracle(n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS) -> str:
+    """DuckDB replica of the full span pipeline: positioned n-grams ->
+    distinct-doc counts -> marked positions -> gaps-and-islands interval
+    merge (two marked positions share a span when pos - prev <= n)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - {n - 1})) - 1 AS pos,
+             unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                    i -> array_to_string(toks[i : i + {n - 1}], ' '))) AS gm
+      FROM t WHERE len(toks) >= {n}
+    ), sh AS (
+      SELECT gm FROM g GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN sh USING (gm)
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {n} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits)
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {n} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {n} - MIN(pos) AS BIGINT) AS span_words,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@register(
+    "t_cross_doc_spans",
+    oracle=_cross_doc_spans_oracle(),
+    tags=["dedup", "spans", "text-pipeline"],
+)
+def t_cross_doc_spans(spark, sf_dir):
+    """Cross-document duplicated-span EXTRACTION (Lee et al. 2022 n-gram
+    approximation): maximal merged word-offset regions whose every covering
+    n-gram occurs in >= 2 distinct documents — the regions a
+    remove-duplicated-text pass would cut, where ``duplicated_span_stats``
+    only scores them. Linear plan: explode -> two-phase distinct-doc count
+    -> semi-join -> per-document interval-merge window; no pair expansion,
+    so no bucket caps. Oracle-checked with the raw-gram (portable) keys;
+    production callers default to xxhash64 keys."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        cross_doc_repeated_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return cross_doc_repeated_spans(
+        docs, "doc_id", "text", n=_SPAN_N, min_docs=_SPAN_MIN_DOCS, portable=True
+    )
+
+
+_SEM_K = 8
+_SEM_ITERS = 2
+_SEM_DIM = 64
+_SEM_TAU = 0.35
+
+
+def _semantic_dedup_oracle(
+    k: int = _SEM_K,
+    iterations: int = _SEM_ITERS,
+    dim: int = _SEM_DIM,
+    tau: float = _SEM_TAU,
+) -> str:
+    """DuckDB replica of the FULL SemDeDup pipeline: the shared portable
+    k-means CTE chain (text_pipeline._kmeans_af_ctes) -> per-vector
+    centroid cosine -> within-cell pairwise cosine -> keep-farthest drop
+    votes -> kept/dropped status."""
+    from datagouvfr_data_pipelines_spark.plans.text_pipeline import (
+        _km_norm,
+        _kmeans_af_ctes,
+    )
+
+    norm = _km_norm(dim)
+    cf = f"c{iterations}"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    return f"""
+    {_kmeans_af_ctes(k=k, iterations=iterations, dim=dim)},
+    cs AS (
+      SELECT af.vec_id, af.cell,
+             round(CASE WHEN {norm('af.embedding')} = 0.0
+                          OR {norm(cf + '.c')} = 0.0 THEN 0.0
+                        ELSE {dot('af.embedding', cf + '.c')}
+                             / ({norm('af.embedding')} * {norm(cf + '.c')})
+                   END, 6) AS c_sim,
+             af.embedding AS v,
+             {norm('af.embedding')} AS nrm
+      FROM af JOIN {cf} ON af.cell = {cf}.cell
+    ),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.c_sim AS ca, b.c_sim AS cb,
+             round(CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+                        ELSE {dot('a.v', 'b.v')} / (a.nrm * b.nrm)
+                   END, 6) AS sim
+      FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    d AS (
+      SELECT DISTINCT CASE WHEN ca < cb THEN ib
+                           WHEN cb < ca THEN ia
+                           ELSE greatest(ia, ib) END AS vec_id
+      FROM p WHERE sim >= {tau}
+    )
+    SELECT cs.vec_id, cs.cell, cs.c_sim,
+           CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+    FROM cs LEFT JOIN d USING (vec_id)
+    """
+
+
+@register(
+    "d_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=["dedup", "embedding", "semdedup"],
+)
+def d_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means
+    clusters from the portable Lloyd's trainer, then within-cell cosine
+    pairs >= tau drop the member CLOSEST to its centroid (keep-farthest
+    diversity rule; ties keep the smaller id). Oracle-checked end to end —
+    trainer, assignment, centroid cosines, pairwise cosines, drop votes —
+    via the shared k-means CTE chain. Scale: pair expansion only within a
+    cell; k grows with corpus size so cells stay bounded (train on a
+    sample, assign full-data)."""
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(
+        emb,
+        "embedding",
+        k=_SEM_K,
+        iterations=_SEM_ITERS,
+        portable=True,
+        init_id_col="vec_id",
+    )
+    return semantic_dedup(
+        emb, "vec_id", "embedding", centroids, threshold=_SEM_TAU
+    )
