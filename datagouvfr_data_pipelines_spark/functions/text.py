@@ -639,6 +639,7 @@ def cross_doc_repeated_spans(
     n: int = 7,
     min_docs: int = 2,
     portable: bool = False,
+    keep_first: bool = False,
 ):
     """Merged duplicated-text SPANS shared across documents — the
     extraction step of suffix-array-style training-data dedup (Lee et al.
@@ -655,6 +656,12 @@ def cross_doc_repeated_spans(
     span. Two marked positions join one span when ``pos - prev <= n``
     (intervals overlap or touch).
 
+    ``keep_first=True`` switches from detection to REMOVAL-marking
+    semantics: positions in a gram's canonical document (its smallest id)
+    are never marked, so the first occurrence of every duplicated region
+    survives a subsequent cut — Lee et al.'s keep-one rule at doc
+    granularity (see :func:`remove_cross_doc_spans`).
+
     Scale shape: posexplode -> groupBy(gram key) distinct-doc count
     (partial-agg, two-phase) -> shuffle semi-join back -> per-DOCUMENT
     window for the interval merge (bounded by doc length, never global).
@@ -665,21 +672,9 @@ def cross_doc_repeated_spans(
     """
     from pyspark.sql.window import Window
 
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
-        F.size("__t") >= n
+    hits = _cross_doc_marked_positions(
+        df, id_col, text_col, n, min_docs, portable, keep_first
     )
-    grams = toks.select(
-        F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
-    )
-    key = F.col("g") if portable else F.xxhash64("g")
-    grams = grams.select(F.col(id_col), "pos", key.alias("__k"))
-    shared = (
-        grams.groupBy("__k")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
-        .select("__k")
-    )
-    hits = grams.join(shared, "__k", "leftsemi").select(F.col(id_col), "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(w)
     brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
@@ -698,4 +693,91 @@ def cross_doc_repeated_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_words"),
             "n_grams",
         )
+    )
+
+
+def _cross_doc_marked_positions(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_docs: int,
+    portable: bool,
+    keep_first: bool,
+):
+    """(id, pos) rows for every word position whose n-gram is shared by
+    >= ``min_docs`` distinct documents; with ``keep_first`` the gram's
+    canonical (smallest-id) document is exempt. Shared by the span
+    detector and the span remover."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+        F.size("__t") >= n
+    )
+    grams = toks.select(
+        F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
+    )
+    key = F.col("g") if portable else F.xxhash64("g")
+    grams = grams.select(F.col(id_col), "pos", key.alias("__k"))
+    shared = (
+        grams.groupBy("__k")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.col(id_col)).alias("__first_doc"),
+        )
+        .where(F.col("__nd") >= min_docs)
+    )
+    if keep_first:
+        return (
+            grams.join(shared.select("__k", "__first_doc"), "__k")
+            .where(F.col(id_col) != F.col("__first_doc"))
+            .select(F.col(id_col), "pos")
+        )
+    return grams.join(shared.select("__k"), "__k", "leftsemi").select(
+        F.col(id_col), "pos"
+    )
+
+
+def remove_cross_doc_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 7,
+    min_docs: int = 2,
+    portable: bool = False,
+):
+    """Cut cross-document duplicated regions OUT of the text, keeping the
+    first occurrence — the transform step of Lee et al. 2022 (n-gram
+    approximation, doc-granular keep-one): every word position whose
+    n-gram occurs in >= ``min_docs`` distinct documents is cut from all
+    but the gram's smallest-id document, and the surviving tokens are
+    re-joined. Returns one row per input document:
+    (id, n_removed_words, clean_text) where ``clean_text`` is the
+    whitespace-normalized lowercased token stream minus the removed
+    regions (the pipeline-normal form, not the raw input casing).
+
+    Scale shape: the marked-position pass is the linear span pipeline
+    (explode -> two-phase count -> join back); the cut itself is a
+    per-ROW higher-order filter over the token array against the doc's
+    own marked-position list — no window, no second shuffle beyond the
+    per-doc position collect. Position lists are bounded by doc length.
+    """
+    mp = _cross_doc_marked_positions(
+        df, id_col, text_col, n, min_docs, portable, keep_first=True
+    )
+    per_doc = mp.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias("__mp")
+    )
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    j = base.join(per_doc, id_col, "left")
+    kept = F.when(F.col("__mp").isNull(), F.col("__t")).otherwise(
+        F.filter(
+            F.col("__t"),
+            lambda x, i: ~F.exists(
+                F.col("__mp"), lambda p: (p <= i) & (i < p + n)
+            ),
+        )
+    )
+    return j.select(
+        F.col(id_col),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_removed_words"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

@@ -71,6 +71,68 @@ def t_cross_doc_spans(spark, sf_dir):
     )
 
 
+def _span_scrub_oracle(n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS) -> str:
+    """DuckDB replica of the span REMOVER: marked positions with the
+    canonical (min-doc) exemption -> per-doc position list -> index-aware
+    token filter -> re-joined text."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - {n - 1})) - 1 AS pos,
+             unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                    i -> array_to_string(toks[i : i + {n - 1}], ' '))) AS gm
+      FROM t WHERE len(toks) >= {n}
+    ), sh AS (
+      SELECT gm, MIN(doc_id) AS fd FROM g GROUP BY gm
+      HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+    ), hits AS (
+      SELECT g.doc_id, g.pos FROM g JOIN sh USING (gm) WHERE g.doc_id <> sh.fd
+    ), mp AS (
+      SELECT doc_id, list(pos ORDER BY pos) AS mp FROM hits GROUP BY doc_id
+    ), cut AS (
+      SELECT b.doc_id, b.toks,
+             CASE WHEN m.mp IS NULL THEN b.toks
+                  ELSE list_filter(
+                         list_transform(generate_series(1, len(b.toks)),
+                           i -> CASE WHEN len(list_filter(m.mp,
+                                      p -> p <= i - 1 AND i - 1 < p + {n})) = 0
+                                     THEN b.toks[i] END),
+                         x -> x IS NOT NULL)
+             END AS kept
+      FROM t b LEFT JOIN mp m USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed_words,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM cut
+    """
+
+
+@register(
+    "t_span_scrubbed_docs",
+    oracle=_span_scrub_oracle(),
+    tags=["dedup", "spans", "text-pipeline", "transform"],
+)
+def t_span_scrubbed_docs(spark, sf_dir):
+    """Duplicated-text REMOVAL (the transform step of Lee et al. 2022):
+    cross-document shared regions are cut from every document except the
+    gram's smallest-id (canonical) one, and the surviving tokens re-joined
+    — one row per input document with the removed-word count. The linear
+    marked-position pass plus a per-ROW higher-order token filter; no
+    second shuffle beyond the per-doc position collect."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        remove_cross_doc_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_cross_doc_spans(
+        docs, "doc_id", "text", n=_SPAN_N, min_docs=_SPAN_MIN_DOCS, portable=True
+    )
+
+
 _SEM_K = 8
 _SEM_ITERS = 2
 _SEM_DIM = 64

@@ -132,3 +132,46 @@ def test_semantic_dedup_below_threshold_keeps_all(spark):
     )
     out = semantic_dedup(df, "vec_id", "embedding", [[1.0, 1.0]], 0.9)
     assert {r.status for r in out.collect()} == {"kept"}
+
+
+def test_remove_cross_doc_spans_keeps_canonical_doc(spark):
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        remove_cross_doc_spans,
+    )
+
+    shared = "a b c d e f g"
+    df = _docs(
+        spark,
+        [
+            (1, f"x1 {shared} y1"),
+            (2, f"{shared} t1 t2 t3"),
+            (3, "short text only"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_cross_doc_spans(df, "doc_id", "text", n=7).collect()
+    }
+    # canonical (min-id) doc keeps its text verbatim (normalized form)
+    assert out[1].n_removed_words == 0
+    assert out[1].clean_text == f"x1 {shared} y1"
+    # later doc loses the shared region, keeps the rest
+    assert out[2].n_removed_words == 7
+    assert out[2].clean_text == "t1 t2 t3"
+    # untouched doc passes through
+    assert out[3].n_removed_words == 0 and out[3].clean_text == "short text only"
+
+
+def test_remove_cross_doc_spans_full_document_scrub(spark):
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        remove_cross_doc_spans,
+    )
+
+    body = "w1 w2 w3 w4 w5 w6 w7"
+    df = _docs(spark, [(5, body), (9, body)])
+    out = {
+        r.doc_id: r
+        for r in remove_cross_doc_spans(df, "doc_id", "text", n=7).collect()
+    }
+    assert out[5].clean_text == body and out[5].n_removed_words == 0
+    assert out[9].clean_text == "" and out[9].n_removed_words == 7
