@@ -384,6 +384,40 @@ def main() -> None:
             "rows1": n1, "rowsk": nk,
             "rows_growth": round(nk / max(n1, 1), 2),
         }
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        cross_doc_repeated_spans,
+        remove_cross_doc_spans,
+    )
+
+    def span_extract_shape(frame):
+        return cross_doc_repeated_spans(frame, "doc_id", "text", n=7)
+
+    def span_scrub_shape(frame):
+        # the length predicate blocks count()-driven column pruning: the
+        # higher-order token cut must actually evaluate per row
+        return remove_cross_doc_spans(frame, "doc_id", "text", n=7).where(
+            F.length("clean_text") >= 0
+        )
+
+    # d1/dk stay persisted from the dedup tier above
+    for name, fn in (
+        ("t_cross_doc_spans", span_extract_shape),
+        ("t_span_scrubbed_docs", span_scrub_shape),
+    ):
+        # the span tier claims LINEARITY (no pair expansion anywhere):
+        # output growth ~k and near-linear wall are the direct evidence
+        n1 = fn(d1).count()
+        spark.catalog.clearCache()
+        nk = fn(dk).count()
+        spark.catalog.clearCache()
+        t1 = timed_clearing(fn, d1, reps=5)
+        tk = timed_clearing(fn, dk, reps=5)
+        out[name] = {
+            "t1": round(t1, 3), "tk": round(tk, 3),
+            "ratio": round(tk / t1, 2),
+            "rows1": n1, "rowsk": nk,
+            "rows_growth": round(nk / max(n1, 1), 2),
+        }
     dk.unpersist(), d1.unpersist()
 
     notes = (
