@@ -781,3 +781,82 @@ def remove_cross_doc_spans(
         (F.size("__t") - F.size(kept)).cast("long").alias("n_removed_words"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def char_bigrams(col: Column | str) -> Column:
+    """All char bigrams (WITH multiplicity) of whitespace-normalized
+    lowercased text — zip-of-shifted-slices like ``char_trigrams_padded``;
+    texts shorter than 2 chars yield an empty array."""
+    c = F.regexp_replace(F.lower(F.trim(_col(col))), "\\s+", " ")
+    chars = F.split(c, "")
+    length = F.length(c) - 1
+    acc = F.zip_with(
+        F.slice(chars, 1, length), F.slice(chars, 2, length),
+        lambda a, b: F.concat(a, b),
+    )
+    return F.when(F.length(c) >= 2, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def charlm_nll_scores(df, id_col: str, text_col: str):
+    """Per-document average negative log-likelihood under a char-bigram
+    language model trained on the corpus itself — the perplexity-proxy
+    quality filter (CCNet/KenLM-style filtering, public method): documents
+    whose character statistics diverge from the corpus (boilerplate, code
+    dumps, mojibake) score a high ``avg_nll``.
+
+    Model: add-one-smoothed bigram LM. p(b|a) = (C(ab)+1) / (C(a)+V) with
+    V = distinct chars in the corpus, so every per-bigram term is
+    ln(C(a)+V) - ln(C(ab)+1) — logs of INTEGERS, which reproduce
+    bit-identically across engines (the tfidf/zipf precedent). Terms are
+    nano-quantized before the per-doc sum so the float total is
+    shuffle-order independent. Returns (id, n_bigrams, avg_nll).
+
+    Scale shape: one bigram explode -> (doc, bigram) partial-agg counts;
+    the GLOBAL bigram/prefix tables re-aggregate from those counts (no
+    second scan) and are alphabet^2-bounded (~2k rows) -> BROADCAST joins;
+    one shuffle on the doc key end to end. V is a driver scalar (k-state
+    policy).
+    """
+    bg = df.select(
+        F.col(id_col), F.explode(char_bigrams(text_col)).alias("bg")
+    )
+    doc_counts = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    global_counts = doc_counts.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
+    prefix_counts = (
+        global_counts.withColumn("pre", F.substring("bg", 1, 1))
+        .groupBy("pre")
+        .agg(F.sum("c_bg").alias("c_pre"))
+    )
+    v = (
+        global_counts.select(F.substring("bg", 1, 1).alias("ch"))
+        .union(global_counts.select(F.substring("bg", 2, 1)))
+        .distinct()
+        .count()
+    )
+    term = F.floor(
+        (
+            F.log(F.col("c_pre") + F.lit(v).cast("long"))
+            - F.log(F.col("c_bg") + F.lit(1).cast("long"))
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        doc_counts.join(F.broadcast(global_counts), "bg")
+        .withColumn("pre", F.substring("bg", 1, 1))
+        .join(F.broadcast(prefix_counts), "pre")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * term).alias("__q"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (
+                (F.col("__q").cast("double") / 1e9)
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_nll"),
+        )
+    )

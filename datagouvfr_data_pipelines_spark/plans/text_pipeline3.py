@@ -71,6 +71,54 @@ def t_cross_doc_spans(spark, sf_dir):
     )
 
 
+_CHARLM_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+      FROM documents
+    ), b AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(c) - 1),
+             i -> c[i : i + 1])) AS bg
+      FROM t WHERE len(c) >= 2
+    ), dc AS (
+      SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, bg
+    ), gc AS (
+      SELECT bg, SUM(cnt) AS c_bg FROM dc GROUP BY bg
+    ), pc AS (
+      SELECT bg[1:1] AS pre, SUM(c_bg) AS c_pre FROM gc GROUP BY 1
+    ), vv AS (
+      SELECT COUNT(*) AS v FROM (
+        SELECT bg[1:1] AS ch FROM gc UNION SELECT bg[2:2] FROM gc)
+    )
+    SELECT dc.doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           (CAST(SUM(cnt * CAST(FLOOR(
+                (ln(c_pre + (SELECT v FROM vv)) - ln(c_bg + 1)) * 1000000000.0
+              ) AS BIGINT)) AS DOUBLE) / 1000000000.0)
+             / CAST(SUM(cnt) AS DOUBLE) AS avg_nll
+    FROM dc JOIN gc USING (bg) JOIN pc ON pc.pre = dc.bg[1:1]
+    GROUP BY dc.doc_id
+    """
+
+
+@register(
+    "t_charlm_nll",
+    oracle=_CHARLM_ORACLE,
+    tags=["text-pipeline", "quality", "perplexity"],
+)
+def t_charlm_nll(spark, sf_dir):
+    """Perplexity-proxy quality filter: per-document average NLL under an
+    add-one-smoothed char-bigram LM trained on the corpus itself
+    (CCNet/KenLM-style filtering). Every log is ln of an INTEGER (count
+    + smoothing), so the whole model reproduces bit-identically in DuckDB;
+    per-bigram terms are nano-quantized before the per-doc sum. Global
+    bigram/prefix tables are alphabet^2-bounded broadcasts re-aggregated
+    from the (doc, bigram) partials — one scan, one doc-key shuffle."""
+    from datagouvfr_data_pipelines_spark.functions.text import charlm_nll_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return charlm_nll_scores(docs, "doc_id", "text")
+
+
 def _span_scrub_oracle(n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS) -> str:
     """DuckDB replica of the span REMOVER: marked positions with the
     canonical (min-doc) exemption -> per-doc position list -> index-aware

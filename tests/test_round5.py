@@ -175,3 +175,29 @@ def test_remove_cross_doc_spans_full_document_scrub(spark):
     }
     assert out[5].clean_text == body and out[5].n_removed_words == 0
     assert out[9].clean_text == "" and out[9].n_removed_words == 7
+
+
+def test_charlm_nll_flags_divergent_text(spark):
+    from datagouvfr_data_pipelines_spark.functions.text import charlm_nll_scores
+
+    # corpus of ordinary English-ish text + one mojibake-like outlier:
+    # the outlier's bigrams are rare in the corpus -> highest avg_nll
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    rows.append((99, "zq xv qz vx zzq qxz vvq"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_nll for r in charlm_nll_scores(df, "doc_id", "text").collect()}
+    assert max(out, key=out.get) == 99
+    # identical docs score identically
+    assert len({round(out[i], 9) for i in range(8)}) == 1
+
+
+def test_charlm_nll_handles_short_and_empty_docs(spark):
+    from datagouvfr_data_pipelines_spark.functions.text import charlm_nll_scores
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    out = charlm_nll_scores(df, "doc_id", "text").collect()
+    # empty and single-char docs have no bigrams -> absent from the output
+    assert {r.doc_id for r in out} == {1}
+    assert out[0].n_bigrams == 7
