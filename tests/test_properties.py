@@ -288,3 +288,98 @@ def test_ngram_decontaminate_matches_python_reference(spark, bench, corpus, n):
         for r in ngram_decontaminate(cdf, bdf, "doc_id", "text", n=n).collect()
     }
     assert got == expected
+
+
+def _brute_spans(docs: list[tuple[int, str]], n: int, min_docs: int):
+    """Pure-Python reference for cross_doc_repeated_spans."""
+    toks = {d: t.lower().strip().split() if t.strip() else [] for d, t in docs}
+    occur: dict[str, set[int]] = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            occur.setdefault(" ".join(tk[i : i + n]), set()).add(d)
+    marked: dict[int, list[int]] = {}
+    for d, tk in toks.items():
+        ps = [
+            i
+            for i in range(len(tk) - n + 1)
+            if len(occur[" ".join(tk[i : i + n])]) >= min_docs
+        ]
+        if ps:
+            marked[d] = ps
+    out = []
+    for d, ps in marked.items():
+        start, prev, grams = ps[0], ps[0], 1
+        for p in ps[1:]:
+            if p - prev > n:
+                out.append((d, start, prev + n, prev + n - start, grams))
+                start, grams = p, 0
+            prev = p
+            grams += 1
+        out.append((d, start, prev + n, prev + n - start, grams))
+    return sorted(out)
+
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(texts=words_strategy, n=st.integers(min_value=2, max_value=4))
+def test_cross_doc_spans_matches_bruteforce(spark, texts, n):
+    """Span extraction == the pure-Python reference for ANY corpus: same
+    marked positions, same interval merge, same gram counts."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        cross_doc_repeated_spans,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in cross_doc_repeated_spans(df, "doc_id", "text", n=n).collect()
+    )
+    assert got == _brute_spans(docs, n, 2)
+
+
+@SETTINGS
+@given(texts=words_strategy, n=st.integers(min_value=2, max_value=4))
+def test_remove_spans_canonical_docs_lose_nothing(spark, texts, n):
+    """Removal invariants for ANY corpus: removed counts are bounded by
+    doc length; concatenating kept+removed counts reconstructs the token
+    count; the smallest doc id sharing each gram never loses that gram's
+    positions (keep-first)."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        remove_cross_doc_spans,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_cross_doc_spans(df, "doc_id", "text", n=n).collect()
+    }
+    toks = {d: t.lower().strip().split() if t.strip() else [] for d, t in docs}
+    assert set(out) == set(toks)
+    for d, tk in toks.items():
+        r = out[d]
+        kept = r.clean_text.split() if r.clean_text else []
+        assert len(kept) + r.n_removed_words == len(tk)
+        # kept tokens are a subsequence of the original token stream
+        it = iter(tk)
+        assert all(any(t == x for x in it) for t in kept)
+    # at least one doc keeps every occurrence of each shared gram:
+    # the min-id doc among sharers is exempt by construction
+    occur: dict[str, set[int]] = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - n + 1):
+            occur.setdefault(" ".join(tk[i : i + n]), set()).add(d)
+    for g, ds in occur.items():
+        if len(ds) >= 2:
+            canon = min(ds)
+            assert g in " ".join(toks[canon])  # trivially true pre-cut
+            assert g in out[canon].clean_text
