@@ -658,9 +658,10 @@ def cross_doc_repeated_spans(
 
     ``keep_first=True`` switches from detection to REMOVAL-marking
     semantics: positions in a gram's canonical document (its smallest id)
-    are never marked, so the first occurrence of every duplicated region
-    survives a subsequent cut — Lee et al.'s keep-one rule at doc
-    granularity (see :func:`remove_cross_doc_spans`).
+    are never marked. Note marking alone does NOT guarantee keep-one under
+    overlapping grams with different canonical docs — the cut step must
+    additionally protect canonical token RANGES, which
+    :func:`remove_cross_doc_spans` does.
 
     Scale shape: posexplode -> groupBy(gram key) distinct-doc count
     (partial-agg, two-phase) -> shuffle semi-join back -> per-DOCUMENT
@@ -736,6 +737,42 @@ def _cross_doc_marked_positions(
     )
 
 
+def _cross_doc_positions_with_canon(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_docs: int,
+    portable: bool,
+):
+    """(id, pos, __canon) rows for every word position whose n-gram is
+    shared by >= ``min_docs`` distinct documents; ``__canon`` is true when
+    this document is the gram's canonical (smallest-id) sharer. One gram
+    scan, one two-phase distinct-doc aggregate, one shuffle join — the
+    remover splits marked vs protected positions from this single pass."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+        F.size("__t") >= n
+    )
+    grams = toks.select(
+        F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
+    )
+    key = F.col("g") if portable else F.xxhash64("g")
+    grams = grams.select(F.col(id_col), "pos", key.alias("__k"))
+    shared = (
+        grams.groupBy("__k")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.col(id_col)).alias("__first_doc"),
+        )
+        .where(F.col("__nd") >= min_docs)
+    )
+    return grams.join(shared.select("__k", "__first_doc"), "__k").select(
+        F.col(id_col),
+        "pos",
+        (F.col(id_col) == F.col("__first_doc")).alias("__canon"),
+    )
+
+
 def remove_cross_doc_spans(
     df,
     id_col: str,
@@ -754,26 +791,46 @@ def remove_cross_doc_spans(
     whitespace-normalized lowercased token stream minus the removed
     regions (the pipeline-normal form, not the raw input casing).
 
-    Scale shape: the marked-position pass is the linear span pipeline
-    (explode -> two-phase count -> join back); the cut itself is a
-    per-ROW higher-order filter over the token array against the doc's
-    own marked-position list — no window, no second shuffle beyond the
-    per-doc position collect. Position lists are bounded by doc length.
+    Keep-one is enforced on token RANGES, not just marked positions:
+    every token covered by an occurrence ``[pos, pos+n)`` of a gram whose
+    canonical (smallest-id) document is THIS document is protected from
+    cuts — including cuts marked by a different, overlapping gram whose
+    canonical doc is elsewhere. Without range protection an overlapping
+    gram's cut can destroy the canonical occurrence and a shared region
+    can be annihilated corpus-wide (e.g. ``['a b','a a b','a a']`` at
+    n=2). With it, the canonical occurrence's n tokens all survive and
+    stay adjacent, so every shared gram survives in >= 1 document.
+
+    Scale shape: the position pass is the linear span pipeline (explode
+    -> two-phase count -> join back, now carrying a canonical flag); the
+    cut itself is a per-ROW higher-order filter over the token array
+    against the doc's own marked/protected position lists — no window,
+    no second shuffle beyond the per-doc position collect. Position
+    lists are bounded by doc length.
     """
-    mp = _cross_doc_marked_positions(
-        df, id_col, text_col, n, min_docs, portable, keep_first=True
+    pos = _cross_doc_positions_with_canon(
+        df, id_col, text_col, n, min_docs, portable
     )
-    per_doc = mp.groupBy(id_col).agg(
-        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias("__mp")
+    per_doc = pos.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(~F.col("__canon"), F.col("pos").cast("long"))
+            )
+        ).alias("__mp"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__canon"), F.col("pos").cast("long"))
+            )
+        ).alias("__pp"),
     )
     base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     j = base.join(per_doc, id_col, "left")
+    covered = lambda lst, i: F.exists(lst, lambda p: (p <= i) & (i < p + n))
     kept = F.when(F.col("__mp").isNull(), F.col("__t")).otherwise(
         F.filter(
             F.col("__t"),
-            lambda x, i: ~F.exists(
-                F.col("__mp"), lambda p: (p <= i) & (i < p + n)
-            ),
+            lambda x, i: ~covered(F.col("__mp"), i)
+            | covered(F.col("__pp"), i),
         )
     )
     return j.select(

@@ -120,9 +120,11 @@ def t_charlm_nll(spark, sf_dir):
 
 
 def _span_scrub_oracle(n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS) -> str:
-    """DuckDB replica of the span REMOVER: marked positions with the
-    canonical (min-doc) exemption -> per-doc position list -> index-aware
-    token filter -> re-joined text."""
+    """DuckDB replica of the span REMOVER: shared-gram positions with a
+    canonical (min-doc) flag -> per-doc marked + protected position lists
+    -> index-aware token filter (cut iff covered by a marked interval and
+    NOT by a protected canonical interval) -> re-joined text. Mirrors the
+    range-protected keep-one semantics of ``remove_cross_doc_spans``."""
     return f"""
     WITH t AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -137,9 +139,15 @@ def _span_scrub_oracle(n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS) -> str:
       SELECT gm, MIN(doc_id) AS fd FROM g GROUP BY gm
       HAVING COUNT(DISTINCT doc_id) >= {min_docs}
     ), hits AS (
-      SELECT g.doc_id, g.pos FROM g JOIN sh USING (gm) WHERE g.doc_id <> sh.fd
+      SELECT g.doc_id, g.pos, g.doc_id = sh.fd AS canon
+      FROM g JOIN sh USING (gm)
     ), mp AS (
-      SELECT doc_id, list(pos ORDER BY pos) AS mp FROM hits GROUP BY doc_id
+      SELECT doc_id,
+             COALESCE(list(pos ORDER BY pos) FILTER (WHERE NOT canon),
+                      []) AS mp,
+             COALESCE(list(pos ORDER BY pos) FILTER (WHERE canon),
+                      []) AS pp
+      FROM hits GROUP BY doc_id
     ), cut AS (
       SELECT b.doc_id, b.toks,
              CASE WHEN m.mp IS NULL THEN b.toks
@@ -147,6 +155,8 @@ def _span_scrub_oracle(n: int = _SPAN_N, min_docs: int = _SPAN_MIN_DOCS) -> str:
                          list_transform(generate_series(1, len(b.toks)),
                            i -> CASE WHEN len(list_filter(m.mp,
                                       p -> p <= i - 1 AND i - 1 < p + {n})) = 0
+                                     OR len(list_filter(m.pp,
+                                      p -> p <= i - 1 AND i - 1 < p + {n})) > 0
                                      THEN b.toks[i] END),
                          x -> x IS NOT NULL)
              END AS kept
