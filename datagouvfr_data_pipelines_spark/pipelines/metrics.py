@@ -145,10 +145,43 @@ def extract_hits_typed(raw: DataFrame, date: str) -> DataFrame:
     id, date_metric, segment) per matched line. Ordering is not promised —
     the aggregate is order-free; golden exports that need log order carry
     a line number (see tests/test_metrics_golden.py).
+
+    Codegen shape: the extraction is staged as TWO projections — first the
+    32 ``regexp_extract`` slug columns, then the priority CASE over those
+    cheap string columns. The naive fused form (each branch re-evaluating
+    its regex in condition and value, and the trailing ``h IS NOT NULL``
+    predicate-pushed through both projects into the scan) compiles to a
+    >64KB Java method; janino rejects it and Spark silently drops the
+    whole stage to interpreted row evaluation — fatal for the hottest
+    100 TB scan. Three measures keep every generated method small:
+    (1) a single cheap ``rlike`` gate on the shared global pattern is the
+    only predicate that reaches the scan (it rejects non-RGS/POST/error
+    lines before any of the 32 regexes run); (2) the ``h`` projection is
+    wrapped in a nondeterministic always-true guard
+    (``spark_partition_id() >= 0``) — a nondeterministic project field
+    cannot be predicate-pushed through or collapse-inlined, so the match
+    filter's ``isnotnull(h)`` stays a filter over the ``h`` attribute.
+    Without the guard, Catalyst rewrites ``isnotnull(CASE ...)`` into a
+    disjunction of the 32 match conditions and pushes it through every
+    projection down to the scan, substituting each regex AND the
+    caller's ``value`` definition per disjunct (observed on
+    m5_weblog_hits, whose value is a synthesized concat/CASE line: a
+    1.5 MB source method); (3) the match CASE itself runs over plain
+    attribute references. Pinned by
+    tests/test_metrics_golden.py::test_extract_stage_compiles with
+    ``spark.sql.codegen.fallback=false``.
     """
+    table_rows = weblog_pattern_table()
+    slug_cols = {
+        f"__s{i}": F.regexp_extract("value", pattern, 1)
+        for i, (_, _, pattern) in enumerate(table_rows)
+    }
+    staged = raw.where(F.col("value").rlike(GLOBAL_PATTERN)).withColumns(
+        slug_cols
+    )
     hit = None
-    for obj_type, segment, pattern in weblog_pattern_table():
-        slug = F.regexp_extract("value", pattern, 1)
+    for i, (obj_type, segment, _) in enumerate(table_rows):
+        slug = F.col(f"__s{i}")
         value = F.struct(
             F.lit(obj_type).alias("object_type"),
             slug.alias("id"),
@@ -159,7 +192,7 @@ def extract_hits_typed(raw: DataFrame, date: str) -> DataFrame:
         )
     passthrough = [c for c in raw.columns if c != "value"]
     return (
-        raw.withColumn("h", hit)
+        staged.withColumn("h", F.when(F.spark_partition_id() >= 0, hit))
         .where(F.col("h").isNotNull())
         .select(
             "h.object_type",
