@@ -129,3 +129,50 @@ def test_parse_then_aggregate_end_to_end(spark):
             ), f"e2e mismatch for {obj_type}"
     finally:
         hits.unpersist()
+
+
+def test_extract_stage_compiles(spark):
+    """Pin the codegen shape of the hottest 100 TB scan: the staged
+    two-projection extract chain (pipelines/metrics.py:extract_hits_typed)
+    must stay inside whole-stage codegen with ``spark.sql.codegen.fallback``
+    DISABLED — so a janino 64KB-method rejection fails the test loudly
+    instead of silently dropping the stage to interpreted row evaluation.
+
+    Exercises BOTH entry shapes: the raw text-file path (golden log) and
+    the m5_weblog_hits synthesized-value path (whose ``value`` is a
+    concat/CASE expression — the shape that produced a 1.5 MB generated
+    method when the ``spark_partition_id() >= 0`` nondeterministic guard
+    was absent and Catalyst pushed ``isnotnull(CASE ...)`` through every
+    projection into the scan). Removing the guard or fusing the staged
+    projections regenerates the oversized method and this test fails
+    with a codegen CompileException.
+    """
+    from datagouvfr_data_pipelines_spark.plans.relational17 import (
+        m5_weblog_hits,
+    )
+
+    sf_smoke = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        # raw text path: golden log through the full extract chain
+        raw = spark.read.text(os.path.join(FIXDIR, "test_raw.log"))
+        hits = extract_hits_typed(raw, DATE)
+        # "*(n)" prefixes mark WholeStageCodegen spans in the plan string;
+        # every Project/Filter of the extract chain must carry one
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "*(1) Project" in plan and "*(1) Filter" in plan, plan
+        n_raw = hits.count()
+        assert n_raw > 0
+
+        # synthesized-value path: the m5 plan end to end at sf0.001
+        # (execute first — AQE only materializes codegen spans in the
+        # final plan; with fallback disabled the collect itself is the
+        # compile gate)
+        m5 = m5_weblog_hits(spark, sf_smoke)
+        rows = m5.collect()
+        assert len(rows) > 0
+        m5_plan = m5._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in m5_plan and "isFinalPlan=true" in m5_plan, m5_plan
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
