@@ -77,6 +77,10 @@ HEADLINE = [
     "e_funnel_conversion",    # ordered funnel fold (one user shuffle)
     "d_containment_pairs",    # quote-inclusion search (inverted shingle index)
     "e_retention_cohorts",    # weekly cohort matrix (shared-key shuffles)
+    "t_cross_doc_spans",      # Lee et al. cross-doc duplicate span extract
+    "t_span_scrubbed_docs",   # keep-one span removal (canonical-range protect)
+    "t_charlm_nll",           # char-bigram LM perplexity proxy
+    "d_semantic_dedup",       # SemDeDup kmeans-cell cosine dedup
 ]
 # Deliberately NOT headline: g_pagerank / sk_user_reach_rollup (per-
 # iteration materialization and K-row sketch states carry fixed Spark
@@ -185,6 +189,19 @@ def main() -> None:
                 "oracle_comparable_spark_sec": comparable,
                 "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # protocol pin (round-5 task #8): what produced these numbers.
+                # Aggregate ratios on UNCHANGED code moved 0.67->0.74->0.79x
+                # across rounds 4-6 — that band is environment noise (JVM
+                # JIT state, page cache, co-running load), not plan changes;
+                # see BASELINE.md "Bench protocol & noise band".
+                "protocol": {
+                    "reps": reps,
+                    "stat": "median",
+                    "cpus": int(cpus),
+                    "warmup": "1 trivial parquet count (JVM+footer cache)",
+                    "cache_cleared_between_reps": True,
+                    "load_avg_1min": round(os.getloadavg()[0], 2),
+                },
             }
         )
     )

@@ -497,6 +497,7 @@ def semantic_dedup(
     vec_col: str,
     centroids: list[list[float]],
     threshold: float = 0.5,
+    max_cell_size: int = 10_000,
 ):
     """SemDeDup semantic deduplication (Abbas et al. 2023, public method):
     assign every vector to its nearest k-means centroid, and inside each
@@ -514,9 +515,15 @@ def semantic_dedup(
     on the cell key) — O(sum cell_size^2), never all-pairs. Cluster count k
     must grow with corpus size (k ~ n / target_cell_size, the SemDeDup
     recipe) so cells stay bounded; train ``kmeans_fit`` on a sample, assign
-    full-data. Norms and centroid cosines are computed per VECTOR before
-    the self-join (the emb_neardup_pairs lesson: higher-order folds are
-    interpreted, so per-pair norm folds dominate the naive form).
+    full-data. ``max_cell_size`` is the hard guardrail behind that
+    convention (the ``max_bucket_size`` of dedup.py:minhash_lsh_candidates):
+    cells larger than the cap SKIP pair expansion entirely — their members
+    all stay ``kept`` (keeping a duplicate is safe; dropping on partial
+    pair evidence is not) — so one skewed embedding cluster at 100 TB
+    bounds to O(n) instead of an unbounded O(cell^2) blow-up. Norms and
+    centroid cosines are computed per VECTOR before the self-join (the
+    emb_neardup_pairs lesson: higher-order folds are interpreted, so
+    per-pair norm folds dominate the naive form).
     """
     cell = nearest_centroid(vec_col, centroids)
     base = df.select(
@@ -552,8 +559,16 @@ def semantic_dedup(
         ).otherwise(dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))),
         6,
     )
+    # cap: only cells within max_cell_size form pairs (k-row broadcast)
+    ok_cells = F.broadcast(
+        base.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .where(F.col("__cn") <= max_cell_size)
+        .select("cell")
+    )
     pairs = (
-        a.join(b, "cell")
+        a.join(ok_cells, "cell")
+        .join(b, "cell")
         .where(F.col("__ida") < F.col("__idb"))
         .withColumn("__sim", sim)
         .where(F.col("__sim") >= threshold)
@@ -574,3 +589,140 @@ def semantic_dedup(
         .otherwise(F.lit("kept"))
         .alias("status"),
     )
+
+
+def kmeans_fit_np(
+    df: "DataFrame",
+    vec_col: str,
+    k: int,
+    iterations: int = 10,
+    sample_rows: int = 65_536,
+) -> list[list[float]]:
+    """Sample-trained Lloyd's k-means for LARGE k — the 100 TB SemDeDup
+    trainer companion to ``kmeans_fit``.
+
+    ``kmeans_fit``/``nearest_centroid`` embed centroids as literal
+    expressions whose when/least tree grows exponentially in k (each step
+    re-references the previous best-distance tree twice), so they stop at
+    small k. At SemDeDup scale k ~ n / target_cell_size runs into the
+    thousands; the standard recipe (Abbas et al. 2023) trains on a bounded
+    SAMPLE and assigns full-data. This trainer takes a deterministic
+    hash-ordered sample of ``sample_rows`` vectors (TakeOrdered — a top-N
+    heap, no full sort), runs vectorized Lloyd's on the driver (the sample
+    is bounded and tiny next to the corpus — same driver-side footprint
+    class as the sketch folds), and returns the k x dim centroid list for
+    ``semantic_dedup_scaled`` to assign distributively. Empty cells keep
+    their previous centroid. Deterministic for fixed input."""
+    import numpy as np
+
+    sample = (
+        df.select(_col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<string>")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample ({len(X)}) smaller than k ({k})")
+    C = X[:k].copy()
+    for _ in range(iterations):
+        # argmin ||x - c||^2 = argmin (|c|^2 - 2 x.c) via one GEMM
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        cells = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[cells == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
+def semantic_dedup_scaled(
+    df: "DataFrame",
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.5,
+    max_cell_size: int = 10_000,
+):
+    """SemDeDup for large k / large corpora: same semantics and output
+    schema as ``semantic_dedup`` — (id, cell, c_sim, status), keep-farthest
+    drop rule, ties keep the smaller id, oversized cells (> max_cell_size)
+    skip pair expansion with all members kept — but every numeric stage is
+    vectorized numpy over Arrow batches instead of literal expressions:
+
+    - assignment + centroid cosine: one ``mapInPandas`` pass, a single
+      GEMM per batch against the broadcast k x dim centroid matrix (the
+      literal-expression path grows exponentially in k; this is O(k·dim)
+      per row and flat in plan size);
+    - within-cell pairwise cosine: ``applyInPandas`` per cell — one
+      normalized GEMM per cell, O(cell^2·dim) BLAS flops, bounded by the
+      cap. One shuffle total (the cell key), no driver-side data.
+
+    Parity with the exact path is pinned by tests (statuses equal on the
+    real embeddings table); c_sim rounding (6 dp) matches. Float caveat:
+    numpy sums pairwise while the JVM fold is sequential — last-ulp
+    differences can flip a rounded value sitting exactly on a 5e-7
+    boundary, which the parity test would surface."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    id_field = df.schema[id_col].dataType.simpleString()
+    mid_schema = (
+        f"{id_col} {id_field}, cell int, c_sim double, __v array<double>"
+    )
+    out_schema = f"{id_col} {id_field}, cell int, c_sim double, status string"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            G = V @ C.T
+            d2 = (cn * cn)[None, :] - 2.0 * G
+            cells = d2.argmin(axis=1)
+            vn = np.sqrt((V * V).sum(axis=1))
+            denom = vn * cn[cells]
+            cs = np.where(
+                denom == 0.0, 0.0, G[np.arange(len(V)), cells] / np.where(denom == 0.0, 1.0, denom)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "c_sim": np.round(cs, 6),
+                    "__v": list(V),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(assign, schema=mid_schema)
+
+    def dedup_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        out = pdf[[id_col, "cell", "c_sim"]].copy()
+        out["status"] = "kept"
+        if n < 2 or n > max_cell_size:
+            return out
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        out = pdf[[id_col, "cell", "c_sim"]].copy()
+        out["status"] = "kept"
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        vn = np.sqrt((V * V).sum(axis=1))
+        safe = np.where(vn == 0.0, 1.0, vn)
+        S = np.round((V / safe[:, None]) @ (V / safe[:, None]).T, 6)
+        S[vn == 0.0, :] = 0.0
+        S[:, vn == 0.0] = 0.0
+        ca = pdf["c_sim"].to_numpy()
+        ia, ib = np.triu_indices(n, k=1)  # ia < ib in sorted-id order
+        hit = S[ia, ib] >= threshold
+        ia, ib = ia[hit], ib[hit]
+        # keep-farthest: drop the member closer to the centroid (higher
+        # c_sim); ties drop the greater id (= index b in sorted order)
+        drop = np.where(ca[ia] < ca[ib], ib, np.where(ca[ib] < ca[ia], ia, ib))
+        out.loc[np.unique(drop), "status"] = "dropped"
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(dedup_cell, schema=out_schema)

@@ -195,6 +195,7 @@ _SEM_K = 8
 _SEM_ITERS = 2
 _SEM_DIM = 64
 _SEM_TAU = 0.35
+_SEM_MAX_CELL = 10_000
 
 
 def _semantic_dedup_oracle(
@@ -202,6 +203,7 @@ def _semantic_dedup_oracle(
     iterations: int = _SEM_ITERS,
     dim: int = _SEM_DIM,
     tau: float = _SEM_TAU,
+    max_cell: int = _SEM_MAX_CELL,
 ) -> str:
     """DuckDB replica of the FULL SemDeDup pipeline: the shared portable
     k-means CTE chain (text_pipeline._kmeans_af_ctes) -> per-vector
@@ -236,12 +238,16 @@ def _semantic_dedup_oracle(
              {norm('af.embedding')} AS nrm
       FROM af JOIN {cf} ON af.cell = {cf}.cell
     ),
+    ok_cells AS (
+      SELECT cell FROM cs GROUP BY cell HAVING COUNT(*) <= {max_cell}
+    ),
     p AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib, a.c_sim AS ca, b.c_sim AS cb,
              round(CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
                         ELSE {dot('a.v', 'b.v')} / (a.nrm * b.nrm)
                    END, 6) AS sim
       FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN ok_cells ok ON a.cell = ok.cell
     ),
     d AS (
       SELECT DISTINCT CASE WHEN ca < cb THEN ib
@@ -284,5 +290,10 @@ def d_semantic_dedup(spark, sf_dir):
         init_id_col="vec_id",
     )
     return semantic_dedup(
-        emb, "vec_id", "embedding", centroids, threshold=_SEM_TAU
+        emb,
+        "vec_id",
+        "embedding",
+        centroids,
+        threshold=_SEM_TAU,
+        max_cell_size=_SEM_MAX_CELL,
     )

@@ -78,7 +78,11 @@ def merge_states_into(
     state quartet makes any merge order exact. When ``batch_id`` is given,
     the ``_last_batch`` watermark is stamped into the tmp directory BEFORE
     the swap, so state and watermark commit as one atomic unit (the module
-    docstring's crash-window table relies on this ordering)."""
+    docstring's crash-window table relies on this ordering). When
+    ``batch_id`` is None (an out-of-band merge, e.g. a backfill folded in
+    outside the stream), the EXISTING watermark is carried into the tmp
+    directory unchanged — an out-of-band merge must not reset replay
+    protection to -1, or a later foreachBatch replay would double-merge."""
     import glob as _glob
 
     _recover_swap_state(state_path)
@@ -101,6 +105,11 @@ def merge_states_into(
     write_parquet(merged, tmp)
     if batch_id is not None:
         _write_watermark_into(tmp, batch_id)
+    else:
+        # out-of-band merge: preserve the stream's replay watermark
+        prev = _read_watermark(state_path)
+        if prev >= 0:
+            _write_watermark_into(tmp, prev)
     old = state_path.rstrip("/") + "__old"
     if os.path.exists(old):
         shutil.rmtree(old)

@@ -420,6 +420,72 @@ def main() -> None:
         }
     dk.unpersist(), d1.unpersist()
 
+    # SemDeDup tier: the numpy-scaled path (mapInPandas assignment +
+    # per-cell GEMM) with k grown ∝ n — the SemDeDup recipe — so cell
+    # sizes stay constant and within-cell pair work stays linear; the
+    # max_cell_size cap is the guardrail if a trained clustering skews.
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        kmeans_fit_np,
+        semantic_dedup_scaled,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+
+    def replicate_emb(frame, kk):
+        # rotate embedding dims per copy: preserves norms, decorrelates
+        # copies (the alphabet-permutation trick for vectors) so the kx
+        # corpus is kx genuinely-new vectors, not kx cosine-1 twins
+        parts = []
+        for i in range(kk):
+            rot = i % dim
+            parts.append(
+                frame.withColumn("vec_id", F.col("vec_id") + F.lit(i * OFF))
+                .withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", rot + 1, dim - rot),
+                        F.slice("embedding", 1, rot),
+                    ),
+                )
+            )
+        o = parts[0]
+        for p in parts[1:]:
+            o = o.unionByName(p)
+        return o
+
+    e1 = emb.persist()
+    n_e1 = e1.count()
+    ek = replicate_emb(emb, k).persist()
+    ek.count()
+    sem_k1 = 8
+    cents1 = kmeans_fit_np(e1, "embedding", k=sem_k1, iterations=3)
+    centsk = kmeans_fit_np(ek, "embedding", k=sem_k1 * k, iterations=3)
+
+    def sem_shape_1(frame):
+        return semantic_dedup_scaled(
+            frame, "vec_id", "embedding", cents1, threshold=0.35
+        )
+
+    def sem_shape_k(frame):
+        return semantic_dedup_scaled(
+            frame, "vec_id", "embedding", centsk, threshold=0.35
+        )
+
+    n1 = sem_shape_1(e1).count()
+    spark.catalog.clearCache()
+    nk = sem_shape_k(ek).count()
+    spark.catalog.clearCache()
+    t1 = timed_clearing(sem_shape_1, e1, reps=5)
+    tk = timed_clearing(sem_shape_k, ek, reps=5)
+    out["d_semantic_dedup"] = {
+        "t1": round(t1, 3), "tk": round(tk, 3),
+        "ratio": round(tk / t1, 2),
+        "rows1": n1, "rowsk": nk,
+        "rows_growth": round(nk / max(n1, 1), 2),
+    }
+    ek.unpersist(), e1.unpersist()
+
     notes = (
         "dedup tier: rows1/rowsk/rows_growth record OUTPUT pair growth — "
         "the direct evidence that max_bucket_size/min_shared keep candidate "
@@ -428,7 +494,10 @@ def main() -> None:
         "<=2x at 32x; the end-to-end warm ratio additionally carries the "
         "per-run re-persist of the shingle projection (~32x more cache "
         "build) and fixed local[32] parallelism saturation, which a "
-        "cluster scale-out removes."
+        "cluster scale-out removes. SemDeDup row: k grown proportionally "
+        "with n (the SemDeDup recipe) keeps cell sizes constant, so "
+        "output rows grow exactly kx and within-cell pair work is linear; "
+        "max_cell_size bounds any skewed cell."
     )
     print(json.dumps({"k": k, "queries": out, "notes": notes}))
     spark.stop()
