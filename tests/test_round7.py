@@ -103,3 +103,156 @@ def test_kmeans_fit_np_sample_smaller_than_k_raises(spark):
     )
     with pytest.raises(ValueError, match="smaller than k"):
         kmeans_fit_np(df, "embedding", k=5)
+
+
+# --- geocode n-2/n+2 interpolation (reference geocode.py:296-556) ---
+
+from datagouvfr_data_pipelines_spark.functions.udfs import (  # noqa: E402
+    ban_select,
+    geocode_structured,
+)
+
+
+def _canned(responses):
+    """service(q, citycode) backed by a dict of canned responses."""
+    def service(q, citycode):
+        return responses.get((q, citycode))
+    return service
+
+
+def test_ban_select_direct_housenumber_hit():
+    svc = _canned({
+        ("17 RUE DE LA PAIX", "75102"): {
+            "lon": 2.331, "lat": 48.869, "score": 0.92,
+            "type": "housenumber", "label": "17 Rue de la Paix 75002 Paris",
+            "housenumber": "17",
+        },
+    })
+    got = ban_select("17", "RUE", "DE LA PAIX", "75102", svc)
+    assert got == (2.331, 48.869, 0.92, "housenumber",
+                   "17 Rue de la Paix 75002 Paris")
+
+
+def test_ban_select_interpolation_arithmetic():
+    """Exact parity with the reference midpoint arithmetic
+    (geocode.py:374-407): per-axis mean rounded to 6 dp, mean score,
+    type 'interpolation', label = numvoie + avant label minus its own
+    housenumber prefix."""
+    svc = _canned({
+        # direct lookup resolves to a STREET and numvoie > 2 -> interpolate
+        ("17 RUE DE LA PAIX", "75102"): {
+            "lon": 2.33, "lat": 48.87, "score": 0.6, "type": "street",
+            "label": "Rue de la Paix 75002 Paris", "housenumber": "",
+        },
+        ("15 RUE DE LA PAIX", "75102"): {
+            "lon": 2.3312341, "lat": 48.8691113, "score": 0.81,
+            "type": "housenumber", "label": "15 Rue de la Paix 75002 Paris",
+            "housenumber": "15",
+        },
+        ("19 RUE DE LA PAIX", "75102"): {
+            "lon": 2.3316668, "lat": 48.8693339, "score": 0.71,
+            "type": "housenumber", "label": "19 Rue de la Paix 75002 Paris",
+            "housenumber": "19",
+        },
+    })
+    lon, lat, score, typ, label = ban_select(
+        "17", "RUE", "DE LA PAIX", "75102", svc
+    )
+    assert lon == round((2.3312341 + 2.3316668) / 2, 6) == 2.33145
+    assert lat == round((48.8691113 + 48.8693339) / 2, 6) == 48.869223
+    assert score == (0.81 + 0.71) / 2
+    assert typ == "interpolation"
+    assert label == "17 Rue de la Paix 75002 Paris"
+
+
+def test_ban_select_interpolation_on_total_miss():
+    """ban is None also triggers the neighbor probe (the reference's
+    `ban is None or ...` precedence)."""
+    svc = _canned({
+        ("9 RUE X", "01001"): {"lon": 1.0, "lat": 46.0, "score": 0.9,
+                               "type": "housenumber", "label": "9 Rue X",
+                               "housenumber": "9"},
+        ("13 RUE X", "01001"): {"lon": 3.0, "lat": 46.5, "score": 0.4,
+                                "type": "housenumber", "label": "13 Rue X",
+                                "housenumber": "13"},
+    })
+    lon, lat, score, typ, _ = ban_select("11", "RUE", "X", "01001", svc)
+    assert (lon, lat) == (2.0, 46.25)
+    assert typ == "interpolation" and score == pytest.approx(0.65)
+
+
+def test_ban_select_interpolation_guards():
+    """avant must beat 0.5 and apres must beat score_min, both must be
+    housenumbers — otherwise fall through to the street result."""
+    base = {
+        ("17 RUE Y", "75102"): {"lon": 2.0, "lat": 48.0, "score": 0.6,
+                                "type": "street", "label": "Rue Y",
+                                "housenumber": ""},
+        ("19 RUE Y", "75102"): {"lon": 2.2, "lat": 48.2, "score": 0.9,
+                                "type": "housenumber", "label": "19 Rue Y",
+                                "housenumber": "19"},
+    }
+    # avant score 0.5 is NOT > 0.5 -> no interpolation -> street fallback
+    svc = _canned({**base, ("15 RUE Y", "75102"): {
+        "lon": 2.1, "lat": 48.1, "score": 0.5, "type": "housenumber",
+        "label": "15 Rue Y", "housenumber": "15"}})
+    got = ban_select("17", "RUE", "Y", "75102", svc)
+    assert got[3] == "street" and got[0] == 2.0
+    # avant is a street itself -> no interpolation
+    svc = _canned({**base, ("15 RUE Y", "75102"): {
+        "lon": 2.1, "lat": 48.1, "score": 0.9, "type": "street",
+        "label": "Rue Y", "housenumber": ""}})
+    assert ban_select("17", "RUE", "Y", "75102", svc)[3] == "street"
+
+
+def test_ban_select_miss_and_any_type_fallback():
+    assert ban_select("17", "RUE", "Z", "99999", _canned({})) == (
+        None, None, None, None, None
+    )
+    # municipality coercion + any-type fallback (no numvoie, no street)
+    svc = _canned({("LYON", "69123"): {
+        "lon": 4.84, "lat": 45.76, "score": 0.8, "type": "city",
+        "label": "Lyon", "housenumber": ""}})
+    got = ban_select("", "", "LYON", "69123", svc)
+    assert got == (4.84, 45.76, 0.8, "municipality", "Lyon")
+
+
+def test_geocode_structured_plumbing(spark):
+    """mapInPandas leg: distinct-address batching, join-back, nulls on
+    miss; the default deterministic fake exercises every branch."""
+    rows = [
+        ("17", "RUE", "DE LA PAIX", "75102"),
+        ("17", "RUE", "DE LA PAIX", "75102"),  # duplicate: one service hit
+        ("", "", "LYON", "69123"),
+        (None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "numvoie string, typvoie string, libvoie string, depcom string"
+    )
+    out = geocode_structured(df).collect()
+    assert len(out) == 4
+    by_lib = {}
+    for r in out:
+        by_lib.setdefault(r.libvoie, []).append(r)
+    a, b = by_lib["DE LA PAIX"]
+    assert (a.lon, a.lat, a.geo_type) == (b.lon, b.lat, b.geo_type)
+    # canned service through the SPARK path gives the same interpolation
+    svc_responses = {
+        ("17 RUE DE LA PAIX", "75102"): {
+            "lon": 2.33, "lat": 48.87, "score": 0.6, "type": "street",
+            "label": "Rue de la Paix", "housenumber": ""},
+        ("15 RUE DE LA PAIX", "75102"): {
+            "lon": 2.3312341, "lat": 48.8691113, "score": 0.81,
+            "type": "housenumber", "label": "15 Rue de la Paix",
+            "housenumber": "15"},
+        ("19 RUE DE LA PAIX", "75102"): {
+            "lon": 2.3316668, "lat": 48.8693339, "score": 0.71,
+            "type": "housenumber", "label": "19 Rue de la Paix",
+            "housenumber": "19"},
+    }
+    one = spark.createDataFrame(
+        [rows[0]], "numvoie string, typvoie string, libvoie string, depcom string"
+    )
+    r = geocode_structured(one, service=_canned(svc_responses)).collect()[0]
+    assert (r.lon, r.lat, r.geo_type) == (2.33145, 48.869223, "interpolation")
+    assert r.geo_label == "17 Rue de la Paix"
