@@ -640,9 +640,101 @@ def st8_sliding_windows(spark, sf_dir):
     )
 
 
+_BPE_S, _BPE_E = "\x02", "\x03"
+
+
+def _bpe_fold_sql(list_expr: str, a_expr: str, b_expr: str) -> str:
+    """Leftmost non-overlapping BPE merge as a DuckDB string fold over a
+    sentinel-delimited symbol state (each symbol wrapped \\x02...\\x03, so
+    ends_with identifies the last symbol exactly): the SQL twin of
+    bpe.py:apply_merge_py."""
+    suf = f"'{_BPE_S}' || {a_expr} || '{_BPE_E}'"
+    return (
+        f"list_reduce(list_prepend('', {list_expr}), (acc, x) -> "
+        f"CASE WHEN ends_with(acc, {suf}) AND x = {b_expr} "
+        f"THEN substr(acc, 1, length(acc) - length({suf})) || "
+        f"'{_BPE_S}' || {a_expr} || {b_expr} || '{_BPE_E}' "
+        f"ELSE acc || '{_BPE_S}' || x || '{_BPE_E}' END)"
+    )
+
+
+def _bpe_oracle_sql(num_merges: int = 8, min_pair: int = 2) -> str:
+    """Unrolled-iteration DuckDB replica of the FULL BPE pipeline (the
+    g_pagerank_exact / kmeans precedent: chained AS MATERIALIZED CTEs, one
+    trio per merge round): word-frequency table -> per-round weighted
+    adjacent-pair count -> (count DESC, pair ASC) argmax -> conditional
+    merge fold with the min_pair_count=2 early stop -> per-doc token
+    count. Symbol state is a sentinel-delimited VARCHAR (\\x02sym\\x03...)
+    so the merge is a pure left fold; final token count = sentinel count.
+    No re-tokenization pass is needed: documents' words ARE vocabulary
+    words, and the final vocab state equals the merges applied in learned
+    order — exactly bpe_tokenize_py."""
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+
+    def syms(col: str) -> str:
+        return f"regexp_extract_all({col}, '{_BPE_S}([^{_BPE_E}]*){_BPE_E}', 1)"
+
+    chars = (
+        "list_transform(generate_series(1, length(word)),"
+        " i -> substr(word, i, 1))"
+    )
+    # the r0 fold never merges (a = '' cannot match, b = NULL): it only
+    # wraps each character in sentinels
+    parts = [f"""
+    WITH wtok AS MATERIALIZED (
+      SELECT unnest(list_filter({tok}, t -> t <> '')) AS word FROM documents
+    ),
+    r0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             {_bpe_fold_sql(chars, "''", "NULL")} AS state
+      FROM wtok GROUP BY word
+    )"""]
+    for i in range(num_merges):
+        parts.append(f""",
+    pairs{i} AS MATERIALIZED (
+      SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM (
+        SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+                     j -> [syms[j], syms[j + 1]])) AS p
+        FROM (SELECT cnt, {syms('state')} AS syms FROM r{i})
+      ) GROUP BY 1, 2
+    ),
+    best{i} AS MATERIALIZED (
+      SELECT a, b, n FROM pairs{i} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    r{i + 1} AS MATERIALIZED (
+      SELECT word, cnt,
+        CASE WHEN bb.n IS NULL OR bb.n < {min_pair} THEN state
+        ELSE {_bpe_fold_sql(syms('state'), 'bb.a', 'bb.b')}
+        END AS state
+      FROM r{i} LEFT JOIN best{i} bb ON TRUE
+    )""")
+    parts.append(f""",
+    final AS MATERIALIZED (
+      SELECT word,
+             CAST(length(state) - length(replace(state, '{_BPE_S}', ''))
+                  AS BIGINT) AS ntok
+      FROM r{num_merges}
+    ),
+    docw AS (
+      SELECT doc_id, unnest(list_filter({tok}, t -> t <> '')) AS word
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, SUM(f.ntok) AS s
+      FROM docw JOIN final f USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           CAST(COALESCE(a.s, 0) AS INTEGER) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id""")
+    return "".join(parts)
+
+
 @register(
     "t_bpe_tokens",
-    tags=["text", "bpe", "tokenizer", "no-oracle"],
+    oracle=_bpe_oracle_sql(),
+    tags=["text", "bpe", "tokenizer"],
 )
 def t_bpe_tokens(spark, sf_dir):
     """BPE subword tokenization (functions/bpe.py): learn 8 merges on the
@@ -650,9 +742,12 @@ def t_bpe_tokens(spark, sf_dir):
     ONE Spark job however many merges, the 32k-vocab scale path; parity
     with the per-merge-job distributed trainer is test-pinned), then
     tokenize every document with the learned table via an Arrow-batched
-    mapInPandas. Rows-only: the learned merges are deterministic
-    (count-desc/pair-asc tiebreak, partition-invariant) but the iterative
-    trainer is not SQL-expressible."""
+    mapInPandas. Oracle-checked END TO END since round 7: the iterative
+    trainer unrolls as chained AS MATERIALIZED CTEs (_bpe_oracle_sql) —
+    weighted pair counts, the (count DESC, pair ASC) argmax, the leftmost
+    non-overlapping merge fold and the min_pair_count early stop all
+    reproduced in SQL, so the learned merge TABLE (not just the counts)
+    is cross-engine pinned."""
     from datagouvfr_data_pipelines_spark.functions.bpe import (
         bpe_apply,
         bpe_train_driver,
