@@ -1146,26 +1146,105 @@ def t_token_entropy(spark, sf_dir):
     return token_entropy(docs, "doc_id", "text")
 
 
-@register("sim_pca_project", oracle=None, tags=["similarity", "pca", "no-oracle"])
-def sim_pca_project(spark, sf_dir):
-    """PCA dim-reduction in front of ANN (functions/similarity.py:pca_fit /
-    pca_transform): fit a k=8 basis from per-partition gram-matrix partials
-    (mapInPandas), project with JVM column folds. Rows-only check — float
-    reduce order makes the basis ~1e-6-stable, not bit-identical; the
-    numpy-parity and orthonormality assertions live in
-    tests/test_ann_simhash.py."""
-    from datagouvfr_data_pipelines_spark.functions.similarity import (
-        pca_fit,
-        pca_transform,
-    )
+def _pinned_basis(k: int = 2, dim: int = 64) -> list[list[float]]:
+    """Frozen orthonormal projection basis: rows 1..k of the dim-point
+    Walsh-Hadamard matrix scaled by 1/sqrt(dim). Entries are exact dyadic
+    doubles (+-0.125 at dim 64), so the pinned components carry ZERO
+    text-round-trip or quantization risk across engines."""
+    return [
+        [
+            (1.0 if bin(r & j).count("1") % 2 == 0 else -1.0) / dim ** 0.5
+            for j in range(dim)
+        ]
+        for r in range(1, k + 1)
+    ]
 
+
+_PCA_DIM = 64
+_PCA_COMPONENTS = _pinned_basis(k=2, dim=_PCA_DIM)
+
+
+def _pca_project_oracle() -> str:
+    comps_sql = [
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in _PCA_COMPONENTS
+    ]
+
+    def fold(comp: str) -> str:
+        return (
+            f"round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {_PCA_DIM}), "
+            f"i -> (CAST(embedding[i] AS DOUBLE) - m.ml[i]) * ({comp})[i])), "
+            f"(acc, x) -> acc + x), 4)"
+        )
+
+    return f"""
+    WITH m AS MATERIALIZED (
+      SELECT list((CAST(s AS DOUBLE) / n) / 1e9 ORDER BY pos) AS ml FROM (
+        SELECT i AS pos,
+               SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+                 AS s,
+               COUNT(*) AS n
+        FROM embeddings, generate_series(1, {_PCA_DIM}) t(i)
+        GROUP BY i)
+    )
+    SELECT vec_id, {fold(comps_sql[0])} AS p1, {fold(comps_sql[1])} AS p2
+    FROM embeddings, m
+    """
+
+
+@register(
+    "sim_pca_project",
+    oracle=_pca_project_oracle(),
+    tags=["similarity", "pca", "projection"],
+)
+def sim_pca_project(spark, sf_dir):
+    """PCA-style dim-reduction projection in front of ANN, the production
+    frozen-basis shape: at 100 TB the basis is fit OFFLINE on a sample
+    (functions/similarity.py:pca_fit — numpy-parity and orthonormality
+    pinned in tests/test_ann_simhash.py) and shipped as constants; the
+    full-data pass is center-and-project only. The catalog query pins that
+    projection path cross-engine with PINNED components (Walsh-Hadamard
+    rows — exact dyadic doubles, so the constants are bit-identical in
+    both engines) and the portable nano-quantized mean (the kmeans
+    floor(x*1e9) update rule): both engines center by (sum_nano/n)/1e9 and
+    fold (x_i - mean_i) * comp_i left-to-right in double. Oracle-checked
+    since round 7 (previously rows-only under the fitted float
+    eigenbasis, whose reduce-order jitter is not cross-engine pinnable)."""
     emb = table(spark, sf_dir, "embeddings")
-    comps, mean, _ = pca_fit(emb, "embedding", k=8)
-    out = pca_transform(emb, "embedding", comps, mean)
-    return out.select(
+    sums = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(1e9)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    mean = [0.0] * _PCA_DIM
+    for r in sums:
+        mean[r["pos"]] = (r["s"] / r["n"]) / 1e9
+    marr = F.array(*[F.lit(float(x)) for x in mean])
+    v = F.col("embedding")
+
+    def proj(comp: list[float]) -> F.Column:
+        carr = F.array(*[F.lit(float(x)) for x in comp])
+        return F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(_PCA_DIM)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + (F.element_at(v, i).cast("double") - F.element_at(marr, i))
+                * F.element_at(carr, i),
+            ),
+            4,
+        )
+
+    return emb.select(
         "vec_id",
-        F.round(F.element_at("pca", 1), 4).alias("p1"),
-        F.round(F.element_at("pca", 2), 4).alias("p2"),
+        proj(_PCA_COMPONENTS[0]).alias("p1"),
+        proj(_PCA_COMPONENTS[1]).alias("p2"),
     )
 
 
