@@ -780,6 +780,7 @@ def remove_cross_doc_spans(
     n: int = 7,
     min_docs: int = 2,
     portable: bool = False,
+    report_residual: bool = False,
 ):
     """Cut cross-document duplicated regions OUT of the text, keeping the
     first occurrence — the transform step of Lee et al. 2022 (n-gram
@@ -800,6 +801,14 @@ def remove_cross_doc_spans(
     can be annihilated corpus-wide (e.g. ``['a b','a a b','a a']`` at
     n=2). With it, the canonical occurrence's n tokens all survive and
     stay adjacent, so every shared gram survives in >= 1 document.
+
+    The protection deliberately relaxes Lee et al.'s strict removal:
+    where a locally-canonical gram overlaps a marked span, the overlap's
+    tokens stay — residual duplication can remain on corpora with heavily
+    interleaved canonical ownership. ``report_residual=True`` adds an
+    ``n_residual_words`` column (tokens marked for cut but saved by
+    protection) so that relaxation is measurable at scale, e.g.
+    ``out.agg(F.sum('n_residual_words'))`` as a pipeline health metric.
 
     Scale shape: the position pass is the linear span pipeline (explode
     -> two-phase count -> join back, now carrying a canonical flag); the
@@ -833,11 +842,23 @@ def remove_cross_doc_spans(
             | covered(F.col("__pp"), i),
         )
     )
-    return j.select(
+    cols = [
         F.col(id_col),
         (F.size("__t") - F.size(kept)).cast("long").alias("n_removed_words"),
         F.concat_ws(" ", kept).alias("clean_text"),
-    )
+    ]
+    if report_residual:
+        residual = F.when(F.col("__mp").isNull(), F.lit(0)).otherwise(
+            F.size(
+                F.filter(
+                    F.col("__t"),
+                    lambda x, i: covered(F.col("__mp"), i)
+                    & covered(F.col("__pp"), i),
+                )
+            )
+        )
+        cols.append(residual.cast("long").alias("n_residual_words"))
+    return j.select(*cols)
 
 
 def char_bigrams(col: Column | str) -> Column:

@@ -256,3 +256,46 @@ def test_geocode_structured_plumbing(spark):
     r = geocode_structured(one, service=_canned(svc_responses)).collect()[0]
     assert (r.lon, r.lat, r.geo_type) == (2.33145, 48.869223, "interpolation")
     assert r.geo_label == "17 Rue de la Paix"
+
+
+def test_remove_cross_doc_spans_residual_reporting(spark):
+    """report_residual counts tokens marked for cut but saved by canonical
+    -range protection — the observability hook for the keep-one
+    relaxation (round-6 advice). The round-5 counterexample has exactly
+    that overlap structure."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        remove_cross_doc_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a a b"), (3, "a a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_cross_doc_spans(
+            df, "doc_id", "text", n=2, min_docs=2, report_residual=True
+        ).collect()
+    }
+    # schema: the extra column only appears when asked for
+    assert "n_residual_words" in out[1].asDict()
+    base = remove_cross_doc_spans(df, "doc_id", "text", n=2, min_docs=2)
+    assert "n_residual_words" not in base.columns
+    # doc 1 is canonical for both its grams -> nothing marked, 0 residual
+    assert out[1].n_residual_words == 0
+    # docs 2/3 carry overlapping marked+protected ranges: residual = tokens
+    # that were marked but survived protection = total - removed - unmarked
+    for d in (2, 3):
+        r = out[d]
+        assert r.n_residual_words >= 0
+    # corpus-wide invariant: every kept-clean text still contains each
+    # shared bigram at least once (the keep-one guarantee the residual
+    # tokens pay for)
+    texts = [out[d].clean_text for d in (1, 2, 3)]
+    assert any("a b" in t for t in texts) and any("a a" in t for t in texts)
+    # totals are consistent: residual tokens are kept tokens
+    for d in (1, 2, 3):
+        n_toks = len(out[d].clean_text.split()) if out[d].clean_text else 0
+        orig = {1: 2, 2: 3, 3: 2}[d]
+        assert orig - out[d].n_removed_words == n_toks
+        assert out[d].n_residual_words <= n_toks
