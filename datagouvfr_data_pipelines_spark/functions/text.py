@@ -710,8 +710,12 @@ def _cross_doc_marked_positions(
     >= ``min_docs`` distinct documents; with ``keep_first`` the gram's
     canonical (smallest-id) document is exempt. Shared by the span
     detector and the span remover."""
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
-        F.size("__t") >= n
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    toks = fan_out(
+        df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+            F.size("__t") >= n
+        )
     )
     grams = toks.select(
         F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
@@ -750,8 +754,12 @@ def _cross_doc_positions_with_canon(
     this document is the gram's canonical (smallest-id) sharer. One gram
     scan, one two-phase distinct-doc aggregate, one shuffle join — the
     remover splits marked vs protected positions from this single pass."""
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
-        F.size("__t") >= n
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    toks = fan_out(
+        df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
+            F.size("__t") >= n
+        )
     )
     grams = toks.select(
         F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
@@ -894,10 +902,16 @@ def charlm_nll_scores(df, id_col: str, text_col: str):
     Scale shape: one bigram explode -> (doc, bigram) partial-agg counts;
     the GLOBAL bigram/prefix tables re-aggregate from those counts (no
     second scan) and are alphabet^2-bounded (~2k rows) -> BROADCAST joins;
-    one shuffle on the doc key end to end. V is a driver scalar (k-state
-    policy).
+    one shuffle on the doc key end to end. V (distinct corpus chars) is a
+    1-row broadcast INSIDE the plan, not a driver collect — one action
+    total, and every derived table hangs off the same (doc, bigram)
+    shuffle so AQE exchange reuse evaluates the explode once (round-7: the
+    previous driver-scalar V forced a second full scan+shuffle job, the
+    bulk of the query's bench gap).
     """
-    bg = df.select(
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    bg = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(char_bigrams(text_col)).alias("bg")
     )
     doc_counts = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
@@ -907,15 +921,15 @@ def charlm_nll_scores(df, id_col: str, text_col: str):
         .groupBy("pre")
         .agg(F.sum("c_bg").alias("c_pre"))
     )
-    v = (
+    vv = (
         global_counts.select(F.substring("bg", 1, 1).alias("ch"))
         .union(global_counts.select(F.substring("bg", 2, 1)))
         .distinct()
-        .count()
+        .agg(F.count(F.lit(1)).cast("long").alias("__v"))
     )
     term = F.floor(
         (
-            F.log(F.col("c_pre") + F.lit(v).cast("long"))
+            F.log(F.col("c_pre") + F.col("__v"))
             - F.log(F.col("c_bg") + F.lit(1).cast("long"))
         )
         * F.lit(1e9)
@@ -924,6 +938,7 @@ def charlm_nll_scores(df, id_col: str, text_col: str):
         doc_counts.join(F.broadcast(global_counts), "bg")
         .withColumn("pre", F.substring("bg", 1, 1))
         .join(F.broadcast(prefix_counts), "pre")
+        .crossJoin(F.broadcast(vv))
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_bigrams"),

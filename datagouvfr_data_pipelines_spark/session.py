@@ -109,3 +109,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def fan_out(df, *key_cols):
+    """Decouple compute parallelism from scan granularity.
+
+    A parquet scan cannot split below row-group boundaries, so a
+    single-file / few-row-group input feeds every core-hungry downstream
+    projection (n-gram building, bigram explode, per-row folds) from a
+    handful of tasks while the rest of the cluster idles. When the frame's
+    partition count is below the cluster's default parallelism,
+    repartition up to it (hash on ``key_cols`` when the next shuffle key
+    is known — the exchange then doubles as that stage's shuffle;
+    round-robin otherwise). No-op whenever the scan already fans wide: at
+    100 TB inputs carry thousands of row-groups and this adds nothing —
+    the guard makes it safe to leave in scale paths permanently."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

@@ -206,6 +206,7 @@ def test_catalog_lints_clean_except_intended_cartesians(spark, sf_dir):
         "rfm_segments",           # 1-row quartile-boundary broadcast
         "asm_temperature_mixture",  # 1-row sqrt-sum denominator broadcast
         "sk_kmv_portable_overlap",  # 1-row sketch scalars (theta/rho/exacts)
+        "t_charlm_nll",           # 1-row vocab-size (V) broadcast
     }
     # Queries whose ntile/rank windows run over an ALREADY-AGGREGATED table
     # (|groups| rows, never fact volume) — the global-order window is the
