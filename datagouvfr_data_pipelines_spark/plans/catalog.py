@@ -67,6 +67,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    # NB: no blanket fan_out here — for scan->agg shapes the map-side
+    # partial aggregate wants to run INSIDE the scan stage (repartitioning
+    # raw rows first is strictly more bytes moved). Operators whose
+    # pre-shuffle stage amplifies compute (n-gram building, bigram
+    # explode) call session.fan_out themselves, where the trade is right.
     return df
 
 
