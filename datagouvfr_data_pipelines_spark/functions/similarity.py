@@ -133,27 +133,35 @@ def kmeans_fit(
 
 
 def nearest_centroid(vec: Column | str, centroids: list[list[float]]) -> Column:
-    """Cell id = argmin squared L2 distance to the (literal) centroids.
+    """Cell id = argmin squared L2 distance to the (literal) centroids,
+    ties to the lower cell id.
 
     Centroids are embedded as array literals so the whole assignment is one
-    JVM-side projection — no UDF, no join.
-    """
+    JVM-side projection — no UDF, no join. The distances land in ONE array
+    and the argmin is ``array_position(d, array_min(d))``, so the
+    expression is LINEAR in k. (The previous chained when/least form
+    referenced each partial-min tree twice per step — exponential
+    expression growth that capped k around 16; round 7. ``array_min``
+    returns an element of the array, so the equality lookup is exact, and
+    ``array_position`` returns the FIRST match — the same lowest-cell-id
+    tie-break as the strict ``<`` chain.) For k beyond a few hundred use
+    the numpy path (``semantic_dedup_scaled``'s one-GEMM assignment)."""
     v = _col(vec)
-    best_cell = F.lit(0)
-    best_dist = None
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(v, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_dist is None:
-            best_dist = d
-        else:
-            best_cell = F.when(d < best_dist, F.lit(i)).otherwise(best_cell)
-            best_dist = F.least(d, best_dist)
-    return best_cell.cast("int")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def ivf_search(

@@ -299,3 +299,43 @@ def test_remove_cross_doc_spans_residual_reporting(spark):
         orig = {1: 2, 2: 3, 3: 2}[d]
         assert orig - out[d].n_removed_words == n_toks
         assert out[d].n_residual_words <= n_toks
+
+
+def test_nearest_centroid_linear_in_k(spark, sf_dir):
+    """The argmin rewrite must (a) agree with numpy argmin (ties to the
+    first index) on real embeddings, and (b) stay buildable at k=64 —
+    the chained when/least form it replaces grew a 2^k expression tree
+    and could not even be constructed there."""
+    import numpy as np
+
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        nearest_centroid,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit_np(emb, "embedding", k=64, iterations=2)
+    got = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", nearest_centroid("embedding", cents).alias("cell")
+        ).collect()
+    }
+    C = np.asarray(cents)
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        d = ((v[None, :] - C) ** 2).sum(axis=1)
+        assert got[r.vec_id] == int(d.argmin()), r.vec_id
+
+
+def test_nearest_centroid_tie_prefers_lower_cell(spark):
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        nearest_centroid,
+    )
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "id long, v array<float>")
+    # two identical centroids: the tie must resolve to cell 0
+    cell = df.select(
+        nearest_centroid("v", [[1.0, 0.0], [1.0, 0.0], [2.0, 0.0]]).alias("c")
+    ).collect()[0]["c"]
+    assert cell == 0
