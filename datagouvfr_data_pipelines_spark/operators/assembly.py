@@ -439,9 +439,14 @@ def dsir_importance_weights(
     ``spark.catalog.clearCache()`` after materializing each batch's
     result, or the cached frames accumulate until LRU pressure.
     """
-    tk = docs.select(
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    # the per-token rolling-hash fold amplifies compute ~tokens-per-doc x;
+    # fan past a narrow (single-row-group) scan before it runs
+    tk = fan_out(docs.select(F.col(id_col), is_target.alias("__tgt"),
+                             F.col(text_col))).select(
         F.col(id_col),
-        is_target.alias("__tgt"),
+        "__tgt",
         F.explode(tokens(text_col)).alias("tok"),
     ).where(F.length("tok") > 0)
     g = (
