@@ -339,3 +339,19 @@ def test_nearest_centroid_tie_prefers_lower_cell(spark):
         nearest_centroid("v", [[1.0, 0.0], [1.0, 0.0], [2.0, 0.0]]).alias("c")
     ).collect()[0]["c"]
     assert cell == 0
+
+
+def test_fan_out_guard(spark):
+    """fan_out must repartition a narrow frame up to default parallelism
+    and leave an already-wide frame untouched (the no-op guard that makes
+    it safe in 100 TB paths)."""
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i,) for i in range(100)], "x long").coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    out = fan_out(narrow)
+    assert out.rdd.getNumPartitions() == par
+    assert out.count() == 100
+    wide = spark.createDataFrame([(i,) for i in range(100)], "x long").repartition(par + 3)
+    assert fan_out(wide) is wide  # identity, not just equal partitioning
