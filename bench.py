@@ -96,10 +96,35 @@ def _median(xs: list[float]) -> float:
     return statistics.median(xs)
 
 
+def _run(df, action: str) -> None:
+    """Execute a query to completion. ``count`` (default, the protocol all
+    rounds share) lets Catalyst prune columns the count doesn't need —
+    flattering for queries whose heavy work lives in an unreferenced
+    output column (e.g. t_span_scrubbed_docs' clean_text). ``fulleval``
+    folds EVERY output column into one checksum row, matching the DuckDB
+    side's fetchall materialization; run with
+    SPARK_GRAFT_BENCH_ACTION=fulleval for the honest-materialization
+    variant (recorded in scripts/bench_fulleval_r*.json)."""
+    if action == "fulleval":
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import MapType
+
+        # bit_xor is closed under int64 (sum() of hashes overflows under
+        # ANSI); maps aren't hashable by default, so serialize those.
+        cols = [
+            F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(F.bit_xor(F.xxhash64(*cols)).alias("h")).collect()
+    else:
+        df.count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from datagouvfr_data_pipelines_spark.session import get_spark
@@ -133,7 +158,7 @@ def main() -> None:
                 spark.catalog.clearCache()
                 df = qs[name](spark, sf_dir)
                 t0 = time.perf_counter()
-                df.count()
+                _run(df, action)
                 samples.append(time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001 - one bad query must not sink the suite
             errors[name] = f"{type(e).__name__}: {e}"[:500]
@@ -196,6 +221,7 @@ def main() -> None:
                 # see BASELINE.md "Bench protocol & noise band".
                 "protocol": {
                     "reps": reps,
+                    "action": action,
                     "stat": "median",
                     "cpus": int(cpus),
                     "warmup": "1 trivial parquet count (JVM+footer cache)",
