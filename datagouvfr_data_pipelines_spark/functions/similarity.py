@@ -27,6 +27,16 @@ def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+# NOTE (measured, don't "optimize" this again): unrolling dot() into a
+# fixed-dim chain of GetArrayItem products ((0.0 + a[0]*b[0]) + ...) to get
+# whole-stage codegen is 3x SLOWER than the interpreted fold at dim=64
+# (9.1 s vs 3.1 s over 249k pairs, local[32]) — the 64-term chain compiles
+# into a method large enough that HotSpot's huge-method limit refuses to
+# JIT it, so it runs as interpreted BYTECODE, worse than Catalyst's
+# specialized fold loop. The productive lever on O(pairs) stages is
+# PARALLELISM (see semantic_dedup's slice salting), not the dot form.
+
+
 def norm(a: Column | str) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -574,9 +584,34 @@ def semantic_dedup(
         .where(F.col("__cn") <= max_cell_size)
         .select("cell")
     )
+    a = a.join(ok_cells, "cell")
+    # Parallelism guard for SMALL k: the pair join shuffles on `cell`,
+    # which has only k distinct values — and AQE's byte-based coalescing
+    # sees the tiny PRE-expansion map output and collapses the stage to ~1
+    # partition, serializing the O(cell²) sim compute (measured 3.5 s on
+    # one core at sf0.1). When k < cores, salt-slice the a side
+    # (hash(id) mod S) and replicate the b side S = ceil(cores/k) times so
+    # the join key (cell, slice) has k*S values, pinned wide by an
+    # explicit-count repartition (user-numbered exchanges are exempt from
+    # AQE coalescing). Each unordered pair still forms exactly once:
+    # (x, y) joins only in x's slice of y's replicas. At real scale k
+    # grows with the corpus (k ~ n/cell_target), so S collapses to 1 and
+    # the plan is byte-identical to the unsalted one — no replication tax.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n_slices = -(-target // max(len(centroids), 1))
+    if n_slices > 1:
+        a = a.withColumn(
+            "__slice",
+            F.pmod(F.xxhash64(F.col("__ida")), F.lit(n_slices)).cast("int"),
+        ).repartition(target, "cell", "__slice")
+        b = b.withColumn(
+            "__slice", F.explode(F.array(*[F.lit(i) for i in range(n_slices)]))
+        ).repartition(target, "cell", "__slice")
+        join_keys = ["cell", "__slice"]
+    else:
+        join_keys = ["cell"]
     pairs = (
-        a.join(ok_cells, "cell")
-        .join(b, "cell")
+        a.join(b, join_keys)
         .where(F.col("__ida") < F.col("__idb"))
         .withColumn("__sim", sim)
         .where(F.col("__sim") >= threshold)
