@@ -315,43 +315,58 @@ def repetition_stats(df, id_col: str, text_col: str):
     - ``dup_word_frac``: fraction of tokens whose token occurs more than once
     - ``top_bigram_frac``: same as top_word_frac over word bigrams
 
-    Shape for 100 TB: explode -> (doc, gram) count -> per-doc aggregate.
-    Both groupBys are keyed by doc_id(+gram) so they partial-aggregate
-    map-side; no document's grams ever need to be co-resident beyond one
-    (doc, gram) pair, so arbitrarily long documents can't skew a reducer
-    the way a per-doc collect_list would. Docs with zero tokens are
-    excluded (no signal), matching the oracle's inner unnest.
+    Shape for 100 TB: ONE explode over the fused unigram+bigram stream ->
+    (doc, gram) count -> per-doc aggregate. Unigrams and bigrams share the
+    pipeline because they can't collide: tokens are whitespace-split so a
+    unigram never contains a space, while every bigram does — `g` carries
+    its own tag, so one groupBy chain computes both stat families and the
+    uni/bigram join disappears (half the scans/shuffles of the naive
+    two-chain form). Both groupBys are keyed by doc_id(+gram) so they
+    partial-aggregate map-side; no document's grams ever need to be
+    co-resident beyond one (doc, gram) pair, so arbitrarily long documents
+    can't skew a reducer the way a per-doc collect_list would. A
+    single-token doc has no bigram rows: its bigram max/sum aggregate to
+    NULL and top_bigram_frac coalesces to 0.0, matching the oracle's LEFT
+    JOIN. Docs with zero tokens are excluded (no signal), matching the
+    oracle's inner unnest. fan_out decouples the tokenize+explode stage
+    from scan granularity (no-op at scale).
     """
-    toks = df.select(id_col, tokens(text_col).alias("__t"))
-    uni = (
-        toks.select(id_col, F.explode("__t").alias("g"))
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    toks = fan_out(df.select(id_col, text_col)).select(
+        id_col, tokens(text_col).alias("__t")
+    )
+    is_big = F.col("g").contains(" ")
+    return (
+        toks.select(
+            id_col,
+            F.explode(F.concat(F.col("__t"), bigram_list(F.col("__t")))).alias("g"),
+        )
         .groupBy(id_col, "g")
         .agg(F.count("*").alias("c"))
         .groupBy(id_col)
         .agg(
-            F.max("c").alias("mx"),
-            F.sum("c").alias("tot"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+            F.max(F.when(~is_big, F.col("c"))).alias("mx"),
+            F.sum(F.when(~is_big, F.col("c")).otherwise(F.lit(0))).alias("tot"),
+            F.sum(
+                F.when(~is_big & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0))
+            ).alias("dup"),
+            F.max(F.when(is_big, F.col("c"))).alias("bmx"),
+            F.sum(F.when(is_big, F.col("c"))).alias("btot"),
         )
-    )
-    big = (
-        toks.select(id_col, F.explode(bigram_list(F.col("__t"))).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("bmx"), F.sum("c").alias("btot"))
-    )
-    return uni.join(big, id_col, "left").select(
-        id_col,
-        (F.col("mx").cast("double") / F.col("tot").cast("double")).alias(
-            "top_word_frac"
-        ),
-        (F.col("dup").cast("double") / F.col("tot").cast("double")).alias(
-            "dup_word_frac"
-        ),
-        F.coalesce(
-            F.col("bmx").cast("double") / F.col("btot").cast("double"), F.lit(0.0)
-        ).alias("top_bigram_frac"),
+        .select(
+            id_col,
+            (F.col("mx").cast("double") / F.col("tot").cast("double")).alias(
+                "top_word_frac"
+            ),
+            (F.col("dup").cast("double") / F.col("tot").cast("double")).alias(
+                "dup_word_frac"
+            ),
+            F.coalesce(
+                F.col("bmx").cast("double") / F.col("btot").cast("double"),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
     )
 
 
