@@ -37,6 +37,20 @@ from datagouvfr_data_pipelines_spark.functions.text import word_shingles
 MERSENNE31 = 2_147_483_647
 
 
+def _fanned_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Narrow (id, text) projection fanned past scan granularity.
+
+    Every operator below funnels text into a compute-heavy
+    shingle/token explode whose parallelism is otherwise pinned to the
+    scan's row-group count — a single-file corpus sample runs the whole
+    hash pipeline in one task (the nearest_neighbor_join lesson).
+    session.fan_out is a no-op once the scan already fans wide, so this
+    is safe to keep in the 100 TB path."""
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    return fan_out(df.select(id_col, text_col))
+
+
 def content_hash(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.sha2(F.lower(F.trim(F.regexp_replace(c, "\\s+", " "))), 256)
@@ -74,6 +88,7 @@ def minhash_signatures(
     and blows past codegen limits (measured: >100x slower at 5k docs).
     Map-side partial aggregation keeps the shuffle at K longs per doc.
     """
+    df = _fanned_text(df, id_col, text_col)
     base = df.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, shingle_n)).alias("sh"),
@@ -278,6 +293,7 @@ def near_duplicate_pairs(
     """
     from pyspark import StorageLevel
 
+    df = _fanned_text(df, id_col, text_col)
     if portable:
         from datagouvfr_data_pipelines_spark.functions.text import (
             ROLLING_HASH_BASE,
@@ -577,7 +593,7 @@ def simhash31_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         tokens,
     )
 
-    tok = df.select(
+    tok = _fanned_text(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tk")
     ).withColumn(
         "h",
@@ -627,7 +643,8 @@ def simhash62_exploded(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
 
     tok = (
-        df.select(
+        _fanned_text(df, id_col, text_col)
+        .select(
             F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tk")
         )
         .withColumn(
@@ -661,7 +678,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from datagouvfr_data_pipelines_spark.functions.text import tokens
 
-    tok = df.select(
+    tok = _fanned_text(df, id_col, text_col).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tk")
     ).withColumn("h", F.xxhash64("tk"))
     bit_sums = [
@@ -779,7 +796,7 @@ def shingle_containment_pairs(
         )
 
     hash_fn = _rolling if portable else (lambda s: F.xxhash64(s))
-    sh = df.select(
+    sh = _fanned_text(df, id_col, text_col).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(
             F.transform(word_shingles(text_col, shingle_n), hash_fn)

@@ -82,8 +82,10 @@ def build_dedup_index(
     a DuckDB oracle. Portable and xxhash indexes are INCOMPARABLE; an
     index must be rebuilt, not mixed.
     """
+    from datagouvfr_data_pipelines_spark.operators.dedup import _fanned_text
+
     rows = k // bands
-    base = df.select(
+    base = _fanned_text(df, id_col, text_col).select(
         F.col(id_col).alias("doc"),
         content_hash(text_col).alias("content_sha"),
         F.explode_outer(word_shingles(text_col, shingle_n)).alias("s"),
