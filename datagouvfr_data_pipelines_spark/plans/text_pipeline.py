@@ -1066,10 +1066,14 @@ def t_repetition_scores(spark, sf_dir):
 )
 def t_pii_redact(spark, sf_dir):
     """PII scrub: email/IPv4/phone redaction with typed placeholders and
-    per-category match counts — single narrow projection, no shuffle."""
+    per-category match counts. Six regex passes per row is compute the
+    scan's row-group count shouldn't serialize, so the projection is
+    fanned out (no-op at scale; at real row-group counts this stays the
+    shuffle-free narrow map it reads as)."""
     from datagouvfr_data_pipelines_spark.functions.text import pii_counts, redact_pii
+    from datagouvfr_data_pipelines_spark.session import fan_out
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
     n_email, n_ip, n_phone = pii_counts("text")
     return docs.select(
         "doc_id",
