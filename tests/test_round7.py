@@ -357,6 +357,72 @@ def test_fan_out_guard(spark):
     assert fan_out(wide) is wide  # identity, not just equal partitioning
 
 
+def test_repetition_stats_fused_parity(spark):
+    """The fused single-stream repetition_stats (unigrams and bigrams share
+    one explode+count chain, tagged by the space a bigram always contains)
+    must reproduce the naive two-chain semantics, including the edge cases
+    the fuse could plausibly break: a single-token doc (no bigram rows ->
+    top_bigram_frac 0.0), a fully repeated doc, and zero-token docs
+    (excluded entirely)."""
+    from datagouvfr_data_pipelines_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # top word a: 3/5; dup 5/5; top bigram 2/4
+            (2, "hello"),            # single token: bigram frac 0.0
+            (3, "x y z"),            # all unique: top 1/3, dup 0, bigram 1/2
+            (4, "   "),              # zero tokens: excluded
+            (5, "w w"),              # top 2/2, dup 2/2, bigram 'w w' 1/1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].top_word_frac, out[1].dup_word_frac, out[1].top_bigram_frac) == (
+        3 / 5, 1.0, 2 / 4,
+    )
+    assert (out[2].top_word_frac, out[2].dup_word_frac, out[2].top_bigram_frac) == (
+        1.0, 0.0, 0.0,
+    )
+    assert (out[3].top_word_frac, out[3].dup_word_frac, out[3].top_bigram_frac) == (
+        1 / 3, 0.0, 1 / 2,
+    )
+    assert (out[5].top_word_frac, out[5].dup_word_frac, out[5].top_bigram_frac) == (
+        1.0, 1.0, 1.0,
+    )
+
+
+def test_dedup_text_entry_points_fan_out(spark):
+    """Every dedup-tier text entry point must decouple its hash pipeline
+    from scan granularity: on a narrow (1-partition) input the physical
+    plan carries the explicit-count repartition (REPARTITION_BY_NUM —
+    exempt from AQE coalescing), so a refactor can't silently reinstate
+    the single-task shingle/token stage."""
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_containment_pairs,
+        simhash64,
+    )
+    from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
+        build_dedup_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(50)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    for build in (
+        lambda: minhash_signatures(docs, "doc_id", "text", k=4),
+        lambda: simhash64(docs, "doc_id", "text"),
+        lambda: shingle_containment_pairs(docs, "doc_id", "text"),
+        lambda: build_dedup_index(docs, "doc_id", "text", k=4, bands=2),
+    ):
+        df = build()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    spark.catalog.clearCache()
+
+
 def test_semantic_dedup_slice_salting_pinned(spark):
     """When k < defaultParallelism the O(cell^2) pair join must be
     salt-sliced wide via an EXPLICIT-COUNT repartition on (cell, __slice):
