@@ -1066,14 +1066,13 @@ def t_repetition_scores(spark, sf_dir):
 )
 def t_pii_redact(spark, sf_dir):
     """PII scrub: email/IPv4/phone redaction with typed placeholders and
-    per-category match counts. Six regex passes per row is compute the
-    scan's row-group count shouldn't serialize, so the projection is
-    fanned out (no-op at scale; at real row-group counts this stays the
-    shuffle-free narrow map it reads as)."""
+    per-category match counts — single narrow projection, no shuffle
+    (pinned by test_plan_quality.py:test_pii_redact_is_shuffle_free; a
+    fan_out here trades that contract for ~0.1 s at sf0.1, measured and
+    rejected)."""
     from datagouvfr_data_pipelines_spark.functions.text import pii_counts, redact_pii
-    from datagouvfr_data_pipelines_spark.session import fan_out
 
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = table(spark, sf_dir, "documents")
     n_email, n_ip, n_phone = pii_counts("text")
     return docs.select(
         "doc_id",
