@@ -544,6 +544,10 @@ def semantic_dedup(
     per-pair norm folds dominate the naive form).
     """
     cell = nearest_centroid(vec_col, centroids)
+    # (measured, don't redo: fanning df BEFORE these projections costs
+    # more in the extra exchange of raw vectors than parallelizing the
+    # per-vector folds saves — 1.9 -> 2.3 s at sf0.1; the slice-salting
+    # repartitions below already fan the expensive pair stage)
     base = df.select(
         F.col(id_col),
         _col(vec_col).alias("__v"),
