@@ -516,6 +516,7 @@ def semantic_dedup(
     centroids: list[list[float]],
     threshold: float = 0.5,
     max_cell_size: int = 10_000,
+    n_slices: int | None = None,
 ):
     """SemDeDup semantic deduplication (Abbas et al. 2023, public method):
     assign every vector to its nearest k-means centroid, and inside each
@@ -601,8 +602,11 @@ def semantic_dedup(
     # (x, y) joins only in x's slice of y's replicas. At real scale k
     # grows with the corpus (k ~ n/cell_target), so S collapses to 1 and
     # the plan is byte-identical to the unsalted one — no replication tax.
+    # ``n_slices`` overrides the derived S (results are S-invariant — the
+    # invariance is test-pinned); None = derive from cores/k.
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_slices = -(-target // max(len(centroids), 1))
+    if n_slices is None:
+        n_slices = -(-target // max(len(centroids), 1))
     if n_slices > 1:
         a = a.withColumn(
             "__slice",

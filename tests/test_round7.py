@@ -442,3 +442,24 @@ def test_semantic_dedup_slice_salting_pinned(spark):
     assert sum(1 for s in res.values() if s == "dropped") == 4
     assert res[4] == "kept" and res[11] == "kept"
 
+
+@pytest.mark.parametrize("n_slices", [1, 2, 7])
+def test_semantic_dedup_slice_count_invariance(spark, n_slices):
+    """Results must be invariant in the slice count S — S only controls
+    join parallelism, never which pairs form. S=1 is the unsalted plan;
+    7 exercises a count that divides nothing evenly."""
+    df = _hot_cell_df(spark)
+    out = {
+        r.vec_id: (r.cell, r.c_sim, r.status)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", CENTS, threshold=0.9, n_slices=n_slices
+        ).collect()
+    }
+    base = {
+        r.vec_id: (r.cell, r.c_sim, r.status)
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", CENTS, threshold=0.9
+        ).collect()
+    }
+    assert out == base
+
