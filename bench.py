@@ -81,6 +81,7 @@ HEADLINE = [
     "t_span_scrubbed_docs",   # keep-one span removal (canonical-range protect)
     "t_charlm_nll",           # char-bigram LM perplexity proxy
     "d_semantic_dedup",       # SemDeDup kmeans-cell cosine dedup
+    "d_incremental_semantic",  # SemDeDup ingest vs corpus index (round 7)
 ]
 # Deliberately NOT headline: g_pagerank / sk_user_reach_rollup (per-
 # iteration materialization and K-row sketch states carry fixed Spark

@@ -509,6 +509,41 @@ def pq_search_rerank(
     )
 
 
+def semantic_base(
+    df: "DataFrame",
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> "DataFrame":
+    """Shared SemDeDup per-vector projection: (id, __v, cell, __n, c_sim)
+    — nearest-centroid cell, L2 norm, and the rounded cosine to the OWN
+    centroid, all computed once per VECTOR before any self- or
+    corpus-join (per-pair norm folds are the dominant cost of the naive
+    form). Used by ``semantic_dedup`` and the incremental ingest tier
+    (operators/incremental_semantic.py), which must agree bit-for-bit on
+    these columns.
+
+    (measured, don't redo: fanning df BEFORE these projections costs
+    more in the extra exchange of raw vectors than parallelizing the
+    per-vector folds saves — 1.9 -> 2.3 s at sf0.1; the slice-salting
+    repartitions of the consumers already fan the expensive pair stage)
+    """
+    cell = nearest_centroid(vec_col, centroids)
+    base = df.select(
+        F.col(id_col),
+        _col(vec_col).alias("__v"),
+        cell.alias("cell"),
+        norm(vec_col).alias("__n"),
+    )
+    c_sim = F.lit(0.0)
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        c_sim = F.when(
+            F.col("cell") == i, F.round(cosine("__v", carr), 6)
+        ).otherwise(c_sim)
+    return base.withColumn("c_sim", c_sim)
+
+
 def semantic_dedup(
     df: "DataFrame",
     id_col: str,
@@ -544,24 +579,7 @@ def semantic_dedup(
     emb_neardup_pairs lesson: higher-order folds are interpreted, so
     per-pair norm folds dominate the naive form).
     """
-    cell = nearest_centroid(vec_col, centroids)
-    # (measured, don't redo: fanning df BEFORE these projections costs
-    # more in the extra exchange of raw vectors than parallelizing the
-    # per-vector folds saves — 1.9 -> 2.3 s at sf0.1; the slice-salting
-    # repartitions below already fan the expensive pair stage)
-    base = df.select(
-        F.col(id_col),
-        _col(vec_col).alias("__v"),
-        cell.alias("cell"),
-        norm(vec_col).alias("__n"),
-    )
-    c_sim = F.lit(0.0)
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        c_sim = F.when(
-            F.col("cell") == i, F.round(cosine("__v", carr), 6)
-        ).otherwise(c_sim)
-    base = base.withColumn("c_sim", c_sim)
+    base = semantic_base(df, id_col, vec_col, centroids)
     a = base.select(
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),

@@ -1,0 +1,184 @@
+"""Incremental SemDeDup: dedup an embedding batch against a corpus index.
+
+The embedding twin of ``operators/incremental_dedup.py`` (which covers the
+exact-sha and MinHash text tiers): a 100 TB training-data pipeline ingests
+embeddings continuously, and re-running full-corpus SemDeDup
+(functions/similarity.py:semantic_dedup, Abbas et al. 2023) per ingest is
+O(corpus) per batch. Here the only cross-batch state is a compact
+per-vector index — (doc, cell, vec, nrm, c_sim), the ``semantic_base``
+projection — so per-batch cost is proportional to the BATCH plus the
+corpus members of the batch's cells:
+
+- corpus tier (``near_corpus``): a batch vector is dropped when ANY
+  already-ingested vector in its cell has cosine >= threshold. The corpus
+  is immutable, so corpus always wins — there is no keep-farthest choice
+  between a new vector and an indexed one (mirrors the exact-corpus
+  precedence of incremental_dedup).
+- batch tier (``near_batch``): plain ``semantic_dedup`` within the batch —
+  keep-farthest-from-centroid, ties keep the smaller id.
+- precedence: near_corpus > near_batch (a doc dropped by the corpus never
+  reaches the batch ledger); survivors' index rows are what the caller
+  appends to the index (streaming/semantic_stream.py does this with the
+  same atomic-swap + watermark machinery as the text tier).
+
+Scale shape: the corpus side is pruned FIRST by a broadcast of the
+batch's distinct cell keys (the batch is bounded, its cell set more so),
+then capped — corpus cells larger than ``max_cell_size`` skip the
+comparison entirely with the batch member KEPT (keeping a duplicate is
+safe; dropping on partial evidence is not — same guardrail as
+``semantic_dedup``). The batch-vs-corpus join is salt-sliced exactly like
+``semantic_dedup``'s self-join (corpus side sliced by hash, batch side
+replicated) so AQE's byte-based coalescing can't serialize the
+O(batch x cell) cosine stage when k < cores.
+
+Centroids are a PARAMETER and must stay frozen across batches (the
+SemDeDup recipe: train k-means on a sample once, assign forever) —
+re-training would silently re-shuffle cell assignments and make the index
+incomparable with new batches, the same contract as incremental_dedup's
+"signatures from different parameters are incomparable".
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from datagouvfr_data_pipelines_spark.functions.similarity import (
+    dot,
+    semantic_base,
+    semantic_dedup,
+)
+
+
+def build_semantic_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Per-vector index rows: (doc, cell, vec, nrm, c_sim).
+
+    One narrow projection (``semantic_base``) — cell assignment, norm and
+    own-centroid cosine are computed once here and never re-derived, so a
+    vector's index row is bit-stable for the lifetime of the index.
+    """
+    base = semantic_base(df, id_col, vec_col, centroids)
+    return base.select(
+        F.col(id_col).alias("doc"),
+        "cell",
+        F.col("__v").alias("vec"),
+        F.col("__n").alias("nrm"),
+        "c_sim",
+    )
+
+
+class IncrementalSemanticResult(NamedTuple):
+    survivors: DataFrame  # batch rows that passed both tiers (id_col cols)
+    index_rows: DataFrame  # build_semantic_index rows for the survivors
+    ledger: DataFrame  # (doc, reason) for dropped docs
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.5,
+    max_cell_size: int = 10_000,
+    n_slices: int | None = None,
+) -> IncrementalSemanticResult:
+    """Dedup ``batch`` against ``index`` (see module docstring).
+
+    ``index`` must have the ``build_semantic_index`` schema and the SAME
+    (centroids, threshold-rounding) — indexes from different centroid sets
+    are incomparable. Returns per-doc decisions; the caller appends
+    ``index_rows`` to the index (atomically — see
+    streaming/semantic_stream.py).
+    """
+    bidx = build_semantic_index(batch, id_col, vec_col, centroids).persist()
+
+    # -- corpus tier ---------------------------------------------------
+    # prune the (large) corpus index to the batch's cells before anything
+    # else, then drop oversized corpus cells (members kept, cap guardrail)
+    bcells = F.broadcast(bidx.select("cell").distinct())
+    corpus = index.join(bcells, "cell")
+    ok_ccells = F.broadcast(
+        corpus.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .where(F.col("__cn") <= max_cell_size)
+        .select("cell")
+    )
+    a = corpus.join(ok_ccells, "cell").select(
+        "cell",
+        F.col("doc").alias("__idc"),
+        F.col("vec").alias("__vc"),
+        F.col("nrm").alias("__nc"),
+    )
+    b = bidx.select(
+        "cell",
+        F.col("doc").alias("__idb"),
+        F.col("vec").alias("__vb"),
+        F.col("nrm").alias("__nb"),
+    )
+    # salt-slice like semantic_dedup: slice the corpus side by hash,
+    # replicate the (bounded) batch side; explicit-count repartitions are
+    # exempt from AQE coalescing, and S collapses to 1 at real scale
+    target = batch.sparkSession.sparkContext.defaultParallelism
+    if n_slices is None:
+        n_slices = -(-target // max(len(centroids), 1))
+    if n_slices > 1:
+        a = a.withColumn(
+            "__slice",
+            F.pmod(F.xxhash64(F.col("__idc")), F.lit(n_slices)).cast("int"),
+        ).repartition(target, "cell", "__slice")
+        b = b.withColumn(
+            "__slice", F.explode(F.array(*[F.lit(i) for i in range(n_slices)]))
+        ).repartition(target, "cell", "__slice")
+        join_keys = ["cell", "__slice"]
+    else:
+        join_keys = ["cell"]
+    sim = F.round(
+        F.when(
+            (F.col("__nc") == 0.0) | (F.col("__nb") == 0.0), F.lit(0.0)
+        ).otherwise(dot("__vc", "__vb") / (F.col("__nc") * F.col("__nb"))),
+        6,
+    )
+    near_corpus = (
+        a.join(b, join_keys)
+        .withColumn("__sim", sim)
+        .where(F.col("__sim") >= threshold)
+        .select(F.col("__idb").alias("doc"))
+        .distinct()
+    )
+
+    # -- batch tier ------------------------------------------------------
+    near_batch = (
+        semantic_dedup(
+            batch,
+            id_col,
+            vec_col,
+            centroids,
+            threshold=threshold,
+            max_cell_size=max_cell_size,
+            n_slices=n_slices,
+        )
+        .where(F.col("status") == "dropped")
+        .select(F.col(id_col).alias("doc"))
+    )
+
+    # -- combine: near_corpus > near_batch -------------------------------
+    nc = near_corpus.withColumn("reason", F.lit("near_corpus"))
+    nb = (
+        near_batch.join(near_corpus, "doc", "left_anti")
+        .withColumn("reason", F.lit("near_batch"))
+    )
+    ledger = nc.unionByName(nb)
+    dropped = ledger.select(F.col("doc").alias("__dropped_id"))
+    survivors = batch.join(
+        dropped, F.col(id_col) == F.col("__dropped_id"), "left_anti"
+    )
+    index_rows = bidx.join(dropped, bidx.doc == F.col("__dropped_id"), "left_anti")
+    return IncrementalSemanticResult(survivors, index_rows, ledger)

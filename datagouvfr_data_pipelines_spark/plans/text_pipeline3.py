@@ -297,3 +297,141 @@ def d_semantic_dedup(spark, sf_dir):
         threshold=_SEM_TAU,
         max_cell_size=_SEM_MAX_CELL,
     )
+
+
+def _incremental_semantic_oracle(
+    k: int = _SEM_K,
+    iterations: int = _SEM_ITERS,
+    dim: int = _SEM_DIM,
+    tau: float = _SEM_TAU,
+    max_cell: int = _SEM_MAX_CELL,
+) -> str:
+    """DuckDB replica of the incremental SemDeDup ingest decision
+    (operators/incremental_semantic.py): the shared portable k-means CTE
+    chain -> corpus/batch split by id hash -> corpus tier (cosine vs any
+    indexed vector in the batch doc's cell, corpus cells over the cap
+    skipped) -> batch tier (keep-farthest within-batch SemDeDup) ->
+    reason precedence near_corpus > near_batch."""
+    from datagouvfr_data_pipelines_spark.plans.text_pipeline import (
+        _km_norm,
+        _kmeans_af_ctes,
+    )
+
+    norm = _km_norm(dim)
+    cf = f"c{iterations}"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"round(CASE WHEN {a}.nrm = 0.0 OR {b}.nrm = 0.0 THEN 0.0 "
+            f"ELSE {dot(a + '.v', b + '.v')} / ({a}.nrm * {b}.nrm) END, 6)"
+        )
+
+    return f"""
+    {_kmeans_af_ctes(k=k, iterations=iterations, dim=dim)},
+    cs AS (
+      SELECT af.vec_id, af.cell,
+             round(CASE WHEN {norm('af.embedding')} = 0.0
+                          OR {norm(cf + '.c')} = 0.0 THEN 0.0
+                        ELSE {dot('af.embedding', cf + '.c')}
+                             / ({norm('af.embedding')} * {norm(cf + '.c')})
+                   END, 6) AS c_sim,
+             af.embedding AS v,
+             {norm('af.embedding')} AS nrm
+      FROM af JOIN {cf} ON af.cell = {cf}.cell
+    ),
+    corpus AS (SELECT * FROM cs WHERE vec_id % 4 <> 3),
+    batch AS (SELECT * FROM cs WHERE vec_id % 4 = 3),
+    ok_cc AS (
+      SELECT cell FROM corpus GROUP BY cell HAVING COUNT(*) <= {max_cell}
+    ),
+    nc AS (
+      SELECT DISTINCT b.vec_id
+      FROM batch b
+      JOIN ok_cc ok ON b.cell = ok.cell
+      JOIN corpus c ON c.cell = b.cell
+      WHERE {sim('c', 'b')} >= {tau}
+    ),
+    ok_bc AS (
+      SELECT cell FROM batch GROUP BY cell HAVING COUNT(*) <= {max_cell}
+    ),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.c_sim AS ca, b.c_sim AS cb,
+             {sim('a', 'b')} AS sim
+      FROM batch a JOIN batch b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN ok_bc ok ON a.cell = ok.cell
+    ),
+    nb AS (
+      SELECT DISTINCT CASE WHEN ca < cb THEN ib
+                           WHEN cb < ca THEN ia
+                           ELSE greatest(ia, ib) END AS vec_id
+      FROM p WHERE sim >= {tau}
+    )
+    SELECT b.vec_id, b.cell, b.c_sim,
+           CASE WHEN b.vec_id IN (SELECT vec_id FROM nc) THEN 'near_corpus'
+                WHEN b.vec_id IN (SELECT vec_id FROM nb) THEN 'near_batch'
+                ELSE 'survived' END AS status
+    FROM batch b
+    """
+
+
+@register(
+    "d_incremental_semantic",
+    oracle=_incremental_semantic_oracle(),
+    tags=["dedup", "embedding", "semdedup", "incremental"],
+)
+def d_incremental_semantic(spark, sf_dir):
+    """Incremental SemDeDup ingest decision: the embeddings table split
+    corpus/batch by id hash, the corpus's per-vector semantic index built
+    once, and every batch vector classified near_corpus (cosine >= tau vs
+    ANY indexed vector of its cell — corpus precedence, oversized corpus
+    cells skipped with the member kept) / near_batch (keep-farthest
+    within-batch SemDeDup) / survived. Oracle-checked end to end through
+    the shared portable k-means CTE chain. Scale: corpus side pruned by a
+    broadcast of the batch's cells, pair stages salt-sliced; between
+    batches the only state is the (doc, cell, vec, nrm, c_sim) index —
+    ingest cost proportional to the batch, not the corpus."""
+    from datagouvfr_data_pipelines_spark.functions.similarity import kmeans_fit
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(
+        emb,
+        "embedding",
+        k=_SEM_K,
+        iterations=_SEM_ITERS,
+        portable=True,
+        init_id_col="vec_id",
+    )
+    corpus = emb.where(F.col("vec_id") % 4 != 3)
+    batch = emb.where(F.col("vec_id") % 4 == 3)
+    index = build_semantic_index(corpus, "vec_id", "embedding", centroids)
+    res = incremental_semantic_dedup(
+        batch,
+        index,
+        "vec_id",
+        "embedding",
+        centroids,
+        threshold=_SEM_TAU,
+        max_cell_size=_SEM_MAX_CELL,
+    )
+    decisions = build_semantic_index(batch, "vec_id", "embedding", centroids)
+    return (
+        decisions.join(res.ledger, "doc", "left")
+        .select(
+            F.col("doc").alias("vec_id"),
+            "cell",
+            "c_sim",
+            F.coalesce(F.col("reason"), F.lit("survived")).alias("status"),
+        )
+    )
