@@ -705,6 +705,63 @@ def kmeans_fit_np(
     return [[float(x) for x in row] for row in C]
 
 
+def semantic_assign_scaled(
+    df: "DataFrame",
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> "DataFrame":
+    """Large-k twin of ``semantic_base``: (id, cell, c_sim, nrm, __v) via
+    ONE mapInPandas GEMM per Arrow batch against the broadcast k x dim
+    centroid matrix — O(k·dim) per row and flat in plan size, where the
+    literal-expression path grows exponentially in k. ``__v`` comes back
+    float64 (the GEMM working type; exact for float32 inputs). Shared by
+    ``semantic_dedup_scaled`` and the scaled incremental ingest tier.
+    Float caveat vs the expression path: numpy sums pairwise while the
+    JVM fold is sequential — last-ulp differences can flip a rounded
+    value sitting exactly on a 5e-7 boundary (parity is test-pinned on
+    the real embeddings)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    id_field = df.schema[id_col].dataType.simpleString()
+    mid_schema = (
+        f"{id_col} {id_field}, cell int, c_sim double, nrm double, "
+        f"__v array<double>"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            G = V @ C.T
+            d2 = (cn * cn)[None, :] - 2.0 * G
+            cells = d2.argmin(axis=1)
+            vn = np.sqrt((V * V).sum(axis=1))
+            denom = vn * cn[cells]
+            cs = np.where(
+                denom == 0.0,
+                0.0,
+                G[np.arange(len(V)), cells] / np.where(denom == 0.0, 1.0, denom),
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "c_sim": np.round(cs, 6),
+                    "nrm": vn,
+                    "__v": list(V),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=mid_schema)
+
+
 def semantic_dedup_scaled(
     df: "DataFrame",
     id_col: str,
@@ -732,42 +789,14 @@ def semantic_dedup_scaled(
     numpy sums pairwise while the JVM fold is sequential — last-ulp
     differences can flip a rounded value sitting exactly on a 5e-7
     boundary, which the parity test would surface."""
-    import numpy as np
-    import pandas as pd
-
-    C = np.asarray(centroids, dtype=np.float64)
-    cn = np.sqrt((C * C).sum(axis=1))
-    id_field = df.schema[id_col].dataType.simpleString()
-    mid_schema = (
-        f"{id_col} {id_field}, cell int, c_sim double, __v array<double>"
+    assigned = semantic_assign_scaled(df, id_col, vec_col, centroids).drop(
+        "nrm"
     )
+    import numpy as np
+    import pandas as pd  # noqa: F401  (applyInPandas kernel annotation)
+
+    id_field = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_field}, cell int, c_sim double, status string"
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            G = V @ C.T
-            d2 = (cn * cn)[None, :] - 2.0 * G
-            cells = d2.argmin(axis=1)
-            vn = np.sqrt((V * V).sum(axis=1))
-            denom = vn * cn[cells]
-            cs = np.where(
-                denom == 0.0, 0.0, G[np.arange(len(V)), cells] / np.where(denom == 0.0, 1.0, denom)
-            )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cell": cells.astype("int32"),
-                    "c_sim": np.round(cs, 6),
-                    "__v": list(V),
-                }
-            )
-
-    assigned = df.select(id_col, vec_col).mapInPandas(assign, schema=mid_schema)
 
     def dedup_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)

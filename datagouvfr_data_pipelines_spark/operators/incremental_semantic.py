@@ -47,8 +47,10 @@ from pyspark.sql import DataFrame
 
 from datagouvfr_data_pipelines_spark.functions.similarity import (
     dot,
+    semantic_assign_scaled,
     semantic_base,
     semantic_dedup,
+    semantic_dedup_scaled,
 )
 
 
@@ -170,6 +172,116 @@ def incremental_semantic_dedup(
     )
 
     # -- combine: near_corpus > near_batch -------------------------------
+    nc = near_corpus.withColumn("reason", F.lit("near_corpus"))
+    nb = (
+        near_batch.join(near_corpus, "doc", "left_anti")
+        .withColumn("reason", F.lit("near_batch"))
+    )
+    ledger = nc.unionByName(nb)
+    dropped = ledger.select(F.col("doc").alias("__dropped_id"))
+    survivors = batch.join(
+        dropped, F.col(id_col) == F.col("__dropped_id"), "left_anti"
+    )
+    index_rows = bidx.join(dropped, bidx.doc == F.col("__dropped_id"), "left_anti")
+    return IncrementalSemanticResult(survivors, index_rows, ledger)
+
+
+def build_semantic_index_scaled(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Large-k index build: same (doc, cell, vec, nrm, c_sim) schema as
+    ``build_semantic_index`` but assignment is the ONE-GEMM-per-batch
+    ``semantic_assign_scaled`` path (the literal-expression assigner grows
+    exponentially in k and stops at k ~ 16; at SemDeDup scale k runs into
+    the thousands). ``vec`` is float64 (the GEMM working type — exact for
+    float32 inputs), so scaled and expression-path indexes have different
+    vector types and last-ulp-different norms: like portable-vs-xxhash
+    MinHash indexes, the two paths are INCOMPARABLE — pick one per index
+    lifetime."""
+    return semantic_assign_scaled(df, id_col, vec_col, centroids).select(
+        F.col(id_col).alias("doc"),
+        "cell",
+        F.col("__v").alias("vec"),
+        "nrm",
+        "c_sim",
+    )
+
+
+def incremental_semantic_dedup_scaled(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.5,
+    max_cell_size: int = 10_000,
+) -> IncrementalSemanticResult:
+    """Large-k / large-corpus twin of ``incremental_semantic_dedup`` —
+    identical decisions (parity test-pinned), vectorized stages:
+
+    - batch assignment: ``semantic_assign_scaled`` (one GEMM per batch);
+    - corpus tier: corpus pruned by a broadcast of the batch's cells,
+      then ONE applyInPandas kernel per cell over the tagged
+      corpus-union-batch rows — a single normalized corpus x batch GEMM,
+      O(|corpus_cell| x |batch_cell| x dim) BLAS flops, corpus cells over
+      ``max_cell_size`` skipped with the batch members KEPT;
+    - batch tier: ``semantic_dedup_scaled``.
+
+    ``index`` must come from ``build_semantic_index_scaled`` (float64
+    vectors); mixing with the expression-path index is incomparable."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    bidx = build_semantic_index_scaled(batch, id_col, vec_col, centroids).persist()
+
+    bcells = F.broadcast(bidx.select("cell").distinct())
+    corpus = index.join(bcells, "cell").select(
+        "cell", "doc", "vec", "nrm", F.lit("c").alias("__side")
+    )
+    batch_rows = bidx.select(
+        "cell", "doc", "vec", "nrm", F.lit("b").alias("__side")
+    )
+    tagged = corpus.unionByName(batch_rows)
+    id_field = bidx.schema["doc"].dataType.simpleString()
+
+    def corpus_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        c = pdf[pdf["__side"] == "c"]
+        b = pdf[pdf["__side"] == "b"]
+        empty = pd.DataFrame({"doc": pd.Series([], dtype=b["doc"].dtype)})
+        if not len(b) or not len(c) or len(c) > max_cell_size:
+            return empty
+        CV = np.asarray([np.asarray(v, dtype=np.float64) for v in c["vec"]])
+        BV = np.asarray([np.asarray(v, dtype=np.float64) for v in b["vec"]])
+        cn = c["nrm"].to_numpy()
+        bn = b["nrm"].to_numpy()
+        csafe = np.where(cn == 0.0, 1.0, cn)
+        bsafe = np.where(bn == 0.0, 1.0, bn)
+        S = np.round((BV / bsafe[:, None]) @ (CV / csafe[:, None]).T, 6)
+        S[bn == 0.0, :] = 0.0
+        S[:, cn == 0.0] = 0.0
+        hit = (S >= threshold).any(axis=1)
+        return pd.DataFrame({"doc": b["doc"].to_numpy()[hit]})
+
+    near_corpus = tagged.groupBy("cell").applyInPandas(
+        corpus_kernel, schema=f"doc {id_field}"
+    )
+
+    near_batch = (
+        semantic_dedup_scaled(
+            batch,
+            id_col,
+            vec_col,
+            centroids,
+            threshold=threshold,
+            max_cell_size=max_cell_size,
+        )
+        .where(F.col("status") == "dropped")
+        .select(F.col(id_col).alias("doc"))
+    )
+
     nc = near_corpus.withColumn("reason", F.lit("near_corpus"))
     nb = (
         near_batch.join(near_corpus, "doc", "left_anti")

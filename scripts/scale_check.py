@@ -484,6 +484,65 @@ def main() -> None:
         "rows1": n1, "rowsk": nk,
         "rows_growth": round(nk / max(n1, 1), 2),
     }
+    # incremental SemDeDup ingest (scaled path): corpus/batch split by id
+    # hash, index built once per side OUTSIDE the timer (it is cross-batch
+    # state in production — amortized over every ingest), decision join
+    # timed. k grows with n like the batch variant.
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index_scaled,
+        incremental_semantic_dedup_scaled,
+    )
+
+    def split(frame):
+        return (
+            frame.where(F.col("vec_id") % 4 != 3),
+            frame.where(F.col("vec_id") % 4 == 3),
+        )
+
+    import tempfile
+
+    c1, b1 = split(e1)
+    ck_, bk_ = split(ek)
+    # the index is ON-DISK cross-batch state in production — build it
+    # outside the timer and read it back like a real ingest would
+    tmp = tempfile.mkdtemp(prefix="semidx_")
+    p1, pk = os.path.join(tmp, "idx1"), os.path.join(tmp, "idxk")
+    build_semantic_index_scaled(c1, "vec_id", "embedding", cents1).write.mode(
+        "overwrite"
+    ).parquet(p1)
+    build_semantic_index_scaled(ck_, "vec_id", "embedding", centsk).write.mode(
+        "overwrite"
+    ).parquet(pk)
+
+    def inc_1(frame):
+        res = incremental_semantic_dedup_scaled(
+            frame, spark.read.parquet(p1), "vec_id", "embedding", cents1,
+            threshold=0.35,
+        )
+        return res.ledger
+
+    def inc_k(frame):
+        res = incremental_semantic_dedup_scaled(
+            frame, spark.read.parquet(pk), "vec_id", "embedding", centsk,
+            threshold=0.35,
+        )
+        return res.ledger
+
+    n1 = inc_1(b1).count()
+    spark.catalog.clearCache()
+    nk = inc_k(bk_).count()
+    spark.catalog.clearCache()
+    t1 = timed_clearing(inc_1, b1, reps=5)
+    tk = timed_clearing(inc_k, bk_, reps=5)
+    out["d_incremental_semantic"] = {
+        "t1": round(t1, 3), "tk": round(tk, 3),
+        "ratio": round(tk / t1, 2),
+        "rows1": n1, "rowsk": nk,
+        "rows_growth": round(nk / max(n1, 1), 2),
+    }
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     ek.unpersist(), e1.unpersist()
 
     notes = (
@@ -497,7 +556,13 @@ def main() -> None:
         "cluster scale-out removes. SemDeDup row: k grown proportionally "
         "with n (the SemDeDup recipe) keeps cell sizes constant, so "
         "output rows grow exactly kx and within-cell pair work is linear; "
-        "max_cell_size bounds any skewed cell."
+        "max_cell_size bounds any skewed cell. d_incremental_semantic row: "
+        "wall measures the per-ingest decision (index built to disk "
+        "OUTSIDE the timer — it is amortized cross-batch state in "
+        "production); its rows_growth can exceed kx because the drop RATE "
+        "is geometry-dependent (rotated replicas land in denser retrained "
+        "cells), while the candidate WORK stays cell-bounded by "
+        "max_cell_size either way."
     )
     print(json.dumps({"k": k, "queries": out, "notes": notes}))
     spark.stop()

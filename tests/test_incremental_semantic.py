@@ -160,3 +160,72 @@ def test_semantic_ingest_stream_two_drains_and_replay(spark, tmp_path):
     assert sorted(
         r["doc"] for r in spark.read.parquet(index_dir).collect()
     ) == [1, 2, 11]
+
+
+def test_scaled_incremental_parity_real_embeddings(spark, sf_dir):
+    """The numpy-scaled incremental path must reproduce the exact
+    (oracle-checked) path's decisions on the real embeddings table."""
+    from datagouvfr_data_pipelines_spark.functions.similarity import kmeans_fit
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index_scaled,
+        incremental_semantic_dedup_scaled,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(
+        emb, "embedding", k=8, iterations=2, portable=True, init_id_col="vec_id"
+    )
+    corpus = emb.where(F.col("vec_id") % 4 != 3)
+    batch = emb.where(F.col("vec_id") % 4 == 3)
+
+    exact = incremental_semantic_dedup(
+        batch,
+        build_semantic_index(corpus, "vec_id", "embedding", cents),
+        "vec_id",
+        "embedding",
+        cents,
+        threshold=0.35,
+    )
+    scaled = incremental_semantic_dedup_scaled(
+        batch,
+        build_semantic_index_scaled(corpus, "vec_id", "embedding", cents),
+        "vec_id",
+        "embedding",
+        cents,
+        threshold=0.35,
+    )
+    el = {r["doc"]: r["reason"] for r in exact.ledger.collect()}
+    sl = {r["doc"]: r["reason"] for r in scaled.ledger.collect()}
+    assert el == sl
+    assert sorted(r["vec_id"] for r in exact.survivors.collect()) == sorted(
+        r["vec_id"] for r in scaled.survivors.collect()
+    )
+    spark.catalog.clearCache()
+
+
+def test_scaled_corpus_kernel_cap_and_zero_norm(spark):
+    """Scaled corpus tier: oversized corpus cells skip (members kept) and
+    zero-norm vectors never match anything (cosine defined 0.0)."""
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index_scaled,
+        incremental_semantic_dedup_scaled,
+    )
+
+    corpus = _df(
+        spark, [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.98, 0.02])]
+    )
+    idx = build_semantic_index_scaled(corpus, "vec_id", "embedding", CENTS)
+    batch = _df(spark, [(10, [0.995, 0.005]), (11, [0.0, 0.0])])
+    res = incremental_semantic_dedup_scaled(
+        batch, idx, "vec_id", "embedding", CENTS, threshold=0.9, max_cell_size=2
+    )
+    # corpus cell over the cap: 10 kept despite cosine ~1; zero-norm 11 kept
+    assert res.ledger.count() == 0
+    assert sorted(r["vec_id"] for r in res.survivors.collect()) == [10, 11]
+    res2 = incremental_semantic_dedup_scaled(
+        batch, idx, "vec_id", "embedding", CENTS, threshold=0.9, max_cell_size=3
+    )
+    assert {r["doc"]: r["reason"] for r in res2.ledger.collect()} == {
+        10: "near_corpus"
+    }
+    spark.catalog.clearCache()
