@@ -57,11 +57,29 @@ def semantic_ingest_stream(
     threshold: float = 0.5,
     max_cell_size: int = 10_000,
     fmt: str = "parquet",
+    scaled: bool = False,
 ) -> None:
     """Drain available embedding files; per batch: SemDeDup vs the index,
     append survivors to ``corpus_dir/batch=<id>/``, swap the grown index
-    into ``index_dir`` atomically (watermark inside the swap unit)."""
+    into ``index_dir`` atomically (watermark inside the swap unit).
+
+    ``scaled=True`` routes assignment and both cosine tiers through the
+    numpy GEMM path (``incremental_semantic_dedup_scaled``) — required
+    once k grows past ~16, i.e. any production-sized stream. The two
+    paths write indexes with different vector types (float32 expression
+    vs float64 GEMM) — pick one per stream lifetime, like the
+    portable-vs-xxhash MinHash contract."""
     import glob as _glob
+
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index_scaled,
+        incremental_semantic_dedup_scaled,
+    )
+
+    build_fn = build_semantic_index_scaled if scaled else build_semantic_index
+    dedup_fn = (
+        incremental_semantic_dedup_scaled if scaled else incremental_semantic_dedup
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # repair a torn swap BEFORE reading the watermark (crash between
@@ -77,10 +95,8 @@ def semantic_ingest_stream(
         if have_index:
             index = spark.read.parquet(index_dir)
         else:
-            index = build_semantic_index(
-                batch_df.limit(0), id_col, vec_col, centroids
-            )
-        res = incremental_semantic_dedup(
+            index = build_fn(batch_df.limit(0), id_col, vec_col, centroids)
+        res = dedup_fn(
             batch_df,
             index,
             id_col,

@@ -229,3 +229,95 @@ def test_scaled_corpus_kernel_cap_and_zero_norm(spark):
         10: "near_corpus"
     }
     spark.catalog.clearCache()
+
+
+def test_semantic_stream_scaled_two_drains(spark, tmp_path):
+    """The scaled=True stream must make the same decisions through the
+    GEMM path (same drains as the expression-path stream test)."""
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        semantic_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(df, name):
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    kw = dict(
+        schema=SCHEMA,
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=CENTS,
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.9,
+        scaled=True,
+    )
+    land(_df(spark, [(1, [1.0, 0.0]), (2, [-1.0, 0.0])]), "f1.parquet")
+    semantic_ingest_stream(spark, str(src), **kw)
+    land(_df(spark, [(10, [0.99, 0.01]), (11, [0.3, 0.95])]), "f2.parquet")
+    semantic_ingest_stream(spark, str(src), **kw)
+    assert sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ) == [1, 2, 11]
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert sorted(r["doc"] for r in idx.collect()) == [1, 2, 11]
+    # scaled index stores GEMM-path float64 vectors
+    assert dict(idx.dtypes)["vec"] == "array<double>"
+
+
+def test_semantic_stream_recovers_torn_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves the semantic index only
+    under __old; the restart must roll it forward (shared machinery with
+    the text tier — this pins the WIRING, not just the helper)."""
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        semantic_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+
+    def land(df, name):
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    kw = dict(
+        schema=SCHEMA,
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=CENTS,
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.9,
+    )
+    land(_df(spark, [(1, [1.0, 0.0])]), "f1.parquet")
+    semantic_ingest_stream(spark, str(src), **kw)
+
+    # torn layout: rename #1 done, rename #2 never ran
+    os.rename(index_dir, index_dir + "__old")
+    os.makedirs(index_dir + "__tmp_swap")
+    with open(os.path.join(index_dir + "__tmp_swap", "junk"), "w") as fh:
+        fh.write("stale")
+
+    # a near-dup of vector 1 arrives; only the RESTORED index catches it
+    land(_df(spark, [(30, [0.99, 0.01])]), "f2.parquet")
+    semantic_ingest_stream(spark, str(src), **kw)
+    assert sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ) == [1], "near-dup slipped through: index history was lost"
+    assert sorted(
+        r["doc"] for r in spark.read.parquet(index_dir).collect()
+    ) == [1]
+    assert not os.path.exists(index_dir + "__old")
+    assert not os.path.exists(index_dir + "__tmp_swap")
