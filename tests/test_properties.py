@@ -401,3 +401,83 @@ def test_remove_spans_canonical_docs_lose_nothing(spark, texts, n):
             canon = min(ds)
             assert g in " ".join(toks[canon])  # trivially true pre-cut
             assert g in out[canon].clean_text
+
+
+# -- incremental SemDeDup invariants (round 7) ---------------------------
+
+_vec = st.tuples(
+    st.sampled_from([-1.0, -0.9, -0.5, 0.0, 0.3, 0.5, 0.9, 1.0]),
+    st.sampled_from([-0.5, -0.1, 0.0, 0.1, 0.5, 1.0]),
+)
+_emb_rows = st.lists(_vec, min_size=0, max_size=8)
+_SEM_CENTS = [[1.0, 0.0], [-1.0, 0.0]]
+
+
+def _emb_df(spark, vecs, offset=0):
+    rows = [(i + offset, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)]
+    if not rows:
+        return spark.createDataFrame([], "vec_id long, embedding array<float>")
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@SETTINGS
+@given(corpus_vecs=_emb_rows, batch_vecs=_emb_rows)
+@example(corpus_vecs=[(1.0, 0.0)], batch_vecs=[(1.0, 0.0), (0.9, 0.1)])
+@example(corpus_vecs=[], batch_vecs=[(0.0, 0.0), (0.0, 0.0)])
+def test_incremental_semantic_partition_property(spark, corpus_vecs, batch_vecs):
+    """For ANY corpus/batch: (survivors, ledger) partitions the batch —
+    every doc appears in exactly one, index_rows == survivors' ids, and
+    reasons come only from the fixed vocabulary."""
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    corpus = _emb_df(spark, corpus_vecs, offset=1000)
+    batch = _emb_df(spark, batch_vecs)
+    idx = build_semantic_index(corpus, "vec_id", "embedding", _SEM_CENTS)
+    res = incremental_semantic_dedup(
+        batch, idx, "vec_id", "embedding", _SEM_CENTS, threshold=0.9
+    )
+    surv = {r["vec_id"] for r in res.survivors.collect()}
+    led = {r["doc"]: r["reason"] for r in res.ledger.collect()}
+    all_ids = {i for i in range(len(batch_vecs))}
+    assert surv | set(led) == all_ids
+    assert surv & set(led) == set()
+    assert {r["doc"] for r in res.index_rows.collect()} == surv
+    assert set(led.values()) <= {"near_corpus", "near_batch"}
+    spark.catalog.clearCache()
+
+
+@SETTINGS
+@given(batch_vecs=st.lists(_vec.filter(lambda t: t != (0.0, 0.0)),
+                           min_size=1, max_size=6))
+@example(batch_vecs=[(1.0, 0.0), (0.9, 0.1)])
+def test_incremental_semantic_reingest_drops_everything(spark, batch_vecs):
+    """Idempotence: re-ingesting survivors against the grown index drops
+    every one of them as near_corpus (a non-zero vector has cosine 1.0
+    with its indexed copy)."""
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    empty = _emb_df(spark, [])
+    idx0 = build_semantic_index(empty, "vec_id", "embedding", _SEM_CENTS)
+    batch = _emb_df(spark, batch_vecs)
+    r1 = incremental_semantic_dedup(
+        batch, idx0, "vec_id", "embedding", _SEM_CENTS, threshold=0.9
+    )
+    grown = idx0.unionByName(r1.index_rows)
+    reid = r1.survivors.select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    r2 = incremental_semantic_dedup(
+        reid, grown, "vec_id", "embedding", _SEM_CENTS, threshold=0.9
+    )
+    n = reid.count()
+    assert r2.survivors.count() == 0
+    assert (
+        r2.ledger.where(F.col("reason") == "near_corpus").count() == n
+    )
+    spark.catalog.clearCache()
