@@ -767,7 +767,63 @@ def t_bpe_tokens(spark, sf_dir):
 
 @register(
     "mm_image_neardups",
-    tags=["multimodal", "dedup-image", "dhash", "no-oracle"],
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    grid AS (
+      SELECT i.doc_id, g.gx, g.gy, (g.gx * 16) // 9 AS sx, g.gy * 2 AS sy
+      FROM ids i,
+           (SELECT x.gx, y.gy
+            FROM (SELECT unnest(generate_series(0, 8)) AS gx) x,
+                 (SELECT unnest(generate_series(0, 7)) AS gy) y) g
+    ),
+    chan AS (
+      SELECT doc_id, gx, gy, sx, sy, salt,
+        CAST(xor(h3, h3 >> 16) % 256 AS BIGINT) AS c0
+      FROM (
+        SELECT doc_id, gx, gy, sx, sy, salt,
+          CAST((CAST(xor(h1, h1 >> 13) AS HUGEINT) * 2654435761)
+               % 4294967296 AS BIGINT) AS h3
+        FROM (
+          SELECT g.doc_id, g.gx, g.gy, g.sx, g.sy, s.salt,
+            ((g.doc_id // 2) * 1000003 + g.sx * 4091 + g.sy * 64969
+              + s.salt * 9176) % 4294967296 AS h1
+          FROM grid g, (SELECT unnest([1, 2, 3]) AS salt) s
+        )
+      )
+    ),
+    px AS (
+      SELECT doc_id, gx, gy,  salt,
+        CASE WHEN (doc_id % 2) = 1 AND sx = 3 AND sy = 2 AND salt = 1
+               THEN (c0 + 64) % 256
+             WHEN (doc_id % 2) = 1 AND sx = 5 AND sy = 4 AND salt = 2
+               THEN (c0 + 48) % 256
+             ELSE c0 END AS c
+      FROM chan
+    ),
+    gray AS (
+      SELECT doc_id, gx, gy,
+        SUM(CASE salt WHEN 1 THEN 299 * c WHEN 2 THEN 587 * c
+                      ELSE 114 * c END) AS g
+      FROM px GROUP BY doc_id, gx, gy
+    ),
+    bits AS (
+      SELECT a.doc_id,
+        SUM(CASE WHEN a.g > b.g THEN
+              CASE WHEN a.gy = 0 AND a.gx = 0 THEN -9223372036854775807 - 1
+                   ELSE (CAST(1 AS BIGINT)
+                         << (63 - CAST(a.gy * 8 + a.gx AS INT))) END
+            ELSE 0 END) AS dhash
+      FROM gray a JOIN gray b
+        ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      GROUP BY a.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    ORDER BY id_a, id_b
+    """,
+    tags=["multimodal", "dedup-image", "dhash"],
 )
 def mm_image_neardups(spark, sf_dir):
     """Perceptual image near-dup detection end to end: deterministic 16x16
@@ -776,9 +832,14 @@ def mm_image_neardups(spark, sf_dir):
     the REAL dHash codec (9x8 luminance gradients over the stdlib BMP
     decoder), and paired via the generic banded-Hamming search — the
     multimodal twin of SimHash text dedup, one shuffle, never all-pairs.
-    Rows-only: the expected (2k, 2k+1) pairing is pinned exactly by
-    tests/test_image_dedup.py; dhash bits are integer-only arithmetic, so
-    the pair set is platform-stable."""
+    ORACLE-CHECKED since round 7: the DuckDB replica regenerates the
+    PIXELS from doc_id at the 72 sampled grid points (the synth formula
+    is pure integer arithmetic, ITU-R 601 luminance is integer), so hash
+    equality validates the whole BMP encode -> random-access sample ->
+    dHash chain end to end; its brute-force pair join is exact because
+    hamming <= 6 < 8 bands makes the pigeonhole search recall-complete
+    and the bucket cap (256) can't bind at 100 docs. Exact twin-pair
+    recovery additionally pinned by tests/test_image_dedup.py."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
@@ -821,7 +882,50 @@ def mm_image_neardups(spark, sf_dir):
 
 @register(
     "mm_audio_neardups",
-    tags=["multimodal", "dedup-audio", "ahash", "no-oracle"],
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    samples AS (
+      SELECT doc_id, j,
+        CASE WHEN (doc_id % 2) = 1 AND j >= 300 AND j < 400 THEN base + 3000
+             WHEN (doc_id % 2) = 1 AND j >= 4000 AND j < 4100 THEN base - 3000
+             ELSE base END AS v
+      FROM (
+        SELECT doc_id, j,
+          CAST((xor(h3, h3 >> 16) % 16384) - 8192 AS BIGINT) AS base
+        FROM (
+          SELECT doc_id, j,
+            CAST((CAST(xor(h1, h1 >> 13) AS HUGEINT) * 2654435761)
+                 % 4294967296 AS BIGINT) AS h3
+          FROM (
+            SELECT i.doc_id, t.j,
+              ((i.doc_id // 2) * 1000003 + t.j * 40503 + 7)
+                % 4294967296 AS h1
+            FROM ids i,
+                 (SELECT unnest(generate_series(0, 6499)) AS j) t
+          )
+        )
+      )
+    ),
+    e AS (
+      SELECT doc_id, j // 100 AS win, SUM(abs(v)) AS en
+      FROM samples GROUP BY doc_id, win
+    ),
+    bits AS (
+      SELECT a.doc_id,
+        SUM(CASE WHEN a.en > b.en THEN
+              CASE WHEN a.win = 0 THEN -9223372036854775807 - 1
+                   ELSE (CAST(1 AS BIGINT) << (63 - CAST(a.win AS INT))) END
+            ELSE 0 END) AS ahash
+      FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.win = a.win + 1
+      GROUP BY a.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+    ORDER BY id_a, id_b
+    """,
+    tags=["multimodal", "dedup-audio", "ahash"],
 )
 def mm_audio_neardups(spark, sf_dir):
     """Audio near-dup detection: deterministic 16-bit PCM WAVs are
@@ -829,9 +933,14 @@ def mm_audio_neardups(spark, sf_dir):
     narrow energy boost), fingerprinted with the REAL envelope hash
     (65-window integer energies over the stdlib PCM decoder), and paired
     via the generic banded-Hamming search — one shuffle, the audio twin
-    of dHash image dedup. Rows-only: exact twin-pair recovery is pinned
-    by tests/test_audio_dedup.py; integer-only arithmetic keeps the pair
-    set platform-stable."""
+    of dHash image dedup. ORACLE-CHECKED since round 7: the DuckDB
+    replica regenerates the SAMPLES from doc_id (the synth formula is
+    pure integer arithmetic), so hash equality validates the whole WAV
+    encode -> RIFF parse -> PCM decode -> envelope chain end to end; its
+    brute-force pair join is exact because hamming <= 6 < 8 bands makes
+    the pigeonhole search recall-complete and the bucket cap (256) can't
+    bind at 60 docs. Exact twin-pair recovery additionally pinned by
+    tests/test_audio_dedup.py."""
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType,
