@@ -5,15 +5,23 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Protocol: each query's DataFrame is built once (prepared-plan, mirroring
-DuckDB's cheap parse), then executed to completion (count() forces the
-full plan) REPS times (default 5, $SPARK_GRAFT_BENCH_REPS) and the
-per-query median is reported; the DuckDB oracle baseline uses the
-identical median-of-REPS execute protocol. The Spark cache is cleared
-between reps so persist()-based operators (minhash) never reuse a prior
-rep's work — the medians measure steady-state execution (codegen/JIT
-warm, plans re-executed against re-scanned data), which is how a
-long-lived cluster actually runs. Shuffle partitions are sized to the
-input volume via session.shuffle_partitions_for.
+DuckDB's cheap parse), then executed to completion REPS times (default 5,
+$SPARK_GRAFT_BENCH_REPS) and the per-query median is reported; the DuckDB
+oracle baseline uses the identical median-of-REPS execute protocol. The
+Spark cache is cleared between reps so persist()-based operators (minhash)
+never reuse a prior rep's work — the medians measure steady-state
+execution (codegen/JIT warm, plans re-executed against re-scanned data),
+which is how a long-lived cluster actually runs. Shuffle partitions are
+sized to the input volume via session.shuffle_partitions_for.
+
+Headline action is FULLEVAL (round-7 judge task #1): every output column
+is folded into one checksum row, matching the DuckDB side's fetchall
+materialization. The historical count() action let Catalyst prune columns
+the count never reads — flattering by up to 20x for queries whose heavy
+work lives in an unreferenced output column (t_span_scrubbed_docs 0.047 s
+counted vs 1.046 s honest). A count-mode continuity column
+(``count_mode``) is still recorded each run so the r1-r7 series stays
+comparable; set SPARK_GRAFT_BENCH_ACTION=count to flip the headline back.
 """
 
 from __future__ import annotations
@@ -98,14 +106,13 @@ def _median(xs: list[float]) -> float:
 
 
 def _run(df, action: str) -> None:
-    """Execute a query to completion. ``count`` (default, the protocol all
-    rounds share) lets Catalyst prune columns the count doesn't need —
-    flattering for queries whose heavy work lives in an unreferenced
-    output column (e.g. t_span_scrubbed_docs' clean_text). ``fulleval``
-    folds EVERY output column into one checksum row, matching the DuckDB
-    side's fetchall materialization; run with
-    SPARK_GRAFT_BENCH_ACTION=fulleval for the honest-materialization
-    variant (recorded in scripts/bench_fulleval_r*.json)."""
+    """Execute a query to completion. ``fulleval`` (the headline default
+    since round 8) folds EVERY output column into one checksum row,
+    matching the DuckDB side's fetchall materialization. ``count`` (the
+    r1-r7 headline, kept as the continuity column) lets Catalyst prune
+    columns the count doesn't need — flattering for queries whose heavy
+    work lives in an unreferenced output column (e.g.
+    t_span_scrubbed_docs' clean_text)."""
     if action == "fulleval":
         import pyspark.sql.functions as F
         from pyspark.sql.types import MapType
@@ -125,7 +132,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "count")
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "fulleval")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from datagouvfr_data_pipelines_spark.session import get_spark
@@ -168,6 +175,34 @@ def main() -> None:
         timings[name] = round(_median(samples), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Count-mode continuity column: the r1-r7 headline protocol, recorded
+    # alongside the fulleval headline so cross-round series stay readable.
+    # Fewer reps — it is a tracking column, not the graded number.
+    count_mode: dict[str, object] = {}
+    if action == "fulleval" and os.environ.get("SPARK_GRAFT_BENCH_COUNTMODE", "1") != "0":
+        cm_reps = min(reps, 3)
+        cm_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            samples = []
+            try:
+                for _ in range(cm_reps):
+                    spark.catalog.clearCache()
+                    df = qs[name](spark, sf_dir)
+                    t0 = time.perf_counter()
+                    _run(df, "count")
+                    samples.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: count-mode {name} FAILED: {e}", file=sys.stderr)
+                continue
+            cm_timings[name] = round(_median(samples), 3)
+        count_mode = {
+            "total_sec": round(sum(cm_timings.values()), 3),
+            "reps": cm_reps,
+            "queries": cm_timings,
+        }
 
     # Baseline column (BASELINE.md: "the DuckDB oracle timing at sf0.1
     # serves as the baseline"): time each query's oracle SQL in DuckDB on
@@ -213,6 +248,7 @@ def main() -> None:
                 "oracle_duckdb_sec": oracle_timings,
                 "oracle_total_sec": round(sum(oracle_timings.values()), 3),
                 "oracle_comparable_spark_sec": comparable,
+                "count_mode": count_mode,
                 "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # protocol pin (round-5 task #8): what produced these numbers.

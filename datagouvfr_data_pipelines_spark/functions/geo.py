@@ -112,7 +112,9 @@ def fix_reversed_coords(
         lat_col: F.when(swap, _c(lon_col)).otherwise(_c(lat_col)),
     }
     if reordered_col is not None:
-        cols[reordered_col] = swap
+        # NULL lon/lat make `swap` NULL; the reference's flag column is
+        # always a concrete boolean (False when nothing swapped), so pin it.
+        cols[reordered_col] = F.coalesce(swap, F.lit(False))
     return df.withColumns(cols)
 
 

@@ -165,8 +165,13 @@ def ban_select(
         if ban_type == "housenumber" and ban_score > score_min:
             return (ban["lon"], ban["lat"], ban_score, "housenumber", ban.get("label"))
         # precedence as written in the reference: ban is None OR
-        # (street AND numvoie > 2)
-        if ban is None or (ban_type == "street" and int(numvoie) > 2):
+        # (street AND numvoie > 2). Non-numeric house numbers ("12B",
+        # "3bis") cannot interpolate — fall through to the street/any-type
+        # fallbacks instead of raising inside the Arrow batch (the
+        # reference crashes row-at-a-time here; a distributed job must not).
+        if numvoie.isdigit() and (
+            ban is None or (ban_type == "street" and int(numvoie) > 2)
+        ):
             avant = service(f"{int(numvoie) - 2} {typvoie} {libvoie}", depcom)
             apres = service(f"{int(numvoie) + 2} {typvoie} {libvoie}", depcom)
             if (

@@ -80,6 +80,15 @@ class IncrementalSemanticResult(NamedTuple):
     survivors: DataFrame  # batch rows that passed both tiers (id_col cols)
     index_rows: DataFrame  # build_semantic_index rows for the survivors
     ledger: DataFrame  # (doc, reason) for dropped docs
+    cached: DataFrame | None = None  # the persisted batch index, if any
+
+    def unpersist(self) -> None:
+        """Release the persisted batch index. Call after materializing the
+        result frames you need — the cache otherwise outlives the call and
+        accumulates across a session (streaming/semantic_stream.py calls
+        this per batch; one-shot callers can skip ``persist`` instead)."""
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 def incremental_semantic_dedup(
@@ -91,6 +100,7 @@ def incremental_semantic_dedup(
     threshold: float = 0.5,
     max_cell_size: int = 10_000,
     n_slices: int | None = None,
+    persist: bool = True,
 ) -> IncrementalSemanticResult:
     """Dedup ``batch`` against ``index`` (see module docstring).
 
@@ -99,8 +109,17 @@ def incremental_semantic_dedup(
     are incomparable. Returns per-doc decisions; the caller appends
     ``index_rows`` to the index (atomically — see
     streaming/semantic_stream.py).
+
+    ``persist=True`` caches the batch index (reused by both tiers and the
+    survivor anti-join); callers must then ``result.unpersist()`` after
+    materializing, or the cache leaks across the session. One-shot callers
+    that consume a single result frame can pass ``persist=False`` and skip
+    the bookkeeping (the assignment projection is recomputed, which is
+    cheap relative to the pair stages).
     """
-    bidx = build_semantic_index(batch, id_col, vec_col, centroids).persist()
+    bidx = build_semantic_index(batch, id_col, vec_col, centroids)
+    if persist:
+        bidx = bidx.persist()
 
     # -- corpus tier ---------------------------------------------------
     # prune the (large) corpus index to the batch's cells before anything
@@ -183,7 +202,9 @@ def incremental_semantic_dedup(
         dropped, F.col(id_col) == F.col("__dropped_id"), "left_anti"
     )
     index_rows = bidx.join(dropped, bidx.doc == F.col("__dropped_id"), "left_anti")
-    return IncrementalSemanticResult(survivors, index_rows, ledger)
+    return IncrementalSemanticResult(
+        survivors, index_rows, ledger, bidx if persist else None
+    )
 
 
 def build_semantic_index_scaled(
@@ -218,6 +239,7 @@ def incremental_semantic_dedup_scaled(
     centroids: list[list[float]],
     threshold: float = 0.5,
     max_cell_size: int = 10_000,
+    persist: bool = True,
 ) -> IncrementalSemanticResult:
     """Large-k / large-corpus twin of ``incremental_semantic_dedup`` —
     identical decisions (parity test-pinned), vectorized stages:
@@ -235,7 +257,9 @@ def incremental_semantic_dedup_scaled(
     import numpy as np
     import pandas as pd  # noqa: F401
 
-    bidx = build_semantic_index_scaled(batch, id_col, vec_col, centroids).persist()
+    bidx = build_semantic_index_scaled(batch, id_col, vec_col, centroids)
+    if persist:
+        bidx = bidx.persist()
 
     bcells = F.broadcast(bidx.select("cell").distinct())
     corpus = index.join(bcells, "cell").select(
@@ -293,4 +317,6 @@ def incremental_semantic_dedup_scaled(
         dropped, F.col(id_col) == F.col("__dropped_id"), "left_anti"
     )
     index_rows = bidx.join(dropped, bidx.doc == F.col("__dropped_id"), "left_anti")
-    return IncrementalSemanticResult(survivors, index_rows, ledger)
+    return IncrementalSemanticResult(
+        survivors, index_rows, ledger, bidx if persist else None
+    )

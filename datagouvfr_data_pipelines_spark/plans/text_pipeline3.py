@@ -424,6 +424,10 @@ def d_incremental_semantic(spark, sf_dir):
         centroids,
         threshold=_SEM_TAU,
         max_cell_size=_SEM_MAX_CELL,
+        # one-shot catalog query consuming only the ledger: persisting the
+        # batch index here would leak cache across the session (the lazy
+        # result outlives this call, so there is no safe unpersist point)
+        persist=False,
     )
     decisions = build_semantic_index(batch, "vec_id", "embedding", centroids)
     return (

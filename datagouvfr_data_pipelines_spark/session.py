@@ -111,6 +111,111 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     return out
 
 
+_SHUFFLE_LOGICAL_NODES = None  # compiled lazily (re import kept out of module load)
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ("128MB", "134217728b", "64m") to bytes."""
+    import re
+
+    try:
+        raw = spark.conf.get(key)
+    except Exception:
+        return default
+    if not raw:
+        return default
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?i?b?)\s*", str(raw).lower())
+    if not m:
+        return default
+    mult = {
+        "": 1, "b": 1,
+        "k": 1 << 10, "kb": 1 << 10, "kib": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20, "mib": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30, "gib": 1 << 30,
+        "t": 1 << 40, "tb": 1 << 40, "tib": 1 << 40,
+        "p": 1 << 50, "pb": 1 << 50, "pib": 1 << 50,
+    }.get(m.group(2), 1)
+    return int(m.group(1)) * mult
+
+
+_STATS_UNKNOWN = 1 << 60  # Catalyst reports Long.MaxValue when size is unknown
+
+# nodes that keep their child's partitioning (safe to look through when
+# hunting for an explicit repartition count)
+_WIDTH_PRESERVING = (
+    "Project", "Filter", "Generate", "MapInPandas", "PythonMapInArrow",
+    "MapElements", "DeserializeToObject", "SerializeFromObject", "Expand",
+    "LocalLimit", "TypedFilter", "WithCTE", "CTERelationDef",
+)
+
+
+def _plan_width(df) -> int | None:
+    """Estimate the frame's task width from the optimized logical plan.
+
+    Never converts a shuffle-bearing frame to an RDD: under AQE that
+    materializes its upstream shuffle query stages (running real jobs
+    twice), and on static plans it reports the pre-coalesce partition
+    count — so a frame AQE later collapses to one partition is wrongly
+    judged "already wide". Decision ladder:
+
+    1. an explicit ``repartition(N)``/``coalesce(N)`` at the top of the
+       plan (looking through width-preserving nodes) pins the width to N
+       — explicit-count repartitions are exempt from AQE coalescing;
+    2. no shuffle-inducing node anywhere: the frame is scan/local-stage,
+       so ``df.rdd.getNumPartitions()`` is exact AND safe (no exchanges
+       exist, so nothing materializes and no job runs);
+    3. shuffle-derived with known stats: width is what AQE's byte-based
+       coalescing will leave, ``ceil(sizeInBytes / advisoryPartitionSize)``
+       — pessimistic on purpose, because AQE coalesces on bytes while our
+       callers' downstream cost is per-row compute;
+    4. shuffle-derived with unknown stats: None (caller fans out).
+    """
+    global _SHUFFLE_LOGICAL_NODES
+    if _SHUFFLE_LOGICAL_NODES is None:
+        import re
+
+        _SHUFFLE_LOGICAL_NODES = {
+            "shuffle": re.compile(
+                r"\b(Join|Aggregate|Window|Sort|Distinct|Deduplicate|Repartition"
+                r"|RepartitionByExpression|RebalancePartitions|Except|Intersect"
+                r"|CoGroup|FlatMapGroups|FlatMapCoGroups|MapGroups"
+                r"|ApplyInPandasWithState|GlobalLimit)\b"
+            ),
+            "repart": re.compile(
+                r"^(?:Repartition (\d+), (?:true|false)"
+                r"|RepartitionByExpression \[.*\], (\d+)"
+                r"|RebalancePartitions \[.*\], (\d+))$"
+            ),
+        }
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        tree = plan.treeString()
+    except Exception:
+        return None
+    for raw in tree.splitlines():
+        node = raw.lstrip(" :+-")
+        m = _SHUFFLE_LOGICAL_NODES["repart"].match(node)
+        if m:
+            return int(next(g for g in m.groups() if g))
+        if not node.startswith(_WIDTH_PRESERVING):
+            break
+    if not _SHUFFLE_LOGICAL_NODES["shuffle"].search(tree):
+        try:
+            return df.rdd.getNumPartitions()
+        except Exception:
+            return None
+    try:
+        size = int(plan.stats().sizeInBytes())
+    except Exception:
+        return None
+    if size >= _STATS_UNKNOWN:
+        return None
+    per = _conf_bytes(
+        df.sparkSession, "spark.sql.adaptive.advisoryPartitionSizeInBytes", 64 << 20
+    )
+    return 1 if size <= 0 else -(-size // per)
+
+
 def fan_out(df, *key_cols):
     """Decouple compute parallelism from scan granularity.
 
@@ -118,14 +223,16 @@ def fan_out(df, *key_cols):
     single-file / few-row-group input feeds every core-hungry downstream
     projection (n-gram building, bigram explode, per-row folds) from a
     handful of tasks while the rest of the cluster idles. When the frame's
-    partition count is below the cluster's default parallelism,
-    repartition up to it (hash on ``key_cols`` when the next shuffle key
-    is known — the exchange then doubles as that stage's shuffle;
-    round-robin otherwise). No-op whenever the scan already fans wide: at
-    100 TB inputs carry thousands of row-groups and this adds nothing —
-    the guard makes it safe to leave in scale paths permanently."""
+    estimated width (see ``_plan_width`` — derived from plan stats, never
+    ``df.rdd``) is below the cluster's default parallelism, repartition up
+    to it (hash on ``key_cols`` when the next shuffle key is known — the
+    exchange then doubles as that stage's shuffle; round-robin otherwise).
+    No-op whenever the input already fans wide: at 100 TB inputs carry
+    thousands of row-groups and this adds nothing — the guard makes it
+    safe to leave in scale paths permanently."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    width = _plan_width(df)
+    if width is not None and width >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

@@ -1,6 +1,9 @@
-"""Regression tests for the round-1 ADVICE findings: stateful timeout
+"""Regression tests for per-round ADVICE findings: stateful timeout
 handling, as-of join tiebreaker determinism, the simhash pigeonhole guard,
-deterministic GeoJSON feature order, and rename-swap crash recovery."""
+deterministic GeoJSON feature order, rename-swap crash recovery (round 1);
+plan-derived fan_out width, ban_select non-numeric house numbers, the
+reordered-flag NULL pin, the batch-index persist lifecycle, and the
+O(batch) semantic index commit (round 8)."""
 
 from __future__ import annotations
 
@@ -240,3 +243,162 @@ def test_ewma_alert_stream_end_to_end(spark, tmp_path):
     q.stop()
     alerts = spark.read.parquet(out_dir).collect()
     assert [r["value"] for r in alerts] == [500.0]
+
+
+# ------------------------------------------------- round-8 advice findings
+
+
+def test_fan_out_shuffle_derived_frame_not_judged_wide(spark):
+    """Round-8 advice (medium): a shuffle-derived frame whose static plan
+    claims 32 pre-coalesce partitions — but which AQE would collapse to ~1
+    for its few bytes — must be FANNED, not skipped; and the probe must not
+    go through df.rdd (which would materialize the upstream shuffle stage
+    and run the aggregation twice)."""
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(1000).withColumn("k", F.col("id") % 7)
+    agg = base.groupBy("k").agg(F.count(F.lit(1)).alias("n"))  # tiny output
+    out = fan_out(agg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:1500]
+    assert out.count() == 7
+    assert out.rdd.getNumPartitions() == par
+
+
+def test_fan_out_explicit_repartition_respected(spark):
+    """An explicit repartition(N >= parallelism) pins the width (exempt
+    from AQE coalescing) — fan_out must be the identity there, and must
+    fan a coalesce(1) frame, both WITHOUT touching df.rdd first."""
+    from datagouvfr_data_pipelines_spark.session import _plan_width, fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(par + 3)
+    assert _plan_width(wide) == par + 3
+    assert fan_out(wide) is wide
+    narrow = spark.range(100).coalesce(1)
+    assert _plan_width(narrow) == 1
+    assert fan_out(narrow).rdd.getNumPartitions() == par
+
+
+def test_ban_select_non_numeric_numvoie_does_not_raise():
+    """Round-8 advice: '12B' style house numbers cannot interpolate; the
+    reference crashes row-at-a-time, but inside an Arrow batch a raise
+    would fail the whole geocode job — fall through to the fallbacks."""
+    from datagouvfr_data_pipelines_spark.functions.udfs import ban_select
+
+    calls = []
+
+    def service(q, citycode):
+        calls.append(q)
+        return None  # BAN miss forces the interpolation branch
+
+    out = ban_select("12B", "RUE", "DE LA PAIX", "75101", service)
+    assert out == (None, None, None, None, None)
+    # no n-2/n+2 interpolation queries were attempted for a non-numeric
+    assert calls == ["12B RUE DE LA PAIX"]
+
+    def street_service(q, citycode):
+        return {"lon": 2.0, "lat": 48.0, "score": 0.9, "type": "street"}
+
+    lon, lat, score, typ, _ = ban_select(
+        "3bis", "RUE", "DE LA PAIX", "75101", street_service
+    )
+    assert typ == "street" and score == 0.9
+
+
+def test_fix_reversed_coords_flag_never_null(spark):
+    """Round-8 advice: NULL lon/lat must yield reordered=False (the
+    reference's flag column is always a concrete boolean), not NULL."""
+    from datagouvfr_data_pipelines_spark.functions.geo import fix_reversed_coords
+
+    df = spark.createDataFrame(
+        [(2.35, 48.85), (None, 48.85), (None, None), (48.85, 2.35)],
+        "lon double, lat double",
+    )
+    out = fix_reversed_coords(df, "lon", "lat", reordered_col="reordered")
+    flags = [r["reordered"] for r in out.collect()]
+    assert flags == [False, False, False, True]
+
+
+def test_incremental_semantic_persist_lifecycle(spark):
+    """Round-8 advice: the batch index persist must not leak — persist=False
+    caches nothing; the default caches exactly one frame which unpersist()
+    releases."""
+    from datagouvfr_data_pipelines_spark.operators.incremental_semantic import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(10, [0.99, 0.01])], "vec_id long, embedding array<float>"
+    )
+    idx = build_semantic_index(corpus, "vec_id", "embedding", cents)
+    before = jsc.getPersistentRDDs().size()
+
+    res = incremental_semantic_dedup(
+        batch, idx, "vec_id", "embedding", cents, threshold=0.9, persist=False
+    )
+    assert res.cached is None
+    res.ledger.collect()
+    assert jsc.getPersistentRDDs().size() == before, "persist=False leaked a cache"
+
+    res = incremental_semantic_dedup(
+        batch, idx, "vec_id", "embedding", cents, threshold=0.9
+    )
+    res.ledger.collect()
+    assert jsc.getPersistentRDDs().size() == before + 1
+    res.unpersist()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_semantic_index_commit_is_per_batch(spark, tmp_path):
+    """Round-8 advice: the semantic index commit must be O(batch) — each
+    drain adds ONE batch=<id> subdir and never rewrites earlier batches'
+    files (mtimes unchanged across a later drain)."""
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        semantic_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+
+    def land(df, name):
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    kw = dict(
+        schema="vec_id long, embedding array<float>",
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=[[1.0, 0.0], [-1.0, 0.0]],
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.9,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, kw["schema"])  # noqa: E731
+    land(mk([(1, [1.0, 0.0])]), "f1.parquet")
+    semantic_ingest_stream(spark, str(src), **kw)
+    b0_files = sorted(globmod.glob(os.path.join(index_dir, "batch=0", "*.parquet")))
+    assert b0_files, "first drain must commit batch=0"
+    mtimes = {p: os.path.getmtime(p) for p in b0_files}
+
+    land(mk([(11, [0.0, 1.0])]), "f2.parquet")
+    semantic_ingest_stream(spark, str(src), **kw)
+    assert os.path.isdir(os.path.join(index_dir, "batch=1"))
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, "earlier batch rewritten: commit is O(corpus)"
+    docs = sorted(r["doc"] for r in spark.read.parquet(index_dir).collect())
+    assert docs == [1, 11]
