@@ -202,6 +202,12 @@ def main() -> None:
             "total_sec": round(sum(cm_timings.values()), 3),
             "reps": cm_reps,
             "queries": cm_timings,
+            # Protocol caveat: this column runs AFTER the fulleval reps in
+            # the same (hotter) JVM and with cm_reps <= 3 vs the r1-r7
+            # protocol's 5, so it is an APPROXIMATE continuity series, not
+            # a strict replay of the historical protocol.
+            "note": "approximate: runs post-fulleval in a hot JVM, "
+                    f"{cm_reps} reps vs historical 5",
         }
 
     # Baseline column (BASELINE.md: "the DuckDB oracle timing at sf0.1

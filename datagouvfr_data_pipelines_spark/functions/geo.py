@@ -269,6 +269,74 @@ def point_in_polygon(
     return point_in_rings(lon, lat, [polygon])
 
 
+def point_in_polygon_col(
+    lon: Column | str, lat: Column | str, rings: Column | str
+) -> Column:
+    """Geometry-as-DATA twin of :func:`point_in_rings`: the polygon comes
+    from a COLUMN of GeoJSON-Polygon-shaped coordinates
+    (``array<array<array<double>>>`` — rings, of points, of [lon, lat]),
+    so every row can carry its own geometry — consolidation over arbitrary
+    per-row feature collections, which the literal form (a broadcast
+    constant unrolled into the plan) cannot express. Identical even-odd
+    ray-casting semantics: disjoint outer rings union, hole rings
+    subtract, boundary points follow the PNPOLY half-open convention
+    (left/bottom edges in, right/top out — no point double-counts when
+    polygons tile) — the parity test
+    ``test_point_in_polygon_col_matches_literal`` pins the two forms to
+    bit-identical results over a vertex-straddling grid that includes
+    edge and vertex points.
+
+    All-JVM higher-order-function fold (``aggregate`` over rings, inner
+    ``aggregate`` over each ring's edge indices) — no UDF, expression size
+    is CONSTANT in the vertex count (the literal form unrolls one term per
+    edge), so arbitrary-vertex geometries from data are safe. The
+    crossing longitude is only evaluated under the span predicate (nested
+    ``when``), keeping the y2 == y1 division away from ANSI mode.
+
+    Reference parity: schema/irve/geo_utils/geo.py:25-29 and
+    carburants/scripts/reformat_prix.py:108-120 test points against
+    polygon constants; this generalizes the same fill rule to per-row
+    geometry. NULL rings / NULL coordinates yield NULL, degenerate rings
+    (< 3 points) contribute zero crossings.
+    """
+    x, y = _c(lon), _c(lat)
+    rings = _c(rings)
+
+    def edge_crossing(ring: Column, i: Column) -> Column:
+        # edge (ring[i], ring[(i+1) % n]), 1-based element_at
+        n = F.size(ring)
+        p1 = F.element_at(ring, i + 1)
+        p2 = F.element_at(ring, F.pmod(i + 1, n) + 1)
+        x1, y1 = F.element_at(p1, 1), F.element_at(p1, 2)
+        x2, y2 = F.element_at(p2, 1), F.element_at(p2, 2)
+        spans = (y1 > y) != (y2 > y)  # false on horizontal edges
+        x_cross = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        # nested when: the division must stay unevaluated unless spans
+        # (ANSI divide-by-zero on horizontal edges otherwise)
+        return F.when(
+            spans, F.when(x < x_cross, F.lit(1)).otherwise(F.lit(0))
+        ).otherwise(F.lit(0))
+
+    def ring_crossings(ring: Column) -> Column:
+        return F.when(
+            F.size(ring) >= 3,
+            F.aggregate(
+                F.sequence(F.lit(0), F.size(ring) - 1),
+                F.lit(0),
+                lambda acc, i: acc + edge_crossing(ring, i),
+            ),
+        ).otherwise(F.lit(0))
+
+    total = F.aggregate(
+        rings, F.lit(0), lambda acc, ring: acc + ring_crossings(ring)
+    )
+    # a NULL coordinate must yield NULL, matching the literal form — the
+    # nested when() above would otherwise swallow it into "0 crossings"
+    return F.when(
+        x.isNull() | y.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(F.pmod(total, F.lit(2)) == 1)
+
+
 def pnpoly_sql(
     rings: list[list[tuple[float, float]]], lon_expr: str, lat_expr: str
 ) -> str:

@@ -94,6 +94,7 @@ def _load_all() -> None:
     from datagouvfr_data_pipelines_spark.plans import relational15  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import relational16  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import relational17  # noqa: F401
+    from datagouvfr_data_pipelines_spark.plans import relational18  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import text_pipeline  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import text_pipeline2  # noqa: F401
     from datagouvfr_data_pipelines_spark.plans import text_pipeline3  # noqa: F401

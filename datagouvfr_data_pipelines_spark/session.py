@@ -233,6 +233,15 @@ def fan_out(df, *key_cols):
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     width = _plan_width(df)
-    if width is not None and width >= target:
+    if width is None:
+        # Unknown width = shuffle-derived frame with unknown stats. A
+        # post-shuffle frame already carries spark.sql.shuffle.partitions
+        # tasks (>= defaultParallelism in our sessions), so it is not the
+        # starved-scan case this helper exists for — and repartition(target)
+        # here would COLLAPSE an already-wide frame to defaultParallelism
+        # while adding a full shuffle. Keep the frame as-is, matching the
+        # old getNumPartitions probe which no-op'd on these inputs.
+        return df
+    if width >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

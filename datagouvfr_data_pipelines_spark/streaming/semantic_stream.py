@@ -78,8 +78,12 @@ def _committed_index_paths(index_dir: str, watermark: int) -> list[str]:
             continue
         if int(name) <= watermark and _glob.glob(os.path.join(d, "*.parquet")):
             paths.append(d)
-    if _glob.glob(os.path.join(index_dir, "*.parquet")):
-        paths.append(index_dir)  # legacy layout: bare part files at the root
+    # Legacy layout: bare part files at the index root. Append the FILES,
+    # never index_dir itself — a root path makes Spark recursively discover
+    # batch=<id> subdirs (including torn ones with id > watermark) at
+    # partition depth 1 while the root files sit at depth 0, and the read
+    # fails with CONFLICTING_DIRECTORY_STRUCTURES before recovery can run.
+    paths.extend(sorted(_glob.glob(os.path.join(index_dir, "*.parquet"))))
     return paths
 
 
@@ -155,12 +159,18 @@ def semantic_ingest_stream(
             threshold=threshold,
             max_cell_size=max_cell_size,
         )
-        # survivors: idempotent per-batch subdirectory overwrite
-        write_parquet(res.survivors, os.path.join(corpus_dir, f"batch={batch_id}"))
-        # index rows: stage (O(batch) bytes), rename into place, advance
-        # the watermark — never rewrite the accumulated index
-        write_parquet(res.index_rows, staging)
-        res.unpersist()  # both result frames are materialized now
+        try:
+            # survivors: idempotent per-batch subdirectory overwrite
+            write_parquet(
+                res.survivors, os.path.join(corpus_dir, f"batch={batch_id}")
+            )
+            # index rows: stage (O(batch) bytes), rename into place, advance
+            # the watermark — never rewrite the accumulated index
+            write_parquet(res.index_rows, staging)
+        finally:
+            # a failed write must not leak one persisted frame per batch
+            # across a long-lived stream
+            res.unpersist()
         os.makedirs(index_dir, exist_ok=True)
         final = os.path.join(index_dir, f"batch={batch_id}")
         if os.path.exists(final):

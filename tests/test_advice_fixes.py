@@ -402,3 +402,73 @@ def test_semantic_index_commit_is_per_batch(spark, tmp_path):
         assert os.path.getmtime(p) == t, "earlier batch rewritten: commit is O(corpus)"
     docs = sorted(r["doc"] for r in spark.read.parquet(index_dir).collect())
     assert docs == [1, 11]
+
+
+def test_legacy_root_files_plus_torn_batch_dir_is_readable(spark, tmp_path):
+    """Round-9 advice (high): when round-7 legacy root-level parquet files
+    coexist with batch=<id> dirs, the committed-path list must name the
+    legacy FILES, never index_dir itself — a root read discovers a torn
+    batch dir (id > watermark, the documented rename-to-watermark crash
+    window) at partition depth 1 while root files sit at depth 0, and
+    spark.read.parquet dies with CONFLICTING_DIRECTORY_STRUCTURES on every
+    restart, wedging the stream before recovery runs."""
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        _committed_index_paths,
+        semantic_ingest_stream,
+    )
+
+    index_dir = str(tmp_path / "index")
+    schema = "doc long, cell int, vec array<float>, nrm double, c_sim double"
+    legacy = spark.createDataFrame([(1, 0, [1.0, 0.0], 1.0, 1.0)], schema)
+    torn = spark.createDataFrame([(99, 1, [0.0, 1.0], 1.0, 1.0)], schema)
+
+    def land_parts(df, dest):
+        stage = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(dest, exist_ok=True)
+        for p in globmod.glob(stage + "/part-*.parquet"):
+            shutil.move(p, os.path.join(dest, os.path.basename(p)))
+
+    land_parts(legacy, index_dir)  # legacy round-7 layout: bare root files
+    # torn commit: batch dir renamed into place but watermark never advanced
+    land_parts(torn, os.path.join(index_dir, "batch=3"))
+
+    paths = _committed_index_paths(index_dir, watermark=-1)
+    assert index_dir not in paths, "index root passed as a read root"
+    assert all(p.endswith(".parquet") for p in paths)
+    docs = [r["doc"] for r in spark.read.parquet(*paths).collect()]
+    assert docs == [1], "torn batch visible or legacy rows lost"
+
+    # end-to-end: a drain over this wedged layout must not raise, must see
+    # only the legacy index (doc 1), and must repair the torn dir's id when
+    # its own batch reuses it
+    src = tmp_path / "src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [(50, [1.0, 0.0]), (51, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    stage = str(tmp_path / "stage2")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.move(globmod.glob(stage + "/part-*.parquet")[0], str(src / "f1.parquet"))
+    semantic_ingest_stream(
+        spark,
+        str(src),
+        schema="vec_id long, embedding array<float>",
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=[[1.0, 0.0], [-1.0, 0.0]],
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=index_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.9,
+    )
+    # doc 50 is a near-dup of legacy doc 1 (same direction) -> dropped;
+    # doc 51 survives; torn doc 99 must NOT have suppressed anything
+    survivors = [
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    ]
+    assert survivors == [51]
