@@ -299,20 +299,29 @@ def a36_corr_matrix(spark, sf_dir):
     engines, so doubles match bit-for-bit. Single scan, single shuffle,
     partial aggregation; the scale factors cancel in the ratio. The
     built-in F.corr is the floating-point shortcut when cross-engine
-    determinism doesn't matter."""
+    determinism doesn't matter.
+
+    Hot-path note (round 9): the PER-ROW arithmetic stays in int64 —
+    cents fit well under 2^31, so every product fits in 62 bits — and
+    only the ACCUMULATOR is decimal(38,0). decimal×decimal in Spark
+    routes through java.math.BigDecimal per row (measured ~1.5x this
+    query's whole wall at sf0.1); long×long is one codegen multiply.
+    Exactness is unchanged: the long products are exact, and the
+    decimal(38) sum is where int64 would actually overflow (Σy² wraps
+    at sf>=0.1)."""
     dec38 = "decimal(38,0)"
-    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(dec38)
-    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(dec38)
+    x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     s = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast(dec38).alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(x * y).alias("sxy"),
-            F.sum(x * x).alias("sxx"),
-            F.sum(y * y).alias("syy"),
+            F.sum(x.cast(dec38)).alias("sx"),
+            F.sum(y.cast(dec38)).alias("sy"),
+            F.sum((x * y).cast(dec38)).alias("sxy"),
+            F.sum((x * x).cast(dec38)).alias("sxx"),
+            F.sum((y * y).cast(dec38)).alias("syy"),
         )
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

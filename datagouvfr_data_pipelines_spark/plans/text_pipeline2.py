@@ -318,6 +318,93 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+@register(
+    "sim_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    pcell AS (SELECT {_CELL_SQL} AS cell FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, {_CELL_SQL} AS cell,
+             round({_DOT_SQL} / ({_NORM_E_SQL} * {_NORM_P_SQL}), 6) AS sim
+      FROM embeddings e, p
+    ),
+    exact10 AS (SELECT vec_id FROM sims ORDER BY sim DESC, vec_id LIMIT 10),
+    ranked_cells AS (
+      SELECT g.c AS cell,
+             ROW_NUMBER() OVER (ORDER BY bit_count(xor(g.c, pc.cell)), g.c)
+               AS rk
+      FROM generate_series(0, 63) g(c), pcell pc
+    ),
+    probes(nprobe) AS (VALUES (1), (2), (4)),
+    approx AS (
+      SELECT pr.nprobe, s.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.nprobe
+                                ORDER BY s.sim DESC, s.vec_id) AS rn
+      FROM probes pr
+      JOIN ranked_cells rc ON rc.rk <= pr.nprobe
+      JOIN sims s ON s.cell = rc.cell
+    )
+    SELECT CAST(a.nprobe AS INT) AS nprobe,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(e.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM (SELECT nprobe, vec_id FROM approx WHERE rn <= 10) a
+    LEFT JOIN exact10 e USING (vec_id)
+    GROUP BY a.nprobe
+    """,
+    tags=["similarity", "ann", "evaluation"],
+)
+def sim_ivf_nprobe_sweep(spark, sf_dir):
+    """The IVF recall/cost dial, measured: recall@10 of the sign-bit cell
+    restriction at nprobe IN (1, 2, 4) probe cells, ranked by Hamming
+    distance of the 6-bit sign pattern (ties to the lower cell id). The
+    candidate set at nprobe=m is a subset of the set at any m' > m, so
+    recall@10 is provably nondecreasing in nprobe (pinned in
+    tests/test_round9.py) — the curve an ANN deployment reads to pick its
+    operating point. Scale: the cell ranking is 64 constant integers
+    (driver-side arithmetic, no data access); each sweep point is one
+    cell-pruned scan + TakeOrdered, cost ~ nprobe/64 of the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    from datagouvfr_data_pipelines_spark.functions.similarity import ivf_cell
+
+    anchor = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    p = F.array(*[F.lit(float(v)) for v in anchor])
+    pcell = int(
+        "".join("1" if float(anchor[i]) >= 0 else "0" for i in range(6)), 2
+    )
+    ranked = sorted(range(64), key=lambda c: (bin(c ^ pcell).count("1"), c))
+    sims = emb.select(
+        "vec_id",
+        ivf_cell("embedding", 64).alias("cell"),
+        F.round(cosine("embedding", p), 6).alias("sim"),
+    )
+    exact10 = (
+        sims.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    out = None
+    for nprobe in (1, 2, 4):
+        approx10 = (
+            sims.where(F.col("cell").isin(ranked[:nprobe]))
+            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+        one = (
+            exact10.join(approx10, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                (F.col("n_overlap").cast("double") / 10.0).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 _ZIPF_TOP = 100
 
 

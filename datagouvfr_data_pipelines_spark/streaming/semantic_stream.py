@@ -35,6 +35,31 @@ still readable (root-level parquet files are included) and a torn legacy
 two-rename swap is still rolled forward at entry via
 ``_recover_swap_state`` — upgrades need no migration step.
 
+Compaction (round 9) — append-only must not mean list-forever: after 10k
+ingests the read side would touch 10k parquet directories per batch (the
+classic small-file wall). When the number of committed ``batch=<id>``
+dirs exceeds ``compact_after``, the sink folds everything committed —
+current ``seg=<gen>`` segment, batch dirs, legacy root files — into ONE
+consolidated ``seg=<gen+1>`` segment (~128 MB files), then atomically
+cuts readers over via the ``_base_seg`` pointer file (``"<gen> <upto>"``:
+segment generation + the highest batch id it absorbs). Readers take the
+pointed segment plus only ``batch=<id>`` dirs with upto < id <= watermark;
+legacy root files are read only while no segment exists (the first
+compaction absorbs them). Decisions are bit-identical: the segment holds
+the union of exactly the rows the replaced paths held (parity-pinned).
+
+Compaction crash windows (all repaired at next sink entry):
+
+crash window                         on-disk state                     recovery
+----------------------------------- --------------------------------- -----------------------------------------
+during segment staging write         orphan ``seg=<g+1>.tmp``          rmtree at entry; readers never saw it
+between seg rename and pointer       unreferenced ``seg=<g+1>``        invisible (pointer still says g); rmtree
+                                                                       at entry, compaction retries later
+during pointer replace               ``_base_seg.tmp`` orphan          os.replace is atomic — pointer is either
+                                                                       old (stale seg cleaned) or new (live)
+after pointer, during cleanup        stale seg / batch<=upto / legacy  invisible to readers (excluded by pointer
+                                     files linger                      rules above); removed at next entry
+
 Centroids are frozen for the stream's lifetime (the SemDeDup recipe:
 train on a sample once) — see incremental_semantic.py's contract note.
 """
@@ -65,26 +90,129 @@ from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
 )
 
 _STAGING_SUFFIX = "__batch_tmp"
+_BASE_SEG = "_base_seg"
+_SEG_TMP_SUFFIX = ".tmp"
+
+
+def _read_base_seg(index_dir: str) -> tuple[int | None, int]:
+    """(segment generation, highest batch id the segment absorbs), or
+    (None, -1) when no consolidated segment exists yet."""
+    p = os.path.join(index_dir.rstrip("/"), _BASE_SEG)
+    if os.path.exists(p):
+        with open(p) as fh:
+            gen_s, upto_s = fh.read().split()
+        return int(gen_s), int(upto_s)
+    return None, -1
+
+
+def _commit_base_seg(index_dir: str, gen: int, upto: int) -> None:
+    """Atomically cut readers over to ``seg=<gen>`` (tmp + os.replace)."""
+    p = os.path.join(index_dir.rstrip("/"), _BASE_SEG)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"{gen} {upto}")
+    os.replace(tmp, p)
+
+
+def _batch_dirs(index_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for d in _glob.glob(os.path.join(index_dir, "batch=*")):
+        name = os.path.basename(d).split("=", 1)[1]
+        if name.lstrip("-").isdigit():
+            out.append((int(name), d))
+    return sorted(out)
 
 
 def _committed_index_paths(index_dir: str, watermark: int) -> list[str]:
-    """Parquet paths of the committed index: ``batch=<id>`` dirs with
-    id <= watermark (torn, not-yet-watermarked dirs are invisible), plus
-    any legacy root-level parquet files (round-7 single-dir layout)."""
+    """Parquet paths of the committed index: the consolidated ``seg=<gen>``
+    segment named by the ``_base_seg`` pointer (if any), plus ``batch=<id>``
+    dirs with seg_upto < id <= watermark (torn, not-yet-watermarked dirs
+    are invisible; dirs the segment absorbed are excluded even if their
+    post-compaction cleanup was interrupted)."""
+    gen, upto = _read_base_seg(index_dir)
     paths = []
-    for d in sorted(_glob.glob(os.path.join(index_dir, "batch=*"))):
-        name = os.path.basename(d).split("=", 1)[1]
-        if not name.lstrip("-").isdigit():
-            continue
-        if int(name) <= watermark and _glob.glob(os.path.join(d, "*.parquet")):
+    if gen is not None:
+        seg = os.path.join(index_dir, f"seg={gen}")
+        if _glob.glob(os.path.join(seg, "*.parquet")):
+            paths.append(seg)
+    for bid, d in _batch_dirs(index_dir):
+        if upto < bid <= watermark and _glob.glob(os.path.join(d, "*.parquet")):
             paths.append(d)
-    # Legacy layout: bare part files at the index root. Append the FILES,
-    # never index_dir itself — a root path makes Spark recursively discover
+    # Legacy layout: bare part files at the index root — read only until
+    # the first compaction absorbs them (a lingering legacy file after an
+    # interrupted cleanup must not double-count). Append the FILES, never
+    # index_dir itself — a root path makes Spark recursively discover
     # batch=<id> subdirs (including torn ones with id > watermark) at
     # partition depth 1 while the root files sit at depth 0, and the read
     # fails with CONFLICTING_DIRECTORY_STRUCTURES before recovery can run.
-    paths.extend(sorted(_glob.glob(os.path.join(index_dir, "*.parquet"))))
+    if gen is None:
+        paths.extend(sorted(_glob.glob(os.path.join(index_dir, "*.parquet"))))
     return paths
+
+
+def _cleanup_index_dir(index_dir: str) -> None:
+    """Remove everything the ``_base_seg`` pointer makes invisible: orphan
+    ``seg=*.tmp`` staging dirs, ``seg=*`` dirs other than the pointed
+    generation, ``batch=<id>`` dirs with id <= the segment's upto, and —
+    once a segment exists — legacy root-level parquet files. Safe at any
+    time: none of these are reachable through ``_committed_index_paths``."""
+    gen, upto = _read_base_seg(index_dir)
+    for d in _glob.glob(os.path.join(index_dir, "seg=*")):
+        name = os.path.basename(d).split("=", 1)[1]
+        if name.endswith(_SEG_TMP_SUFFIX) or gen is None or name != str(gen):
+            shutil.rmtree(d, ignore_errors=True)
+    for bid, d in _batch_dirs(index_dir):
+        if bid <= upto:
+            shutil.rmtree(d, ignore_errors=True)
+    if gen is not None:
+        for f in _glob.glob(os.path.join(index_dir, "*.parquet")):
+            os.unlink(f)
+
+
+def _maybe_compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    watermark: int,
+    compact_after: int,
+    index_cols: list[str],
+    target_file_bytes: int = 128 << 20,
+) -> None:
+    """Fold the committed index into one ``seg=<gen+1>`` segment when more
+    than ``compact_after`` committed ``batch=<id>`` dirs have accumulated.
+    Stage -> rename -> atomic pointer replace -> cleanup (module crash
+    table). Row-preserving by construction: the segment is the union of
+    exactly the paths readers currently take, so dedup decisions are
+    bit-identical before and after."""
+    gen, upto = _read_base_seg(index_dir)
+    live = [
+        (bid, d) for bid, d in _batch_dirs(index_dir)
+        if upto < bid <= watermark
+    ]
+    if len(live) <= compact_after:
+        return
+    paths = _committed_index_paths(index_dir, watermark)
+    if not paths:
+        return
+    new_gen = 0 if gen is None else gen + 1
+    df = spark.read.parquet(*paths).select(*index_cols)
+    total_bytes = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for f in _glob.glob(os.path.join(p, "*.parquet")):
+                total_bytes += os.path.getsize(f)
+        else:
+            total_bytes += os.path.getsize(p)
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    staging = os.path.join(index_dir, f"seg={new_gen}{_SEG_TMP_SUFFIX}")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    write_parquet(df.coalesce(n_files), staging)
+    final = os.path.join(index_dir, f"seg={new_gen}")
+    if os.path.exists(final):
+        shutil.rmtree(final)  # unreferenced orphan from a torn compaction
+    os.rename(staging, final)
+    _commit_base_seg(index_dir, new_gen, watermark)
+    _cleanup_index_dir(index_dir)
 
 
 def _commit_watermark(index_dir: str, batch_id: int) -> None:
@@ -110,11 +238,19 @@ def semantic_ingest_stream(
     max_cell_size: int = 10_000,
     fmt: str = "parquet",
     scaled: bool = False,
+    compact_after: int = 64,
 ) -> None:
     """Drain available embedding files; per batch: SemDeDup vs the index,
     append survivors to ``corpus_dir/batch=<id>/``, commit the batch's
     index rows append-only to ``index_dir/batch=<id>/`` (watermark advanced
-    atomically after the rename — see the module crash table).
+    atomically after the rename — see the module crash table). Once more
+    than ``compact_after`` committed batch dirs accumulate, they are folded
+    into one consolidated ``seg=<gen>`` segment behind the atomic
+    ``_base_seg`` pointer (module compaction crash table) so the per-batch
+    read side stays O(segment + recent batches), not O(batches ever).
+    Survivor ``corpus_dir/batch=<id>`` dirs are write-only for the stream;
+    compact them out of band with ``io.layout.compact_parquet_dir`` in the
+    nightly slot.
 
     ``scaled=True`` routes assignment and both cosine tiers through the
     numpy GEMM path (``incremental_semantic_dedup_scaled``) — required
@@ -142,6 +278,10 @@ def semantic_ingest_stream(
         staging = index_dir.rstrip("/") + _STAGING_SUFFIX
         if os.path.exists(staging):
             shutil.rmtree(staging)  # torn staging write from a crashed run
+        if os.path.isdir(index_dir):
+            # sweep anything a torn compaction left unreferenced (orphan
+            # seg staging/rename, absorbed batch dirs, stale legacy files)
+            _cleanup_index_dir(index_dir)
         watermark = _read_watermark(index_dir)
         if watermark >= batch_id:
             return  # replayed batch: already fully applied
@@ -177,6 +317,9 @@ def semantic_ingest_stream(
             shutil.rmtree(final)  # orphan from a run that died pre-watermark
         os.rename(staging, final)
         _commit_watermark(index_dir, batch_id)
+        _maybe_compact_index(
+            spark, index_dir, batch_id, compact_after, index_cols
+        )
 
     process_available_files(
         spark,

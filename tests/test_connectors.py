@@ -87,6 +87,29 @@ def _derby_available(spark) -> bool:
         return False
 
 
+def _skip_or_fail_no_derby():
+    """The Derby driver ships inside pyspark's own jars/ directory
+    (derby*.jar, pulled in for the Hive metastore), so in any stock pyspark
+    install this test runs. If the classpath was stripped, skip by default,
+    but fail loudly under SPARK_GRAFT_REQUIRE_JDBC=1 so CI can't silently
+    lose S12/S19 coverage."""
+    import glob
+    import os
+
+    import pyspark
+
+    jars = glob.glob(os.path.join(os.path.dirname(pyspark.__file__), "jars", "derby*.jar"))
+    msg = (
+        "Derby driver not on Spark classpath. pyspark's jars dir "
+        f"{'contains' if jars else 'is MISSING'} derby*.jar ({jars}); "
+        "restore the stock pyspark jars/ directory or pass "
+        "spark.driver.extraClassPath pointing at derby.jar+derbytools.jar."
+    )
+    if os.environ.get("SPARK_GRAFT_REQUIRE_JDBC") == "1":
+        pytest.fail(msg)
+    pytest.skip(msg)
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     """S12/S19 executable check: write a table through the batched JDBC sink
     and read it back through the partitioned JDBC scan, against the Derby
@@ -96,7 +119,7 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     from datagouvfr_data_pipelines_spark.io.connectors import read_jdbc, write_jdbc
 
     if not _derby_available(spark):
-        pytest.skip("Derby driver not on Spark classpath")
+        _skip_or_fail_no_derby()
     url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
     df = spark.range(0, 100).selectExpr(
         "CAST(id AS INT) AS id", "CAST(id % 7 AS INT) AS grp"

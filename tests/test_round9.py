@@ -147,3 +147,220 @@ def test_point_in_polygon_col_is_udf_free(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """The nprobe dial must trade cost for recall monotonically: the
+    candidate set at nprobe=m is a subset of the one at m' > m, so
+    recall@10 can only go up. Also pins that the anchor's own cell is
+    probed first (nprobe=1 recall > 0 — the anchor itself is always a
+    top-10 hit of its own query)."""
+    from datagouvfr_data_pipelines_spark.plans.text_pipeline2 import (
+        sim_ivf_nprobe_sweep,
+    )
+
+    rows = {
+        r["nprobe"]: r["recall_at_10"]
+        for r in sim_ivf_nprobe_sweep(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1] > 0.0
+    assert rows[1] <= rows[2] <= rows[4] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Streaming semantic-index compaction (seg=<gen> + _base_seg pointer)
+# --------------------------------------------------------------------------
+
+_SEM_CENTS = [[1.0, 0.0], [-1.0, 0.0]]
+_SEM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _land(spark, tmp_path, src, rows, name):
+    import glob as globmod
+    import shutil
+
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows, _SEM_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = globmod.glob(stage + "/part-*.parquet")[0]
+    shutil.move(part, str(src / name))
+
+
+def _stream_kwargs(tmp_path, tag, **over):
+    kw = dict(
+        schema=_SEM_SCHEMA,
+        id_col="vec_id",
+        vec_col="embedding",
+        centroids=_SEM_CENTS,
+        corpus_dir=str(tmp_path / f"corpus_{tag}"),
+        index_dir=str(tmp_path / f"index_{tag}"),
+        checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        threshold=0.9,
+    )
+    kw.update(over)
+    return kw
+
+
+_BATCHES = [
+    [(1, [1.0, 0.0]), (2, [-1.0, 0.0])],
+    [(10, [0.99, 0.01]), (11, [0.3, 0.95])],   # 10 near-dups 1
+    [(20, [-0.98, -0.02]), (21, [0.31, 0.94])],  # both near-dup indexed
+    [(30, [0.0, -1.0])],                          # fresh direction
+]
+
+
+def _run_stream(spark, tmp_path, tag, compact_after):
+    """Drain _BATCHES one file per drain; return (survivor ids, index docs)."""
+    import os
+
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        _committed_index_paths,
+        semantic_ingest_stream,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        _read_watermark,
+    )
+
+    src = tmp_path / f"src_{tag}"
+    src.mkdir()
+    kw = _stream_kwargs(tmp_path, tag, compact_after=compact_after)
+    for i, rows in enumerate(_BATCHES):
+        _land(spark, tmp_path, src, rows, f"f{i}.parquet")
+        semantic_ingest_stream(spark, str(src), **kw)
+    survivors = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(kw["corpus_dir"]).collect()
+    )
+    wm = _read_watermark(kw["index_dir"])
+    paths = _committed_index_paths(kw["index_dir"], wm)
+    docs = sorted(
+        r["doc"] for r in spark.read.parquet(*paths).collect()
+    )
+    return survivors, docs, kw["index_dir"]
+
+
+def test_semantic_index_compaction_parity(spark, tmp_path):
+    """Decisions must be bit-identical with compaction forced on every
+    batch vs never compacting, and the compacted layout must actually
+    shrink to one seg + the recent tail."""
+    import glob as globmod
+    import os
+
+    s_ref, d_ref, _ = _run_stream(spark, tmp_path, "ref", compact_after=10**6)
+    s_cmp, d_cmp, idx = _run_stream(spark, tmp_path, "cmp", compact_after=1)
+    assert s_cmp == s_ref
+    assert d_cmp == d_ref
+    # layout: a consolidated segment exists, absorbed batch dirs are gone
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        _read_base_seg,
+    )
+
+    gen, upto = _read_base_seg(idx)
+    assert gen is not None and upto >= 1
+    segs = globmod.glob(os.path.join(idx, "seg=*"))
+    assert segs == [os.path.join(idx, f"seg={gen}")]
+    leftover = [
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in globmod.glob(os.path.join(idx, "batch=*"))
+    ]
+    assert all(b > upto for b in leftover)
+
+
+def test_semantic_index_compaction_absorbs_legacy_root_files(spark, tmp_path):
+    """Round-7 root-level index files must be folded into the first
+    segment and deleted; a lingering legacy file after the pointer exists
+    must never be read again (no double-counting)."""
+    import glob as globmod
+    import os
+
+    s, d, idx = _run_stream(spark, tmp_path, "leg", compact_after=10**6)
+
+    # retrofit a legacy layout: move batch=0's part file to the root
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        _committed_index_paths,
+        _maybe_compact_index,
+        _read_base_seg,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        _read_watermark,
+    )
+    import shutil
+
+    b0 = os.path.join(idx, "batch=0")
+    part = globmod.glob(os.path.join(b0, "*.parquet"))[0]
+    shutil.move(part, os.path.join(idx, "legacy-part.parquet"))
+    shutil.rmtree(b0)
+    wm = _read_watermark(idx)
+    before = sorted(
+        r["doc"]
+        for r in spark.read.parquet(*_committed_index_paths(idx, wm)).collect()
+    )
+    assert before == d  # legacy file readable pre-compaction
+
+    _maybe_compact_index(
+        spark, idx, wm, compact_after=0,
+        index_cols=["doc", "cell", "vec", "nrm", "c_sim"],
+    )
+    gen, upto = _read_base_seg(idx)
+    assert gen == 0 and upto == wm
+    assert globmod.glob(os.path.join(idx, "*.parquet")) == []  # absorbed
+    after = sorted(
+        r["doc"]
+        for r in spark.read.parquet(*_committed_index_paths(idx, wm)).collect()
+    )
+    assert after == before
+
+
+def test_semantic_index_torn_compaction_recovery(spark, tmp_path):
+    """Crash between the seg rename and the pointer replace leaves an
+    unreferenced seg dir (plus possibly an orphan staging dir); readers
+    must ignore both, and the next drain must sweep them and still make
+    identical decisions."""
+    import glob as globmod
+    import os
+
+    from datagouvfr_data_pipelines_spark.streaming.semantic_stream import (
+        _committed_index_paths,
+        semantic_ingest_stream,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        _read_watermark,
+    )
+
+    src = tmp_path / "src_torn"
+    src.mkdir()
+    kw = _stream_kwargs(tmp_path, "torn", compact_after=10**6)
+    for i, rows in enumerate(_BATCHES[:2]):
+        _land(spark, tmp_path, src, rows, f"f{i}.parquet")
+        semantic_ingest_stream(spark, str(src), **kw)
+    idx = kw["index_dir"]
+    wm = _read_watermark(idx)
+    clean = sorted(
+        r["doc"]
+        for r in spark.read.parquet(*_committed_index_paths(idx, wm)).collect()
+    )
+
+    # simulate the torn compaction: seg dir renamed, pointer never written
+    torn_seg = os.path.join(idx, "seg=7")
+    os.makedirs(torn_seg)
+    with open(os.path.join(torn_seg, "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+    os.makedirs(os.path.join(idx, "seg=8.tmp"))
+
+    # readers ignore the unreferenced seg (no pointer names it)
+    assert sorted(
+        r["doc"]
+        for r in spark.read.parquet(*_committed_index_paths(idx, wm)).collect()
+    ) == clean
+
+    # next drain sweeps the orphans at sink entry and proceeds normally
+    _land(spark, tmp_path, src, _BATCHES[2], "f2.parquet")
+    semantic_ingest_stream(spark, str(src), **kw)
+    assert not os.path.exists(torn_seg)
+    assert not os.path.exists(os.path.join(idx, "seg=8.tmp"))
+    survivors = sorted(
+        r["vec_id"] for r in spark.read.parquet(kw["corpus_dir"]).collect()
+    )
+    assert survivors == [1, 2, 11]
