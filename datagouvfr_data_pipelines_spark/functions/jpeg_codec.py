@@ -1,0 +1,600 @@
+"""Baseline JPEG codec — stdlib byte-walking + numpy 8x8 transforms.
+
+Closes the "dominant web image format" gap in the multimodal tier
+(udfs.py decodes BMP and PNG for real; JPEG was header-only
+passthrough): ``decode_jpeg_rgb24`` handles baseline sequential DCT
+JPEG/JFIF — Huffman entropy decode (custom or Annex-K tables), 8- bit
+samples, 1 (grayscale) or 3 (YCbCr) components, any h/v subsampling in
+{1,2} (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart markers, byte stuffing.
+Progressive (SOF2), arithmetic-coded, 12-bit, and CMYK payloads return
+``None`` — the same honest-gate policy as ``parse_image_dimensions``
+(callers report ``passthrough``/``unsupported``, never a wrong pixel).
+
+``encode_jpeg_baseline`` is the matching writer (4:4:4, Annex-K tables
+scaled by the libjpeg quality formula) so round-trip tests need no
+external fixture: test-pattern BMP pixels -> encode -> decode recovers
+pixels within quantization error, and dHash twin-pair recovery survives
+the lossy cycle (tests/test_image_dedup.py).
+
+Scale shape: this module is driver-free pure functions invoked inside
+Arrow-batched ``mapInPandas`` workers (udfs.py image_dhash /
+resize_images / extract_media_metadata) — per-image work, no Spark
+state. The 2-D DCT/IDCT is two 8x8 numpy matmuls per block; the entropy
+loop is pure Python, which bounds single-image throughput — the
+documented trade for a zero-dependency container (swap PIL/libjpeg-turbo
+in via the same decoder seam when the environment has it).
+
+Format reference: ITU-T T.81 (public spec); tables are Annex K's
+published example tables, not copied from any implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.1 example quantization tables (spec-published)
+STD_LUMA_QUANT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+STD_CHROMA_QUANT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 example Huffman tables: (BITS count per code length 1..16, HUFFVAL)
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix():
+    import numpy as np
+
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = (0.5 / (2.0 ** 0.5)) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_DCT_A = None
+
+
+def _dct_a():
+    global _DCT_A
+    if _DCT_A is None:
+        _DCT_A = _dct_matrix()
+    return _DCT_A
+
+
+def _build_huffman_decoder(bits: list[int], vals: list[int]):
+    """Canonical Huffman: {(length, code) -> symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_encoder(bits: list[int], vals: list[int]):
+    """Canonical Huffman: {symbol -> (code, length)}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0  # pad past end (spec: fill with 1s; value moot at EOB)
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map ``size``-bit magnitude to signed amplitude."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """De-stuff the scan data from ``start``; split at RSTn markers.
+    Returns (segments, index of the terminating marker's 0xFF)."""
+    segs = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker (EOI, next SOS, ...)
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg_rgb24(data: bytes | None):
+    """Decode a baseline sequential JPEG to (width, height, rows) with
+    ``rows[y][x] == (r, g, b)`` — the same contract as
+    ``udfs.decode_png_rgb24``. Returns None for anything outside the
+    baseline envelope (progressive SOF2, arithmetic, 12-bit, CMYK,
+    truncated streams)."""
+    import numpy as np
+
+    if not data or len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    quant: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    try:
+        while i < n - 1:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            if i + 4 > n:
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            seg = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                    j += 1
+                    if pq == 0:
+                        tbl = list(seg[j : j + 64])
+                        j += 64
+                    else:
+                        tbl = [
+                            struct.unpack(">H", seg[j + 2 * k : j + 2 * k + 2])[0]
+                            for k in range(64)
+                        ]
+                        j += 128
+                    q = np.zeros(64, dtype=np.float64)
+                    for k in range(64):
+                        q[ZIGZAG[k]] = tbl[k]
+                    quant[tq] = q.reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0x0F
+                    bits = list(seg[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(seg[j + 17 : j + 17 + nv])
+                    tbl = _build_huffman_decoder(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                    j += 17 + nv
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-ish
+                precision = seg[0]
+                if precision != 8:
+                    return None
+                h_img = struct.unpack(">H", seg[1:3])[0]
+                w_img = struct.unpack(">H", seg[3:5])[0]
+                nc = seg[5]
+                if nc not in (1, 3) or w_img == 0 or h_img == 0:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid = seg[6 + 3 * c]
+                    hv = seg[7 + 3 * c]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                         "tq": seg[8 + 3 * c]}
+                    )
+                for c in comps:
+                    if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                        return None
+                frame = (w_img, h_img, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless: honest gate
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", seg[0:2])[0]
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs = seg[1 + 2 * c]
+                    td_ta = seg[2 + 2 * c]
+                    scan.append((cs, td_ta >> 4, td_ta & 0x0F))
+                segs, _ = _split_entropy_segments(data, i + 2 + seg_len)
+                return _decode_scan(
+                    frame, scan, quant, huff_dc, huff_ac,
+                    restart_interval, segs,
+                )
+            i += 2 + seg_len
+    except (IndexError, struct.error, KeyError):
+        return None
+    return None
+
+
+def _decode_scan(frame, scan, quant, huff_dc, huff_ac, restart_interval, segs):
+    import numpy as np
+
+    w_img, h_img, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None or td not in huff_dc or ta not in huff_ac:
+            return None
+        if c["tq"] not in quant:
+            return None
+        order.append((c, huff_dc[td], huff_ac[ta], quant[c["tq"]]))
+    if len(order) != len(comps):
+        return None  # multi-scan non-interleaved: outside the envelope
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w_img + mcu_w - 1) // mcu_w
+    mcus_y = (h_img + mcu_h - 1) // mcu_h
+    planes = {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+        )
+        for c in comps
+    }
+    a = _dct_a()
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else n_mcus
+    mcu = 0
+    for seg in segs:
+        if mcu >= n_mcus:
+            break
+        rd = _BitReader(seg)
+        pred = {c["id"]: 0 for c in comps}
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for c, dct, act, q in order:
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.float64)
+                        s = rd.decode_symbol(dct)
+                        if s is None:
+                            return None
+                        diff = _extend(rd.read_bits(s), s)
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode_symbol(act)
+                            if rs is None:
+                                return None
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[ZIGZAG[k]] = _extend(
+                                rd.read_bits(size), size
+                            )
+                            k += 1
+                        block = coef.reshape(8, 8) * q
+                        spatial = a.T @ block @ a + 128.0
+                        py = (my * c["v"] + bv) * 8
+                        px = (mx * c["h"] + bh) * 8
+                        planes[c["id"]][py : py + 8, px : px + 8] = spatial
+            mcu += 1
+    if mcu < n_mcus:
+        return None  # truncated stream
+
+    # upsample each component to full resolution (sample replication)
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:h_img, :w_img])
+
+    if len(comps) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.int64)
+        r = g = b = y
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = np.clip(np.rint(y + 1.402 * cr), 0, 255).astype(np.int64)
+        g = np.clip(
+            np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255
+        ).astype(np.int64)
+        b = np.clip(np.rint(y + 1.772 * cb), 0, 255).astype(np.int64)
+    rows = [
+        [(int(r[yy, xx]), int(g[yy, xx]), int(b[yy, xx])) for xx in range(w_img)]
+        for yy in range(h_img)
+    ]
+    return (w_img, h_img, rows)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for k in range(length - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.buf <<= 8 - self.nbits
+            self.buf |= (1 << (8 - self.nbits)) - 1  # pad with 1s per spec
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.nbits = 0
+
+
+def _quality_scaled(base: list[int], quality: int) -> list[int]:
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (v * scale + 50) // 100)) for v in base]
+
+
+def _size_cat(v: int) -> int:
+    a = abs(v)
+    s = 0
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 90,
+) -> bytes:
+    """Encode RGB rows as baseline sequential JFIF, 4:4:4, Annex-K
+    Huffman tables, quality-scaled Annex-K quant tables. The test-side
+    twin of ``decode_jpeg_rgb24``."""
+    import numpy as np
+
+    rgb = np.array(rows, dtype=np.float64)  # (h, w, 3)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    qy = _quality_scaled(STD_LUMA_QUANT, quality)
+    qc = _quality_scaled(STD_CHROMA_QUANT, quality)
+
+    def qmat(zz):
+        m = np.zeros(64, dtype=np.float64)
+        for k in range(64):
+            m[ZIGZAG[k]] = zz[k]
+        return m.reshape(8, 8)
+
+    qmy, qmc = qmat(qy), qmat(qc)
+
+    pad_h = (height + 7) // 8 * 8
+    pad_w = (width + 7) // 8 * 8
+
+    def pad(p):
+        return np.pad(
+            p, ((0, pad_h - height), (0, pad_w - width)), mode="edge"
+        )
+
+    planes = [(pad(y), qmy), (pad(cb), qmc), (pad(cr), qmc)]
+    a = _dct_a()
+
+    enc_dc = [
+        _build_huffman_encoder(*STD_DC_LUMA),
+        _build_huffman_encoder(*STD_DC_CHROMA),
+    ]
+    enc_ac = [
+        _build_huffman_encoder(*STD_AC_LUMA),
+        _build_huffman_encoder(*STD_AC_CHROMA),
+    ]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(0, pad_h, 8):
+        for bx in range(0, pad_w, 8):
+            for ci, (plane, qm) in enumerate(planes):
+                ti = 0 if ci == 0 else 1
+                block = plane[by : by + 8, bx : bx + 8]
+                coef = a @ block @ a.T
+                qz = np.rint(coef / qm).astype(np.int64)
+                zz = [int(qz.flat[ZIGZAG[k]]) for k in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                s = _size_cat(diff)
+                code, ln = enc_dc[ti][s]
+                bw.write(code, ln)
+                if s:
+                    amp = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw.write(amp, s)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if zz[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[ti][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _size_cat(v)
+                    code, ln = enc_ac[ti][(run << 4) | s]
+                    bw.write(code, ln)
+                    amp = v if v >= 0 else v + (1 << s) - 1
+                    bw.write(amp, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[ti][0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, zz in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(zz)
+    out += b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+    out += struct.pack(">HH", height, width) + b"\x03"
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, (bits, vals) in (
+        (0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA),
+        (0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+    out += bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+    out += b"\x00\x3f\x00"
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -528,11 +528,13 @@ def resize_images(
     df: DataFrame, id_col: str, content_col: str, max_side: int
 ) -> DataFrame:
     """Thumbnail pass over a multimodal binary column via Arrow-batched
-    ``mapInPandas``: 24-bit BMPs and 8-bit truecolor PNGs get a REAL
-    nearest-neighbor downscale (``resize_bmp_nearest`` /
-    ``resize_png_nearest`` — the PNG path is a full stdlib inflate +
-    un-filter decode); codecs needing external libs (JPEG's DCT, GIF's
-    LZW — PIL/ffmpeg not in this container) pass through unchanged with an
+    ``mapInPandas``: 24-bit BMPs, 8-bit truecolor PNGs, and baseline
+    sequential JPEGs get a REAL nearest-neighbor downscale
+    (``resize_bmp_nearest`` / ``resize_png_nearest`` /
+    ``resize_jpeg_nearest`` — PNG is a full stdlib inflate + un-filter
+    decode, JPEG a full Huffman + IDCT decode, functions/jpeg_codec.py);
+    codecs still needing external libs (progressive JPEG, GIF's LZW —
+    PIL/ffmpeg not in this container) pass through unchanged with an
     honest 'passthrough:<fmt>' status and their REAL header dimensions.
     Schema and batch shape are identical in every path, so swapping in a
     full codec never touches the Spark plan. Shuffle-free: one narrow map
@@ -546,6 +548,7 @@ def resize_images(
                 for codec, resize in (
                     ("bmp", resize_bmp_nearest),
                     ("png", resize_png_nearest),
+                    ("jpeg", resize_jpeg_nearest),
                 ):
                     resized = resize(blob_b, max_side)
                     if resized is not None:
@@ -853,6 +856,35 @@ def resize_png_nearest(data: bytes | None, max_side: int) -> bytes | None:
     return encode_png_rgb24(nw, nh, out)
 
 
+def resize_jpeg_nearest(
+    data: bytes | None, max_side: int, quality: int = 90
+) -> bytes | None:
+    """REAL baseline-JPEG thumbnail: full entropy + IDCT decode
+    (functions/jpeg_codec.py), nearest-neighbor downscale, re-encode
+    4:4:4 at ``quality``. Returns input unchanged when it already fits,
+    None outside the baseline envelope (progressive, arithmetic, CMYK —
+    those keep the honest passthrough path)."""
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24,
+        encode_jpeg_baseline,
+    )
+
+    decoded = decode_jpeg_rgb24(data)
+    if decoded is None:
+        return None
+    w, h, rows = decoded
+    if max(w, h) <= max_side:
+        return data
+    scale = max_side / max(w, h)
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out = [
+        [rows[min(h - 1, int(y / scale))][min(w - 1, int(x / scale))]
+         for x in range(nw)]
+        for y in range(nh)
+    ]
+    return encode_jpeg_baseline(nw, nh, out, quality=quality)
+
+
 def _bmp_rgb_sampler(data: bytes):
     """Random-access pixel sampler for 24bpp uncompressed BMP: returns
     (w, h, get(x, y) -> (r, g, b)) without materializing all rows — dHash
@@ -890,9 +922,10 @@ def dhash64_py(data: bytes | None) -> int | None:
     9x8 luminance grid, emit one bit per horizontal gradient
     (gray[x] > gray[x+1]) — 64 bits total. Robust to re-encoding, scaling
     and small edits; Hamming distance between hashes approximates visual
-    difference. Decodes 24bpp BMP (random-access sampling) and stdlib
-    PNG (type 2/6); returns None for payloads outside the codec envelope
-    (the honest-gate policy of parse_image_dimensions).
+    difference. Decodes 24bpp BMP (random-access sampling), stdlib PNG
+    (type 2/6), and baseline sequential JPEG (functions/jpeg_codec.py —
+    round 9; progressive stays gated); returns None for payloads outside
+    the codec envelope (the honest-gate policy of parse_image_dimensions).
 
     Luminance is integer ITU-R 601 (299r + 587g + 114b) — no floats, so
     the hash is bit-stable across platforms.
@@ -902,6 +935,12 @@ def dhash64_py(data: bytes | None) -> int | None:
         w, h, get = sampler
     else:
         decoded = decode_png_rgb24(data)
+        if decoded is None:
+            from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+                decode_jpeg_rgb24,
+            )
+
+            decoded = decode_jpeg_rgb24(data)
         if decoded is None:
             return None
         w, h, rows = decoded

@@ -881,6 +881,81 @@ def mm_image_neardups(spark, sf_dir):
 
 
 @register(
+    "mm_image_neardups_jpeg",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1 AS id_b
+    FROM documents
+    WHERE doc_id < 100 AND doc_id % 2 = 0
+    ORDER BY id_a
+    """,
+    tags=["multimodal", "dedup-image", "dhash", "jpeg"],
+)
+def mm_image_neardups_jpeg(spark, sf_dir):
+    """Image near-dup through the LOSSY web format: the same twin-pair
+    test-pattern corpus as ``mm_image_neardups``, but every image is
+    re-encoded as baseline JPEG (quality 95, functions/jpeg_codec.py)
+    before hashing — so the pipeline exercised is the real one (Huffman
+    entropy decode + dequant + IDCT + YCbCr->RGB inside the Arrow-batched
+    dHash worker), not the BMP fast path. The oracle is the ground-truth
+    pair structure (ids 2k/2k+1 are twins by construction): recovering
+    EXACTLY those pairs proves dHash survives the DCT quantization cycle
+    (measured jitter <= 3 bits per image vs >= 25 between different
+    patterns, margin pinned in tests/test_image_dedup.py) while the
+    banded-Hamming search at max_hamming=6 stays recall-complete. Same
+    one-shuffle scale shape as the BMP query; per-image decode cost is
+    the documented pure-Python entropy-loop trade."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        encode_jpeg_baseline,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        _bmp_rgb_sampler,
+        image_dhash,
+        make_test_pattern_bmp,
+    )
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("img", BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, imgs = [], []
+            for did in pdf["doc_id"]:
+                bmp = make_test_pattern_bmp(
+                    int(did) // 2, perturb=bool(did % 2)
+                )
+                w, h, get = _bmp_rgb_sampler(bmp)
+                rows = [[get(x, y) for x in range(w)] for y in range(h)]
+                ids.append(int(did))
+                imgs.append(encode_jpeg_baseline(w, h, rows, quality=95))
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    imgs = docs.mapInPandas(synth, schema=schema)
+    fp = image_dhash(imgs, "doc_id", "img").where(F.col("dhash").isNotNull())
+    return (
+        banded_hamming_pairs(fp, "media_id", "dhash", max_hamming=6)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+@register(
     "mm_audio_neardups",
     oracle="""
     WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
