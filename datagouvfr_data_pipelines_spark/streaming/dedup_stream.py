@@ -11,32 +11,27 @@ not the corpus — the shape that keeps a 100 TB corpus ingestable.
 
 Retry safety mirrors streaming/incremental.py: foreachBatch can replay a
 batch whose sink ran but whose checkpoint commit didn't, so the index
-directory carries a ``_last_batch`` watermark INSIDE it, written into the
-tmp directory BEFORE the atomic ``os.rename`` swap — index contents and
-watermark commit as one unit and can never disagree. The swap itself is
-TWO renames, so every failure point is enumerated and repaired by
-``_recover_swap_state`` at sink entry:
-
-=====================================  ==========================  =========
-crash point                            on-disk layout              recovery
-=====================================  ==========================  =========
-during tmp parquet write               index + stale ``__tmp``     drop tmp; replay re-runs (watermark < id), overwriting its own survivor dir
-after tmp write, before rename #1      index + complete ``__tmp``  same — tmp is DISCARDED, never adopted (its watermark never became current)
-between rename #1 and rename #2        ``__old`` only, no index    roll ``__old`` back to ``index_dir`` (the accumulated fingerprint history is NOT lost); replay re-runs
-after rename #2, before rmtree(old)    new index + ``__old``       drop ``__old``; replay no-ops (watermark >= id)
-after rmtree, before checkpoint        new index only              replay no-ops (watermark >= id)
-=====================================  ==========================  =========
-
-Without the between-renames recovery a restart would read watermark -1,
-rebuild an EMPTY index, and ``rmtree`` the only surviving copy of the
-fingerprint history — the round-4 advice bug this table closes. A replayed
-batch id therefore either sees watermark < id (old pair: full re-run,
-overwriting its own partial survivor dir) or watermark >= id (new pair:
-no-op) — never the torn state where its fingerprints are in the index but
-its survivors were dropped. Spark's parquet scan ignores ``_``-prefixed
-files, so the watermark rides inside the index directory for free. Because
-the watermark lives inside ``index_dir``, two streams with sibling index
-directories never share one watermark file.
+directory carries a ``_last_batch`` watermark INSIDE it. Since round 9 the
+index commit is APPEND-ONLY and O(batch), the same layout as the semantic
+tier (streaming/index_commit.py, ATOMICITY.md Pattern C): each batch's
+fingerprints land in ``batch=<id>/`` (stage sibling tmp -> rename ->
+``os.replace`` watermark), readers take only dirs <= watermark, and once
+``compact_after`` batch dirs accumulate they are folded into one
+``seg=<gen>`` segment behind the atomic ``_base_seg`` pointer. The
+round-7/8 single-dir layout — the whole merged index rewritten and
+two-rename swapped per ingest, O(corpus) per batch — remains readable as
+legacy root files until the first compaction absorbs it, and a torn
+legacy swap (index only under ``__old``) is still rolled forward by
+``_recover_swap_state`` at sink entry, so a restart never reads
+watermark -1, rebuilds an EMPTY index, and rmtree's the only copy of the
+fingerprint history (the round-4 advice bug). A replayed batch id either
+sees watermark < id (full re-run, overwriting its own survivor and batch
+dirs with identical content) or watermark >= id (no-op) — never a torn
+state where its fingerprints are indexed but its survivors were dropped.
+Because the watermark lives inside ``index_dir``, two streams with
+sibling index directories never share one watermark file. The full
+crash-window tables live in semantic_stream.py's module docstring and
+ATOMICITY.md.
 """
 
 from __future__ import annotations
@@ -91,26 +86,43 @@ def dedup_ingest_stream(
     shingle_n: int = 3,
     threshold: float = 0.8,
     fmt: str = "parquet",
+    compact_after: int = 64,
 ) -> None:
     """Drain available files; per batch: dedup vs index, append survivors
-    to ``corpus_dir/batch=<id>/``, swap the grown index into ``index_dir``.
+    to ``corpus_dir/batch=<id>/``, commit the batch's fingerprints
+    append-only to ``index_dir/batch=<id>/`` (O(batch), never a rewrite
+    of the accumulated index), compacting into one ``seg=<gen>`` segment
+    once more than ``compact_after`` batch dirs accumulate — see the
+    module docstring and streaming/index_commit.py.
     """
-    import glob as _glob
+    from datagouvfr_data_pipelines_spark.streaming.index_commit import (
+        STAGING_SUFFIX,
+        cleanup_index_dir,
+        commit_watermark,
+        committed_index_paths,
+        maybe_compact_index,
+    )
+
+    index_cols = ["doc", "content_sha", "sig", "band_hashes"]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # repair a torn swap BEFORE reading the watermark: a crash between
-        # the two renames leaves the index only under __old, and reading a
-        # missing index_dir as watermark -1 would rebuild from empty and
-        # rmtree the only copy of the fingerprint history (module docstring
-        # crash-window table, row 3)
+        # repair a torn LEGACY swap before reading the watermark: a crash
+        # between the old layout's two renames leaves the index only under
+        # __old, and reading a missing index_dir as watermark -1 would
+        # rebuild from empty and lose the fingerprint history
         _recover_swap_state(index_dir)
-        if _read_watermark(index_dir) >= batch_id:
+        staging = index_dir.rstrip("/") + STAGING_SUFFIX
+        if os.path.exists(staging):
+            shutil.rmtree(staging)  # torn staging write from a crashed run
+        if os.path.isdir(index_dir):
+            # sweep anything a torn compaction left unreferenced
+            cleanup_index_dir(index_dir)
+        watermark = _read_watermark(index_dir)
+        if watermark >= batch_id:
             return  # replayed batch: already fully applied
-        have_index = bool(
-            _glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True)
-        )
-        if have_index:
-            index = spark.read.parquet(index_dir)
+        paths = committed_index_paths(index_dir, watermark)
+        if paths:
+            index = spark.read.parquet(*paths).select(*index_cols)
         else:
             from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
                 build_dedup_index,
@@ -129,25 +141,26 @@ def dedup_ingest_stream(
             shingle_n=shingle_n,
             threshold=threshold,
         )
-        # survivors: idempotent per-batch subdirectory overwrite
-        write_parquet(res.survivors, os.path.join(corpus_dir, f"batch={batch_id}"))
-        # index: atomic swap of old + new rows. The watermark is written
-        # into the tmp directory BEFORE the rename, so index contents and
-        # watermark commit as one unit — a replay can never see a state
-        # where its fingerprints are indexed but its batch looks unapplied.
-        merged = index.unionByName(res.index_rows)
-        tmp = index_dir.rstrip("/") + "__tmp_swap"
-        write_parquet(merged, tmp)
-        _write_watermark_into(tmp, batch_id)
-        old = index_dir.rstrip("/") + "__old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(index_dir):
-            os.rename(index_dir, old)
-        os.rename(tmp, index_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        spark.catalog.clearCache()  # drop the batch fingerprint persist
+        try:
+            # survivors: idempotent per-batch subdirectory overwrite
+            write_parquet(
+                res.survivors, os.path.join(corpus_dir, f"batch={batch_id}")
+            )
+            # index rows: stage (O(batch) bytes), rename into place,
+            # advance the watermark — the accumulated index is never
+            # rewritten on the ingest path
+            write_parquet(res.index_rows.select(*index_cols), staging)
+        finally:
+            spark.catalog.clearCache()  # drop the batch fingerprint persist
+        os.makedirs(index_dir, exist_ok=True)
+        final = os.path.join(index_dir, f"batch={batch_id}")
+        if os.path.exists(final):
+            shutil.rmtree(final)  # orphan from a run that died pre-watermark
+        os.rename(staging, final)
+        commit_watermark(index_dir, batch_id)
+        maybe_compact_index(
+            spark, index_dir, batch_id, compact_after, index_cols
+        )
 
     process_available_files(
         spark,

@@ -66,7 +66,6 @@ train on a sample once) — see incremental_semantic.py's contract note.
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import shutil
 
@@ -85,143 +84,20 @@ from datagouvfr_data_pipelines_spark.streaming.availablenow import (
     process_available_files,
 )
 from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
-    _WATERMARK,
     _read_watermark,
 )
 
-_STAGING_SUFFIX = "__batch_tmp"
-_BASE_SEG = "_base_seg"
-_SEG_TMP_SUFFIX = ".tmp"
-
-
-def _read_base_seg(index_dir: str) -> tuple[int | None, int]:
-    """(segment generation, highest batch id the segment absorbs), or
-    (None, -1) when no consolidated segment exists yet."""
-    p = os.path.join(index_dir.rstrip("/"), _BASE_SEG)
-    if os.path.exists(p):
-        with open(p) as fh:
-            gen_s, upto_s = fh.read().split()
-        return int(gen_s), int(upto_s)
-    return None, -1
-
-
-def _commit_base_seg(index_dir: str, gen: int, upto: int) -> None:
-    """Atomically cut readers over to ``seg=<gen>`` (tmp + os.replace)."""
-    p = os.path.join(index_dir.rstrip("/"), _BASE_SEG)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(f"{gen} {upto}")
-    os.replace(tmp, p)
-
-
-def _batch_dirs(index_dir: str) -> list[tuple[int, str]]:
-    out = []
-    for d in _glob.glob(os.path.join(index_dir, "batch=*")):
-        name = os.path.basename(d).split("=", 1)[1]
-        if name.lstrip("-").isdigit():
-            out.append((int(name), d))
-    return sorted(out)
-
-
-def _committed_index_paths(index_dir: str, watermark: int) -> list[str]:
-    """Parquet paths of the committed index: the consolidated ``seg=<gen>``
-    segment named by the ``_base_seg`` pointer (if any), plus ``batch=<id>``
-    dirs with seg_upto < id <= watermark (torn, not-yet-watermarked dirs
-    are invisible; dirs the segment absorbed are excluded even if their
-    post-compaction cleanup was interrupted)."""
-    gen, upto = _read_base_seg(index_dir)
-    paths = []
-    if gen is not None:
-        seg = os.path.join(index_dir, f"seg={gen}")
-        if _glob.glob(os.path.join(seg, "*.parquet")):
-            paths.append(seg)
-    for bid, d in _batch_dirs(index_dir):
-        if upto < bid <= watermark and _glob.glob(os.path.join(d, "*.parquet")):
-            paths.append(d)
-    # Legacy layout: bare part files at the index root — read only until
-    # the first compaction absorbs them (a lingering legacy file after an
-    # interrupted cleanup must not double-count). Append the FILES, never
-    # index_dir itself — a root path makes Spark recursively discover
-    # batch=<id> subdirs (including torn ones with id > watermark) at
-    # partition depth 1 while the root files sit at depth 0, and the read
-    # fails with CONFLICTING_DIRECTORY_STRUCTURES before recovery can run.
-    if gen is None:
-        paths.extend(sorted(_glob.glob(os.path.join(index_dir, "*.parquet"))))
-    return paths
-
-
-def _cleanup_index_dir(index_dir: str) -> None:
-    """Remove everything the ``_base_seg`` pointer makes invisible: orphan
-    ``seg=*.tmp`` staging dirs, ``seg=*`` dirs other than the pointed
-    generation, ``batch=<id>`` dirs with id <= the segment's upto, and —
-    once a segment exists — legacy root-level parquet files. Safe at any
-    time: none of these are reachable through ``_committed_index_paths``."""
-    gen, upto = _read_base_seg(index_dir)
-    for d in _glob.glob(os.path.join(index_dir, "seg=*")):
-        name = os.path.basename(d).split("=", 1)[1]
-        if name.endswith(_SEG_TMP_SUFFIX) or gen is None or name != str(gen):
-            shutil.rmtree(d, ignore_errors=True)
-    for bid, d in _batch_dirs(index_dir):
-        if bid <= upto:
-            shutil.rmtree(d, ignore_errors=True)
-    if gen is not None:
-        for f in _glob.glob(os.path.join(index_dir, "*.parquet")):
-            os.unlink(f)
-
-
-def _maybe_compact_index(
-    spark: SparkSession,
-    index_dir: str,
-    watermark: int,
-    compact_after: int,
-    index_cols: list[str],
-    target_file_bytes: int = 128 << 20,
-) -> None:
-    """Fold the committed index into one ``seg=<gen+1>`` segment when more
-    than ``compact_after`` committed ``batch=<id>`` dirs have accumulated.
-    Stage -> rename -> atomic pointer replace -> cleanup (module crash
-    table). Row-preserving by construction: the segment is the union of
-    exactly the paths readers currently take, so dedup decisions are
-    bit-identical before and after."""
-    gen, upto = _read_base_seg(index_dir)
-    live = [
-        (bid, d) for bid, d in _batch_dirs(index_dir)
-        if upto < bid <= watermark
-    ]
-    if len(live) <= compact_after:
-        return
-    paths = _committed_index_paths(index_dir, watermark)
-    if not paths:
-        return
-    new_gen = 0 if gen is None else gen + 1
-    df = spark.read.parquet(*paths).select(*index_cols)
-    total_bytes = 0
-    for p in paths:
-        if os.path.isdir(p):
-            for f in _glob.glob(os.path.join(p, "*.parquet")):
-                total_bytes += os.path.getsize(f)
-        else:
-            total_bytes += os.path.getsize(p)
-    n_files = max(1, -(-total_bytes // target_file_bytes))
-    staging = os.path.join(index_dir, f"seg={new_gen}{_SEG_TMP_SUFFIX}")
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    write_parquet(df.coalesce(n_files), staging)
-    final = os.path.join(index_dir, f"seg={new_gen}")
-    if os.path.exists(final):
-        shutil.rmtree(final)  # unreferenced orphan from a torn compaction
-    os.rename(staging, final)
-    _commit_base_seg(index_dir, new_gen, watermark)
-    _cleanup_index_dir(index_dir)
-
-
-def _commit_watermark(index_dir: str, batch_id: int) -> None:
-    """Atomically advance the watermark (tmp write + os.replace)."""
-    p = os.path.join(index_dir.rstrip("/"), _WATERMARK)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
-    os.replace(tmp, p)
+# Commit/compaction machinery is shared with the text tier
+# (streaming/dedup_stream.py) — see streaming/index_commit.py. The
+# aliases keep this module's historical import surface stable.
+from datagouvfr_data_pipelines_spark.streaming.index_commit import (  # noqa: E402
+    STAGING_SUFFIX as _STAGING_SUFFIX,
+    cleanup_index_dir as _cleanup_index_dir,
+    commit_watermark as _commit_watermark,
+    committed_index_paths as _committed_index_paths,
+    maybe_compact_index as _maybe_compact_index,
+    read_base_seg as _read_base_seg,
+)
 
 
 def semantic_ingest_stream(

@@ -364,3 +364,195 @@ def test_semantic_index_torn_compaction_recovery(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(kw["corpus_dir"]).collect()
     )
     assert survivors == [1, 2, 11]
+
+
+# --------------------------------------------------------------------------
+# Text-tier fingerprint index: append-only commit + compaction (round 9)
+# --------------------------------------------------------------------------
+
+_DOCS_SCHEMA = "doc_id long, text string"
+_DOC_BATCHES = [
+    [(1, "the quick brown fox jumps over the lazy dog"),
+     (2, "pack my box with five dozen liquor jugs")],
+    [(10, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+     (11, "jackdaws love my big sphinx of quartz")],
+    [(20, "pack my box with five dozen liquor jugs today"),  # near-dup of 2
+     (21, "how vexingly quick daft zebras jump")],
+    [(30, "sphinx of black quartz judge my vow")],
+]
+
+
+def _run_text_stream(spark, tmp_path, tag, compact_after):
+    import glob as globmod
+    import os
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        _read_watermark,
+        dedup_ingest_stream,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.index_commit import (
+        committed_index_paths,
+    )
+
+    src = tmp_path / f"tsrc_{tag}"
+    src.mkdir()
+    corpus_dir = str(tmp_path / f"tcorpus_{tag}")
+    index_dir = str(tmp_path / f"tindex_{tag}")
+
+    def land(rows, name):
+        stage = str(tmp_path / f"tstage_{tag}")
+        spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = globmod.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / name))
+
+    kw = dict(
+        schema=_DOCS_SCHEMA,
+        id_col="doc_id",
+        text_col="text",
+        corpus_dir=corpus_dir,
+        index_dir=index_dir,
+        checkpoint_dir=str(tmp_path / f"tckpt_{tag}"),
+        shingle_n=2,
+        threshold=0.6,
+        compact_after=compact_after,
+    )
+    for i, rows in enumerate(_DOC_BATCHES):
+        land(rows, f"f{i}.parquet")
+        dedup_ingest_stream(spark, str(src), **kw)
+    survivors = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    )
+    wm = _read_watermark(index_dir)
+    paths = committed_index_paths(index_dir, wm)
+    docs = sorted(r["doc"] for r in spark.read.parquet(*paths).collect())
+    return survivors, docs, index_dir
+
+
+def test_text_dedup_stream_append_only_commit_is_o_batch(spark, tmp_path):
+    """The ingest path must never rewrite the accumulated index: each
+    batch's fingerprints land in their own batch=<id> dir, and earlier
+    committed dirs' files are untouched (same inodes/mtimes) by later
+    ingests."""
+    import glob as globmod
+    import os
+
+    s, d, idx = _run_text_stream(spark, tmp_path, "ob", compact_after=10**6)
+    # exact dup 10 and near-dup 20 dropped; index holds only survivors
+    assert s == [1, 2, 11, 21, 30]
+    assert d == s
+    dirs = sorted(globmod.glob(os.path.join(idx, "batch=*")))
+    assert [os.path.basename(x) for x in dirs] == [
+        "batch=0", "batch=1", "batch=2", "batch=3",
+    ]
+    # no legacy root rewrite happened
+    assert globmod.glob(os.path.join(idx, "*.parquet")) == []
+
+
+def test_text_dedup_stream_compaction_parity(spark, tmp_path):
+    """Forced compaction must not change a single decision, and the
+    layout must collapse to one segment + the recent tail."""
+    import glob as globmod
+    import os
+
+    from datagouvfr_data_pipelines_spark.streaming.index_commit import (
+        read_base_seg,
+    )
+
+    s_ref, d_ref, _ = _run_text_stream(
+        spark, tmp_path, "tref", compact_after=10**6
+    )
+    s_cmp, d_cmp, idx = _run_text_stream(
+        spark, tmp_path, "tcmp", compact_after=1
+    )
+    assert s_cmp == s_ref
+    assert d_cmp == d_ref
+    gen, upto = read_base_seg(idx)
+    assert gen is not None and upto >= 1
+    segs = globmod.glob(os.path.join(idx, "seg=*"))
+    assert segs == [os.path.join(idx, f"seg={gen}")]
+    leftover = [
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in globmod.glob(os.path.join(idx, "batch=*"))
+    ]
+    assert all(b > upto for b in leftover)
+
+
+def test_text_dedup_stream_legacy_layout_upgrade(spark, tmp_path):
+    """A round-8 single-dir index (root part files + _last_batch) must
+    keep deduping correctly under the new code, and the first compaction
+    must absorb the legacy files."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
+        build_dedup_index,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.dedup_stream import (
+        _read_watermark,
+        dedup_ingest_stream,
+    )
+    from datagouvfr_data_pipelines_spark.streaming.index_commit import (
+        committed_index_paths,
+        maybe_compact_index,
+        read_base_seg,
+    )
+    from datagouvfr_data_pipelines_spark.io.writers import write_parquet
+
+    index_dir = str(tmp_path / "lidx")
+    # build the legacy layout directly: root-level part files, no
+    # watermark (a fresh checkpoint restarts batch ids at 0, so a stale
+    # legacy watermark would no-op the new stream's first batches — the
+    # pre-existing-index state a fresh stream adopts is "rows, no ledger")
+    legacy = spark.createDataFrame(_DOC_BATCHES[0], _DOCS_SCHEMA)
+    write_parquet(
+        build_dedup_index(legacy, "doc_id", "text", 64, 8, 2), index_dir
+    )
+
+    src = tmp_path / "lsrc"
+    src.mkdir()
+    stage = str(tmp_path / "lstage")
+    df = spark.createDataFrame(_DOC_BATCHES[1], _DOCS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.move(
+        globmod.glob(stage + "/part-*.parquet")[0], str(src / "f1.parquet")
+    )
+    dedup_ingest_stream(
+        spark, str(src),
+        schema=_DOCS_SCHEMA, id_col="doc_id", text_col="text",
+        corpus_dir=str(tmp_path / "lcorpus"), index_dir=index_dir,
+        checkpoint_dir=str(tmp_path / "lckpt"),
+        shingle_n=2, threshold=0.6,
+    )
+    # exact dup of legacy doc 1 dropped; fresh doc 11 kept
+    survivors = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "lcorpus")).collect()
+    )
+    assert survivors == [11]
+    wm = _read_watermark(index_dir)
+    before = sorted(
+        r["doc"]
+        for r in spark.read.parquet(
+            *committed_index_paths(index_dir, wm)
+        ).collect()
+    )
+    assert before == [1, 2, 11]  # legacy root + new batch dir both read
+
+    maybe_compact_index(
+        spark, index_dir, wm, compact_after=0,
+        index_cols=["doc", "content_sha", "sig", "band_hashes"],
+    )
+    gen, upto = read_base_seg(index_dir)
+    assert gen == 0 and upto == wm
+    assert globmod.glob(os.path.join(index_dir, "*.parquet")) == []
+    after = sorted(
+        r["doc"]
+        for r in spark.read.parquet(
+            *committed_index_paths(index_dir, wm)
+        ).collect()
+    )
+    assert after == before
