@@ -257,6 +257,9 @@ def decode_jpeg_rgb24(data: bytes | None):
                 i += 1
                 continue
             marker = data[i + 1]
+            if marker == 0xFF:  # legal fill byte before a marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -485,17 +488,65 @@ def _size_cat(v: int) -> int:
     return s
 
 
+def _encode_block(bw, block, qm, a, enc_dc, enc_ac, pred, ci, np):
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
+    coef = a @ block @ a.T
+    qz = np.rint(coef / qm).astype(np.int64)
+    zz = [int(qz.flat[ZIGZAG[k]]) for k in range(64)]
+    diff = zz[0] - pred[ci]
+    pred[ci] = zz[0]
+    s = _size_cat(diff)
+    code, ln = enc_dc[s]
+    bw.write(code, ln)
+    if s:
+        amp = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(amp, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _size_cat(v)
+        code, ln = enc_ac[(run << 4) | s]
+        bw.write(code, ln)
+        amp = v if v >= 0 else v + (1 << s) - 1
+        bw.write(amp, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = enc_ac[0x00]  # EOB
+        bw.write(code, ln)
+
+
 def encode_jpeg_baseline(
     width: int,
     height: int,
     rows: list[list[tuple[int, int, int]]],
     quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
-    """Encode RGB rows as baseline sequential JFIF, 4:4:4, Annex-K
-    Huffman tables, quality-scaled Annex-K quant tables. The test-side
-    twin of ``decode_jpeg_rgb24``."""
+    """Encode RGB rows as baseline sequential JFIF with Annex-K Huffman
+    tables and quality-scaled Annex-K quant tables. The test-side twin of
+    ``decode_jpeg_rgb24``: ``subsampling`` '444' (one 8x8 MCU per
+    component) or '420' (16x16 MCU: 4 luma blocks + 2x2 box-averaged
+    chroma — what libjpeg emits by default), and ``restart_interval`` > 0
+    inserts DRI/RSTn markers every N MCUs — together they make the
+    decoder's subsampled and restart paths testable without external
+    fixtures."""
     import numpy as np
 
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     rgb = np.array(rows, dtype=np.float64)  # (h, w, 3)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
@@ -512,16 +563,22 @@ def encode_jpeg_baseline(
         return m.reshape(8, 8)
 
     qmy, qmc = qmat(qy), qmat(qc)
-
-    pad_h = (height + 7) // 8 * 8
-    pad_w = (width + 7) // 8 * 8
+    hv = 2 if subsampling == "420" else 1
+    mcu_px = 8 * hv
+    pad_h = (height + mcu_px - 1) // mcu_px * mcu_px
+    pad_w = (width + mcu_px - 1) // mcu_px * mcu_px
 
     def pad(p):
         return np.pad(
             p, ((0, pad_h - height), (0, pad_w - width)), mode="edge"
         )
 
-    planes = [(pad(y), qmy), (pad(cb), qmc), (pad(cr), qmc)]
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    if hv == 2:  # 2x2 box-average chroma downsample
+        cb = (cb[0::2, 0::2] + cb[1::2, 0::2] + cb[0::2, 1::2]
+              + cb[1::2, 1::2]) / 4.0
+        cr = (cr[0::2, 0::2] + cr[1::2, 0::2] + cr[0::2, 1::2]
+              + cr[1::2, 1::2]) / 4.0
     a = _dct_a()
 
     enc_dc = [
@@ -534,48 +591,38 @@ def encode_jpeg_baseline(
     ]
 
     bw = _BitWriter()
+    entropy = bytearray()
     pred = [0, 0, 0]
-    for by in range(0, pad_h, 8):
-        for bx in range(0, pad_w, 8):
-            for ci, (plane, qm) in enumerate(planes):
-                ti = 0 if ci == 0 else 1
-                block = plane[by : by + 8, bx : bx + 8]
-                coef = a @ block @ a.T
-                qz = np.rint(coef / qm).astype(np.int64)
-                zz = [int(qz.flat[ZIGZAG[k]]) for k in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                s = _size_cat(diff)
-                code, ln = enc_dc[ti][s]
-                bw.write(code, ln)
-                if s:
-                    amp = diff if diff >= 0 else diff + (1 << s) - 1
-                    bw.write(amp, s)
-                run = 0
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if zz[k]:
-                        last_nz = k
-                        break
-                for k in range(1, last_nz + 1):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[ti][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s = _size_cat(v)
-                    code, ln = enc_ac[ti][(run << 4) | s]
-                    bw.write(code, ln)
-                    amp = v if v >= 0 else v + (1 << s) - 1
-                    bw.write(amp, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = enc_ac[ti][0x00]  # EOB
-                    bw.write(code, ln)
+    mcus_y, mcus_x = pad_h // mcu_px, pad_w // mcu_px
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                entropy += bw.out
+                bw = _BitWriter()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            # luma blocks, bv-major then bh (the interleave order the
+            # decoder reassembles)
+            for bv in range(hv):
+                for bh in range(hv):
+                    py, px = (my * hv + bv) * 8, (mx * hv + bh) * 8
+                    _encode_block(
+                        bw, y[py : py + 8, px : px + 8], qmy, a,
+                        enc_dc[0], enc_ac[0], pred, 0, np,
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                py, px = my * 8, mx * 8
+                _encode_block(
+                    bw, plane[py : py + 8, px : px + 8], qmc, a,
+                    enc_dc[1], enc_ac[1], pred, ci, np,
+                )
+            mcu += 1
     bw.flush()
+    entropy += bw.out
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -583,9 +630,12 @@ def encode_jpeg_baseline(
     out += struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tq, zz in ((0, qy), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(zz)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
     out += struct.pack(">HH", height, width) + b"\x03"
-    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    samp = (hv << 4) | hv
+    out += bytes([1, samp, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     for tc_th, (bits, vals) in (
         (0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA),
         (0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA),
@@ -595,6 +645,6 @@ def encode_jpeg_baseline(
     out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
     out += bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
     out += b"\x00\x3f\x00"
-    out += bw.out
+    out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)

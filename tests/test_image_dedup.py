@@ -156,6 +156,11 @@ def test_jpeg_progressive_is_honestly_gated():
     assert resize_jpeg_nearest(prog, 8) is None
     assert decode_jpeg_rgb24(b"\xff\xd8\xff") is None  # truncated
     assert decode_jpeg_rgb24(None) is None
+    # legal 0xFF fill bytes between markers must be skipped, not parsed
+    jpg[i + 1] = 0xC0  # restore SOF0
+    good = bytes(jpg)
+    dec = decode_jpeg_rgb24(good[:2] + b"\xff\xff\xff" + good[2:])
+    assert dec is not None and dec[0] == 16 and dec[1] == 16
 
 
 def test_jpeg_dhash_margins_survive_lossy_cycle():
@@ -217,3 +222,47 @@ def test_jpeg_subsampled_grayscale_and_restart_paths():
         with open(p, "rb") as fh:
             dec = decode_jpeg_rgb24(fh.read())
         assert dec is not None and dec[0] == 16 and dec[1] == 16
+
+
+def test_jpeg_420_and_restart_decode_paths_hermetic():
+    """The decoder's subsampled-MCU and restart-marker paths, pinned with
+    OUR OWN encoder (no external fixtures): 4:2:0 round-trips a smooth
+    in-gamut image within chroma-subsampling error, and inserting RSTn
+    markers must not change a single decoded pixel."""
+    import statistics
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24, encode_jpeg_baseline,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        parse_image_dimensions,
+    )
+
+    smooth = [
+        [(min(255, x * 6), min(255, y * 8), 128) for x in range(32)]
+        for y in range(24)
+    ]
+    for sub, bound in (("444", 1.5), ("420", 4.0)):
+        jpg = encode_jpeg_baseline(32, 24, smooth, quality=90,
+                                   subsampling=sub)
+        assert parse_image_dimensions(jpg) == ("jpeg", 32, 24)
+        dec = decode_jpeg_rgb24(jpg)
+        assert dec is not None and (dec[0], dec[1]) == (32, 24)
+        err = statistics.mean(
+            abs(smooth[y][x][c] - dec[2][y][x][c])
+            for y in range(24) for x in range(32) for c in range(3)
+        )
+        assert err < bound, (sub, err)
+        # restart markers every 1 and 3 MCUs: bit-identical pixels
+        for ri in (1, 3):
+            with_rst = decode_jpeg_rgb24(
+                encode_jpeg_baseline(32, 24, smooth, quality=90,
+                                     subsampling=sub, restart_interval=ri)
+            )
+            assert with_rst is not None and with_rst[2] == dec[2], (sub, ri)
+    # 4:2:0 with a non-multiple-of-16 size exercises MCU edge padding
+    odd = [[smooth[y][x] for x in range(17)] for y in range(13)]
+    dec = decode_jpeg_rgb24(
+        encode_jpeg_baseline(17, 13, odd, subsampling="420")
+    )
+    assert dec is not None and (dec[0], dec[1]) == (17, 13)
