@@ -968,3 +968,125 @@ def charlm_nll_scores(df, id_col: str, text_col: str):
             ).alias("avg_nll"),
         )
     )
+
+
+HTML_TO_TEXT_STEPS = [
+    # script/style subtrees and comments vanish wholesale
+    ("(?is)<script\\b[^>]*>.*?</script>", " "),
+    ("(?is)<style\\b[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    # block-level boundaries become newlines so downstream line-based
+    # filters (line_dedup, per-line quality) see real document structure
+    (
+        "(?i)<(?:/p|/div|/h[1-6]|/li|/ul|/ol|/tr|/table|/blockquote|"
+        "/section|/article|/header|/footer|br|hr)\\b[^>]*/?>",
+        "\n",
+    ),
+    # every remaining tag is inline: a space keeps words apart
+    ("(?s)<[^>]+>", " "),
+    # the named entities that dominate real pages (decode &amp; LAST so
+    # '&amp;lt;' decodes to '&lt;', never to '<')
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&copy;", "\u00a9"),
+    ("&reg;", "\u00ae"),
+    ("&trade;", "\u2122"),
+    ("&mdash;", "\u2014"),
+    ("&ndash;", "\u2013"),
+    ("&hellip;", "\u2026"),
+    ("&lsquo;", "\u2018"),
+    ("&rsquo;", "\u2019"),
+    ("&ldquo;", "\u201c"),
+    ("&rdquo;", "\u201d"),
+    ("&amp;", "&"),
+    # whitespace discipline: spaces collapse, newlines win over spaces,
+    # runs of blank lines collapse to one blank line
+    ("[ \\t\\f\\r]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n{3,}", "\n\n"),
+    # edge trim (Spark's trim() strips only spaces; this strips all
+    # whitespace identically on both engines)
+    ("^\\s+|\\s+$", ""),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Plain text from an HTML payload — the first stage of every
+    web-crawl corpus pipeline (the CCNet/C4 preprocessing step), as a
+    pure JVM regexp chain: drop <script>/<style> subtrees and comments,
+    turn block-level boundaries into newlines, strip remaining tags,
+    decode the common named entities, collapse whitespace. No UDF, no
+    HTML library — the expressions run inside whole-stage codegen.
+
+    ONE step table (``HTML_TO_TEXT_STEPS``) drives both this column and
+    the DuckDB replica (``html_to_text_sql``); every pattern is
+    RE2-compatible (lazy quantifiers, no backrefs) so the two engines
+    produce bit-identical strings — oracle-checked end to end by the
+    ``t_html_extract`` catalog query.
+
+    Scope is honest: this is tag REMOVAL plus block structure, not a DOM
+    parser — attributes containing a literal '>' inside quotes, CDATA,
+    and numeric entities pass through simplified; link-density
+    boilerplate pruning composes downstream via ``line_dedup`` /
+    ``quality_score`` over the extracted lines.
+    """
+    c = _col(col)
+    for pat, rep in HTML_TO_TEXT_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB replica of ``html_to_text`` — the same step table
+    folded around ``expr`` as RE2 'g'-flag replaces."""
+    out = expr
+    for pat, rep in HTML_TO_TEXT_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization for crawl dedup — the rule set every web
+    corpus applies before exact-URL dedup, as pure JVM expressions:
+
+    1. scheme and host lowercased
+    2. default port stripped (``:80`` for http, ``:443`` for https)
+    3. fragment removed
+    4. tracking params dropped (``utm_*``, ``gclid``, ``fbclid``, ``ref``)
+    5. remaining query params sorted bytewise; an emptied query drops
+       its ``?``
+    6. empty path becomes ``/``
+
+    Deliberately NOT applied (they change identity): www-stripping,
+    trailing-slash collapsing, percent-decoding. Every step is a
+    RE2-compatible regexp or array op, so a DuckDB oracle replicates the
+    canonical string bit-for-bit.
+    """
+    u = _col(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
+    )
+    sorted_q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )

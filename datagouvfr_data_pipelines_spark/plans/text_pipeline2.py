@@ -1273,3 +1273,135 @@ def asm_interleave_stream(spark, sf_dir):
         .cast("bigint")
         .alias("stream_pos"),
     )
+
+
+def _html_wrap_sql() -> str:
+    """The same deterministic HTML wrapper the Spark query builds, as a
+    DuckDB expression over documents.text."""
+    return (
+        "'<html><head><title>Doc</title><style>p{margin:0}</style>"
+        "<script>var tracked = 1 < 2 && 3 > 2;</script></head>"
+        "<body><div id=\"nav\"><a href=\"/\">Home</a> | "
+        "<a href=\"/about\">About</a></div><!-- header ends -->"
+        "<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1>"
+        "<p>' || text || '</p><div class=\"footer\">&copy; Example "
+        "&amp; Co &nbsp;2024</div></body></html>'"
+    )
+
+
+_HTML_WRAP_SPARK = (
+    '<html><head><title>Doc</title><style>p{{margin:0}}</style>'
+    '<script>var tracked = 1 < 2 && 3 > 2;</script></head>'
+    '<body><div id="nav"><a href="/">Home</a> | '
+    '<a href="/about">About</a></div><!-- header ends -->'
+    "<h1>Document {did}</h1><p>{text}</p>"
+    '<div class="footer">&copy; Example &amp; Co &nbsp;2024</div>'
+    "</body></html>"
+)
+
+
+from datagouvfr_data_pipelines_spark.functions.text import html_to_text_sql as _h2t_sql
+
+_H2T_EXPR = _h2t_sql("html")
+
+
+@register(
+    "t_html_extract",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_html_wrap_sql()} AS html
+      FROM documents
+      WHERE doc_id < 200 AND length(trim(text)) > 0
+        AND NOT regexp_matches(text, '[<>&]')
+    )
+    SELECT doc_id,
+           {_H2T_EXPR} AS extracted,
+           CAST(length({_H2T_EXPR}) AS BIGINT) AS n_chars_extracted
+    FROM raw
+    ORDER BY doc_id
+    """,
+    tags=["text", "html", "extraction", "web-corpus"],
+)
+def t_html_extract(spark, sf_dir):
+    """Web-corpus text extraction end to end: every document is wrapped
+    in a realistic HTML page (head with style+script — the script even
+    contains '<' and '&&' to punish naive strippers — nav bar, comment,
+    h1, footer with entities), then ``html_to_text`` recovers the prose.
+    The DuckDB oracle builds the SAME page and applies the SAME
+    RE2-compatible regexp chain (``html_to_text_sql``), so the extracted
+    string — structure newlines, decoded entities, collapsed whitespace —
+    must match bit-for-bit. Shuffle-free scan-side map; at 100 TB this is
+    one narrow codegen stage per crawl shard."""
+    from datagouvfr_data_pipelines_spark.functions.text import html_to_text
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") < 200)
+            & (F.length(F.trim(F.col("text"))) > 0)
+            & ~F.col("text").rlike("[<>&]")
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(_HTML_WRAP_SPARK.split("{did}")[0].replace("{{", "{").replace("}}", "}")),
+                F.col("doc_id").cast("string"),
+                F.lit(_HTML_WRAP_SPARK.split("{did}")[1].split("{text}")[0]),
+                F.col("text"),
+                F.lit(_HTML_WRAP_SPARK.split("{text}")[1]),
+            ).alias("html"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        html_to_text("html").alias("extracted"),
+        F.length(html_to_text("html")).cast("bigint").alias(
+            "n_chars_extracted"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t_url_canonical_dedup",
+    oracle="""
+    SELECT doc_id,
+           'https://example.com/articles/' || CAST(doc_id AS VARCHAR)
+             || '?a=1&b=2' AS canonical,
+           CAST(2 AS BIGINT) AS n_variants
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    tags=["text", "url", "dedup", "web-corpus"],
+)
+def t_url_canonical_dedup(spark, sf_dir):
+    """Crawl-frontier URL dedup: two syntactic variants of every page URL
+    (mixed-case scheme/host, explicit default port, tracking params,
+    shuffled param order, fragment) must collapse to ONE canonical form.
+    The oracle is the ground-truth canonical string predicted from the
+    documented rule set — the engine's regexp/array pipeline has to
+    reproduce it bit-for-bit AND count exactly 2 variants per page.
+    Scale shape: narrow map + one groupBy(canonical) — the exact-dedup
+    shuffle every crawler runs."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    d = F.col("doc_id").cast("string")
+    variant_a = F.concat(
+        F.lit("HTTPS://Example.COM:443/articles/"), d,
+        F.lit("?utm_source=feed&b=2&a=1#section-2"),
+    )
+    variant_b = F.concat(
+        F.lit("https://example.com/articles/"), d,
+        F.lit("?b=2&gclid=xyz&a=1"),
+    )
+    urls = docs.select(
+        "doc_id", F.explode(F.array(variant_a, variant_b)).alias("url")
+    )
+    return (
+        urls.select("doc_id", canonicalize_url("url").alias("canonical"))
+        .groupBy("doc_id", "canonical")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"))
+        .orderBy("doc_id")
+    )

@@ -556,3 +556,93 @@ def test_text_dedup_stream_legacy_layout_upgrade(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+# --------------------------------------------------------------------------
+# Web-corpus scalar ops: html_to_text + canonicalize_url (round 9)
+# --------------------------------------------------------------------------
+
+def test_html_to_text_semantics(spark):
+    from datagouvfr_data_pipelines_spark.functions.text import html_to_text
+
+    cases = [
+        # script containing '<' and '&&' must vanish wholesale
+        ("<p>keep</p><script>if (1 < 2 && x > 3) bad()</script>", "keep"),
+        # style + comment removal, block newlines, inline tags as spaces
+        ("<style>p{a:1}</style>A<br>B<!-- c -->; <b>D</b> E", "A\nB ; D E"),
+        # entity decode, &amp; decoded LAST (no double decode)
+        ("&lt;tag&gt; &amp;amp; &copy; &mdash; &nbsp;x", "<tag> &amp; © — x"),
+        # whitespace discipline: collapse runs, blank-line cap, edge trim
+        ("  <p>a</p>\n\n\n\n<p>b</p>  ", "a\n\nb"),
+        # null safe
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", html_to_text("html").alias("out")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_to_text_is_udf_free_and_sql_twin_matches(spark):
+    """The chain must stay in whole-stage codegen (no EvalPython), and
+    the DuckDB twin must produce the identical string on a nasty page."""
+    import duckdb
+
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        html_to_text, html_to_text_sql,
+    )
+
+    page = (
+        '<html><head><script type="text/js">a<b&&c>d</script>'
+        "<style>.x{}</style></head><body><h1>T&eacute;st &amp; Co</h1>"
+        "<ul><li>one</li><li>two</li></ul><p>fin&hellip;</p></body></html>"
+    )
+    df = spark.createDataFrame([(page,)], "html string")
+    plan = df.select(html_to_text("html"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    spark_out = df.select(html_to_text("html").alias("o")).collect()[0]["o"]
+    duck_out = duckdb.connect().execute(
+        "SELECT " + html_to_text_sql("?"), [page]
+    ).fetchone()[0]
+    assert spark_out == duck_out
+
+
+def test_canonicalize_url_rules(spark):
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # case, default port, fragment, tracking params, param sort
+        ("HTTPS://Ex.COM:443/A/b?utm_source=x&z=1&a=2#f",
+         "https://ex.com/A/b?a=2&z=1"),
+        # http :80 stripped; :8080 kept
+        ("HTTP://ex.com:80/x", "http://ex.com/x"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        # empty path -> /
+        ("https://ex.com", "https://ex.com/"),
+        # tracking-only query drops its '?'
+        ("https://ex.com/p?gclid=1&fbclid=2&ref=3&utm_campaign=z",
+         "https://ex.com/p"),
+        # path case preserved, percent-encoding untouched, 'ref' exact
+        # (a 'referrer' param is NOT tracking)
+        ("https://ex.com/P%41th?referrer=k&b=1",
+         "https://ex.com/P%41th?b=1&referrer=k"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
