@@ -39,6 +39,11 @@ ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
+# untrusted-input ceiling: decode refuses images over this many pixels
+# (64 MP ~ any real photo; a crafted huge SOF header returns None instead
+# of allocating gigabytes executor-side)
+MAX_DECODE_PIXELS = 64_000_000
+
 # ITU-T T.81 Annex K.1 example quantization tables (spec-published)
 STD_LUMA_QUANT = [
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -306,6 +311,11 @@ def decode_jpeg_rgb24(data: bytes | None):
                 nc = seg[5]
                 if nc not in (1, 3) or w_img == 0 or h_img == 0:
                     return None
+                if w_img * h_img > MAX_DECODE_PIXELS:
+                    # untrusted-input guard: a crafted 65535x65535 header
+                    # must not become a 30+ GB plane allocation on an
+                    # executor — honest None, caller reports unsupported
+                    return None
                 comps = []
                 for c in range(nc):
                     cid = seg[6 + 3 * c]
@@ -338,7 +348,10 @@ def decode_jpeg_rgb24(data: bytes | None):
                     restart_interval, segs,
                 )
             i += 2 + seg_len
-    except (IndexError, struct.error, KeyError):
+    except (IndexError, struct.error, KeyError, ValueError,
+            ZeroDivisionError):
+        # malformed untrusted bytes must never raise out of the decoder —
+        # at scale an exception here kills the executor task, not one image
         return None
     return None
 

@@ -266,3 +266,48 @@ def test_jpeg_420_and_restart_decode_paths_hermetic():
         encode_jpeg_baseline(17, 13, odd, subsampling="420")
     )
     assert dec is not None and (dec[0], dec[1]) == (17, 13)
+
+
+def test_jpeg_decoder_never_raises_on_malformed_bytes():
+    """The decoder faces untrusted web bytes inside executor tasks: any
+    exception kills the whole task, not one image. 2000 adversarial
+    inputs — random bytes, SOI + garbage, truncations, bit-flipped valid
+    files — must all return None or a shape-consistent decode, never
+    raise. A crafted 65535x65535 SOF header must hit the pixel ceiling
+    (MAX_DECODE_PIXELS), not a 30 GB allocation."""
+    import random
+    import struct
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24, encode_jpeg_baseline,
+    )
+
+    rng = random.Random(42)
+    base = encode_jpeg_baseline(
+        16, 16,
+        [[(rng.randrange(256),) * 3 for _ in range(16)] for _ in range(16)],
+    )
+    for trial in range(2000):
+        kind = trial % 4
+        if kind == 0:
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(200)))
+        elif kind == 1:
+            data = b"\xff\xd8" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(300))
+            )
+        elif kind == 2:
+            data = base[: rng.randrange(len(base))]
+        else:
+            mut = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            data = bytes(mut)
+        r = decode_jpeg_rgb24(data)  # must not raise
+        if r is not None:
+            w, h, rows = r
+            assert len(rows) == h and all(len(x) == w for x in rows)
+
+    huge = bytearray(base)
+    i = huge.find(b"\xff\xc0")
+    huge[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    assert decode_jpeg_rgb24(bytes(huge)) is None

@@ -646,3 +646,41 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_canonicalize_url_idempotent(spark):
+    """THE canonicalizer property: a canonical URL re-canonicalized is
+    itself — checked over messy fuzz inputs in one plan."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    import random
+    rng = random.Random(7)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS"])
+        host = rng.choice(["Ex.COM", "a.b.example.org", "X9.io"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/A/b", "/p%20q", "/x/y/z/"])
+        params = rng.sample(
+            ["a=1", "z=9", "utm_source=t", "gclid=g", "b=", "ref=r",
+             "c=%C3%A9", "referrer=k"],
+            rng.randrange(0, 5),
+        )
+        frag = rng.choice(["", "#top", "#a/b?c=1"])
+        urls.append(
+            f"{scheme}://{host}{port}{path}"
+            + ("?" + "&".join(params) if params else "") + frag
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonicalize_url("url")
+    bad = (
+        df.select(
+            once.alias("c1"),
+            canonicalize_url(once).alias("c2"),
+        )
+        .where(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert not bad, bad[:5]
