@@ -1090,3 +1090,31 @@ def canonicalize_url(col: Column | str) -> Column:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )
+
+
+def fix_double_utf8(col: Column | str) -> Column:
+    """Repair double-encoded UTF-8 mojibake ("\u00c3\u00a9t\u00c3\u00a9" ->
+    "\u00e9t\u00e9") — the ftfy-style fix every web corpus applies after
+    HTML extraction.
+
+    The exact inverse transform, not a lookup table: re-encode the
+    string's code points as Latin-1 bytes and re-decode those bytes as
+    UTF-8. For genuine double-encoded text (original chars in U+00..FF,
+    the Latin-1/Windows-bridge case that produces the classic
+    \u00c3/\u00c2 marker sequences) this recovers the original
+    bit-for-bit. Three gates keep it safe on non-mojibake text: the
+    input must contain a marker char (U+00C3 or U+00C2 — every
+    double-encoded non-ASCII Latin-1 char starts with one), every char
+    must be Latin-1-encodable (otherwise the charset encoder would
+    substitute '?'), and the re-decode must produce no U+FFFD
+    replacement char (i.e. the bytes really were valid UTF-8). Anything
+    failing a gate passes through unchanged — never a lossy "repair".
+    All JVM built-ins (encode/decode/regexp), zero UDF."""
+    c = _col(col)
+    repaired = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    has_marker = c.rlike("[\u00c2\u00c3]")
+    latin1_only = ~c.rlike("[^\u0000-\u00ff]")
+    clean = ~repaired.rlike("\ufffd")
+    return F.when(
+        has_marker & latin1_only & clean, repaired
+    ).otherwise(c)

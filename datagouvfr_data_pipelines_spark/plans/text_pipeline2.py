@@ -1405,3 +1405,42 @@ def t_url_canonical_dedup(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_mojibake_repair",
+    oracle="""
+    SELECT doc_id, text AS repaired,
+           regexp_matches(text, '[^\\x00-\\x7F]') AS was_mojibake
+    FROM documents
+    WHERE doc_id < 300 AND length(trim(text)) > 0
+      AND NOT regexp_matches(text, '[^\\x00-\\x{00FF}]')
+    ORDER BY doc_id
+    """,
+    tags=["text", "encoding", "web-corpus"],
+)
+def t_mojibake_repair(spark, sf_dir):
+    """Encoding-repair end to end with a ground-truth oracle: every
+    Latin-1-representable document is DOUBLE-ENCODED Spark-side (its
+    UTF-8 bytes re-read as Latin-1 — the exact corruption a
+    misconfigured web server or database bridge produces), then
+    ``fix_double_utf8`` must recover the ORIGINAL text bit-for-bit; the
+    oracle simply returns the original. ``was_mojibake`` pins the gate
+    logic: pure-ASCII docs are corruption fixed-points and must pass
+    through the no-marker gate unchanged. Shuffle-free narrow map —
+    encode/decode/regexp are all codegen built-ins."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fix_double_utf8,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 300)
+        & (F.length(F.trim(F.col("text"))) > 0)
+        & ~F.col("text").rlike("[^\u0000-\u00ff]")
+    )
+    corrupt = F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
+    return docs.select(
+        "doc_id",
+        fix_double_utf8(corrupt).alias("repaired"),
+        (corrupt != F.col("text")).alias("was_mojibake"),
+    ).orderBy("doc_id")

@@ -684,3 +684,40 @@ def test_canonicalize_url_idempotent(spark):
         .collect()
     )
     assert not bad, bad[:5]
+
+
+
+def test_fix_double_utf8_gates(spark):
+    """Exact repair of double-encoded Latin-1 text (including corruptions
+    that contain C1 control bytes, like times-sign U+00D7 -> C3 97), and
+    the three pass-through gates: no marker chars, non-Latin-1 input,
+    and ASCII fixed points."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fix_double_utf8,
+    )
+
+    latin1 = "l'\u00e9t\u00e9 \u00e0 Paris, \u00e7a co\u00fbte cher"
+    with_ctrl = "math: \u00b2 \u00d7 3"  # corrupt form carries U+0097
+
+    def corrupt(s):
+        return s.encode("utf-8").decode("iso-8859-1")
+
+    cases = [
+        (corrupt(latin1), latin1),
+        (corrupt(with_ctrl), with_ctrl),
+        # real accents but no U+00C2/C3 markers: untouched
+        (latin1, latin1),
+        ("plain ascii", "plain ascii"),
+        (None, None),
+        # marker present but a non-Latin-1 char (euro) blocks the repair
+        ("\u00c3\u00a9 \u20ac", "\u00c3\u00a9 \u20ac"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in df.select("i", fix_double_utf8("s").alias("o")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
