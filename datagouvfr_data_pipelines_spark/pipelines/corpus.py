@@ -45,6 +45,7 @@ def curate_corpus(
     dsir_target_lang: str | None = None,
     dsir_min_micro_per_token: int = 0,
     portable_neardup: bool = False,
+    preprocess_web: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
     "stats": one-row corpus stats}.
@@ -52,7 +53,35 @@ def curate_corpus(
     The drop ledger records (doc_id, stage) for every removed document —
     the reference's report/synthesis habit (consolidation.py:1867-1949)
     applied to corpus curation.
+
+    ``preprocess_web=True`` prepends the crawl-ingest stage: HTML-to-text
+    extraction (``html_to_text``) then encoding repair
+    (``fix_double_utf8``), both gated pass-throughs on non-HTML /
+    non-mojibake inputs — so raw crawl payloads and already-clean text
+    run through the SAME pipeline. Documents whose text is empty after
+    extraction (pure-markup pages) drop with their own ledger stage.
     """
+    if preprocess_web:
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            fix_double_utf8,
+            html_to_text,
+        )
+
+        extracted = docs.select(
+            F.col(id_col),
+            fix_double_utf8(html_to_text(F.col(text_col))).alias(text_col),
+        )
+        web_dropped = (
+            extracted.where(F.length(F.trim(F.col(text_col))) == 0)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("web_extract_empty").alias("stage"),
+            )
+        )
+        docs = extracted.where(F.length(F.trim(F.col(text_col))) > 0)
+    else:
+        web_dropped = None
+
     # C4 ordering: corpus-global line dedup rewrites documents FIRST, so
     # every downstream signal (quality, hashes, shingles) sees the cleaned
     # text; fully-deduplicated documents drop here with their own stage.
@@ -249,6 +278,8 @@ def curate_corpus(
         dropped = dropped.unionByName(d_dropped)
     if ld_dropped is not None:
         dropped = ld_dropped.unionByName(dropped)
+    if web_dropped is not None:
+        dropped = web_dropped.unionByName(dropped)
     stats = nd_ok.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),

@@ -721,3 +721,60 @@ def test_fix_double_utf8_gates(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+
+def test_curate_corpus_preprocess_web_stage(spark):
+    """The crawl-ingest stage: HTML-wrapped AND double-encoded inputs
+    through preprocess_web=True must produce the same kept doc ids as
+    the clean text through the plain pipeline, with pure-markup pages
+    dropped under their own ledger stage."""
+    from datagouvfr_data_pipelines_spark.pipelines.corpus import (
+        curate_corpus,
+    )
+
+    texts = {
+        1: "The quick brown fox jumps over the lazy dog and keeps "
+           "running through the quiet forest for a long while today.",
+        2: "Pack my box with five dozen liquor jugs before the market "
+           "closes and the evening crowd arrives near the old square.",
+        3: "l'\u00e9t\u00e9 \u00e0 Paris se passe bien et la ville "
+           "reste agr\u00e9able malgr\u00e9 la chaleur de la saison.",
+    }
+
+    def wrap(s):
+        return (
+            "<html><head><script>if (1<2&&3>2) t();</script></head>"
+            "<body><p>" + s + "</p></body></html>"
+        )
+
+    def corrupt(s):
+        return s.encode("utf-8").decode("iso-8859-1")
+
+    clean = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    web_rows = [
+        (1, wrap(texts[1])),
+        (2, wrap(texts[2])),
+        (3, wrap(corrupt(texts[3]))),     # HTML + mojibake
+        (9, "<html><body><style>x{}</style></body></html>"),  # pure markup
+    ]
+    web = spark.createDataFrame(web_rows, "doc_id long, text string")
+
+    kw = dict(min_quality=0.0, neardup_threshold=0.95)
+    plain_kept = sorted(
+        r["doc_id"] for r in curate_corpus(clean, **kw)["kept"].collect()
+    )
+    res = curate_corpus(web, preprocess_web=True, **kw)
+    web_kept = sorted(r["doc_id"] for r in res["kept"].collect())
+    assert web_kept == plain_kept == [1, 2, 3]
+    # the recovered text is the clean text (extraction + repair exact)
+    got3 = {
+        r["doc_id"]: r["text"] for r in res["kept"].collect()
+    }[3]
+    assert got3 == texts[3]
+    stages = {
+        r["doc_id"]: r["stage"] for r in res["dropped"].collect()
+    }
+    assert stages.get(9) == "web_extract_empty"
