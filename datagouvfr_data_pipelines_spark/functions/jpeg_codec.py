@@ -167,20 +167,30 @@ def _build_huffman_encoder(bits: list[int], vals: list[int]):
 
 
 class _BitReader:
-    """MSB-first bit reader over a de-stuffed entropy segment."""
+    """MSB-first bit reader over a de-stuffed entropy segment.
 
-    __slots__ = ("data", "pos", "buf", "nbits")
+    ``exhausted`` flips the first time a bit is requested past the end
+    of the data. A conforming stream never needs that — encoders flush
+    the final partial byte with 1-pad bits INSIDE the data — so any
+    read past the end means the segment was truncated; ``_decode_scan``
+    checks the flag and returns None instead of letting the 1-pad
+    (spec fill value, which also makes ``decode_symbol`` miss the
+    canonical tables fastest) masquerade as valid garbage MCUs."""
+
+    __slots__ = ("data", "pos", "buf", "nbits", "exhausted")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.buf = 0
         self.nbits = 0
+        self.exhausted = False
 
     def read_bit(self) -> int:
         if self.nbits == 0:
             if self.pos >= len(self.data):
-                return 0  # pad past end (spec: fill with 1s; value moot at EOB)
+                self.exhausted = True
+                return 1  # pad past end with 1s per T.81 F.1.2.3
             self.buf = self.data[self.pos]
             self.pos += 1
             self.nbits = 8
@@ -372,6 +382,18 @@ def _decode_scan(frame, scan, quant, huff_dc, huff_ac, restart_interval, segs):
     if len(order) != len(comps):
         return None  # multi-scan non-interleaved: outside the envelope
 
+    if len(comps) == 1:
+        # Per T.81 a one-component scan is NON-interleaved: the MCU is
+        # one data unit walking the component's own ceil(w/8)*ceil(h/8)
+        # block raster, and the declared sampling factors (some
+        # transcoders keep 2x2 from a 4:2:0 source) do not apply to the
+        # scan layout. Force h=v=1 so the MCU grid below degenerates to
+        # that raster instead of decoding with phantom interleave.
+        c0 = dict(comps[0], h=1, v=1)
+        comps = [c0]
+        by_id = {c0["id"]: c0}
+        order = [(c0,) + o[1:] for o in order]
+
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -428,6 +450,11 @@ def _decode_scan(frame, scan, quant, huff_dc, huff_ac, restart_interval, segs):
                         px = (mx * c["h"] + bh) * 8
                         planes[c["id"]][py : py + 8, px : px + 8] = spatial
             mcu += 1
+        if rd.exhausted:
+            # some bit beyond the segment's end was consumed while the
+            # MCUs above "decoded" — truncated mid-segment; the 1-pad
+            # produced garbage blocks, not pixels
+            return None
     if mcu < n_mcus:
         return None  # truncated stream
 

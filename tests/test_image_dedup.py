@@ -311,3 +311,112 @@ def test_jpeg_decoder_never_raises_on_malformed_bytes():
     i = huge.find(b"\xff\xc0")
     huge[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
     assert decode_jpeg_rgb24(bytes(huge)) is None
+
+
+def _encode_jpeg_grayscale(width, height, plane, quality=90, samp=0x11):
+    """Hermetic single-component baseline JPEG from the codec's own
+    entropy primitives; ``samp`` is the DECLARED SOF sampling byte —
+    per T.81 it is meaningless for a one-component scan (the scan walks
+    the plain ceil(w/8) x ceil(h/8) block raster), so any value must
+    decode to the same pixels."""
+    import struct
+
+    import numpy as np
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        STD_AC_LUMA, STD_DC_LUMA, STD_LUMA_QUANT, ZIGZAG, _BitWriter,
+        _build_huffman_encoder, _dct_a, _encode_block, _quality_scaled,
+    )
+
+    y = np.array(plane, dtype=np.float64) - 128.0
+    qzz = _quality_scaled(STD_LUMA_QUANT, quality)
+    qm = np.zeros(64, dtype=np.float64)
+    for k in range(64):
+        qm[ZIGZAG[k]] = qzz[k]
+    qm = qm.reshape(8, 8)
+    pad_h = (height + 7) // 8 * 8
+    pad_w = (width + 7) // 8 * 8
+    y = np.pad(y, ((0, pad_h - height), (0, pad_w - width)), mode="edge")
+    a = _dct_a()
+    enc_dc = _build_huffman_encoder(*STD_DC_LUMA)
+    enc_ac = _build_huffman_encoder(*STD_AC_LUMA)
+    bw = _BitWriter()
+    pred = [0]
+    for by in range(pad_h // 8):
+        for bx in range(pad_w // 8):
+            _encode_block(
+                bw, y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qm, a,
+                enc_dc, enc_ac, pred, 0, np,
+            )
+    bw.flush()
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qzz)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+    out += struct.pack(">HH", height, width) + b"\x01"
+    out += bytes([1, samp, 0])
+    for tc_th, (bits, vals) in ((0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+    out += bytes([1, 0x00]) + b"\x00\x3f\x00"
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_grayscale_scan_is_noninterleaved():
+    """T.81: a one-component scan is non-interleaved regardless of the
+    declared sampling factors. Grayscale files carrying 2x2 factors
+    (transcoders keep them from a 4:2:0 source) must decode to the SAME
+    pixels as the 1x1 twin — not scrambled MCU-interleave garbage."""
+    import random
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24,
+    )
+
+    rng = random.Random(11)
+    w, h = 37, 21  # non-multiple-of-16 exercises edge blocks too
+    plane = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    ref = decode_jpeg_rgb24(_encode_jpeg_grayscale(w, h, plane, samp=0x11))
+    assert ref is not None and (ref[0], ref[1]) == (w, h)
+    # grayscale decodes replicate luma into r=g=b
+    assert all(px[0] == px[1] == px[2] for row in ref[2] for px in row)
+    for samp in (0x22, 0x21, 0x12):
+        got = decode_jpeg_rgb24(
+            _encode_jpeg_grayscale(w, h, plane, samp=samp)
+        )
+        assert got is not None, hex(samp)
+        assert got[2] == ref[2], hex(samp)
+
+
+def test_jpeg_truncated_mid_segment_returns_none():
+    """A stream cut mid-entropy must return None, not 'succeed' by
+    Huffman-decoding the pad bits into garbage MCUs — with and without
+    restart markers (truncation INSIDE the final segment is the case
+    the old mcu-count check could not see)."""
+    import random
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24, encode_jpeg_baseline,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+         for _ in range(32)]
+        for _ in range(32)
+    ]
+    for ri in (0, 2):
+        jpg = encode_jpeg_baseline(32, 32, rows, quality=85,
+                                   restart_interval=ri)
+        assert decode_jpeg_rgb24(jpg) is not None
+        sos = jpg.index(b"\xff\xda")
+        scan_start = sos + 2 + 12  # marker + SOS segment (len 12)
+        entropy_len = len(jpg) - 2 - scan_start  # minus EOI
+        for frac in (0.3, 0.5, 0.7, 0.85, 0.95):
+            cut = scan_start + int(entropy_len * frac)
+            assert decode_jpeg_rgb24(jpg[:cut]) is None, (ri, frac)
+        # cutting ONLY the EOI loses no entropy data: still decodes
+        assert decode_jpeg_rgb24(jpg[:-2]) is not None, ri
