@@ -463,6 +463,71 @@ def line_dedup(df, id_col: str, text_col: str, sep: str = "\n"):
     )
 
 
+def boilerplate_removal(
+    df,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    max_domain_frac: float = 0.5,
+    min_pages: int = 3,
+    sep: str = "\n",
+):
+    """Per-domain boilerplate line removal — the web-corpus stage between
+    HTML extraction and quality scoring: a line is boilerplate when its
+    document frequency WITHIN a domain exceeds ``max_domain_frac`` of the
+    domain's pages (nav bars, cookie banners, footers repeat on every
+    page of a site; body text does not). Domains with fewer than
+    ``min_pages`` pages carry no frequency evidence and are left intact.
+    Blank lines are structure, not boilerplate — never counted, never
+    dropped.
+
+    Scale shape (no pair expansion): one posexplode, one distinct +
+    groupBy keyed on (domain, line) for per-domain document frequency,
+    one count per domain, then a (domain, line)-keyed left join to mark
+    flagged lines — the flagged side is aggregation-shrunk to the
+    boilerplate lines themselves, so AQE broadcasts it in practice —
+    and the same groupBy(doc) reassembly as ``line_dedup``. Returns
+    (id, text_clean, n_lines, n_kept); a fully-boilerplate page comes
+    back with ``text_clean = ''`` for the caller's drop ledger.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.posexplode(F.split(_col(text_col), sep)).alias("pos", "line"),
+    )
+    pages = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__pages"))
+    freq = (
+        lines.where(F.length(F.trim(F.col("line"))) > 0)
+        .select(domain_col, "line", id_col)
+        .distinct()
+        .groupBy(domain_col, "line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    flagged = (
+        freq.join(pages, domain_col)
+        .where(
+            (F.col("__pages") >= F.lit(min_pages))
+            & (F.col("__df") > F.lit(max_domain_frac) * F.col("__pages"))
+        )
+        .select(domain_col, "line", F.lit(True).alias("__bp"))
+    )
+    marked = lines.join(flagged, [domain_col, "line"], "left")
+    keep = F.col("__bp").isNull()
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+
+
 def bigram_lm_scores(df, id_col: str, text_col: str, vocab_size: int):
     """Bigram language-model scoring with add-one smoothing, trained on the
     corpus itself: per-document mean log2 P(w_i | w_{i-1}) — the classic
@@ -1064,7 +1129,11 @@ def canonicalize_url(col: Column | str) -> Column:
     6. empty path becomes ``/``
 
     Deliberately NOT applied (they change identity): www-stripping,
-    trailing-slash collapsing, percent-decoding. Every step is a
+    trailing-slash collapsing, percent-decoding. Scheme-less input
+    (relative paths, bare hosts) is returned UNCHANGED — the extract
+    regexes all require ``://``, so canonicalizing would collapse
+    every such URL to the same ``:///``-prefixed string and falsely
+    merge distinct documents in the exact-URL dedup. Every step is a
     RE2-compatible regexp or array op, so a DuckDB oracle replicates the
     canonical string bit-for-bit.
     """
@@ -1083,13 +1152,14 @@ def canonicalize_url(col: Column | str) -> Column:
         lambda p: (p != "") & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
     )
     sorted_q = F.array_join(F.array_sort(kept), "&")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )
+    return F.when(scheme == "", u).otherwise(canonical)
 
 
 def fix_double_utf8(col: Column | str) -> Column:
@@ -1106,15 +1176,74 @@ def fix_double_utf8(col: Column | str) -> Column:
     input must contain a marker char (U+00C3 or U+00C2 — every
     double-encoded non-ASCII Latin-1 char starts with one), every char
     must be Latin-1-encodable (otherwise the charset encoder would
-    substitute '?'), and the re-decode must produce no U+FFFD
-    replacement char (i.e. the bytes really were valid UTF-8). Anything
-    failing a gate passes through unchanged — never a lossy "repair".
-    All JVM built-ins (encode/decode/regexp), zero UDF."""
+    substitute '?'), and the Latin-1 bytes must be VALID UTF-8
+    (``is_valid_utf8``, checked BEFORE any decode — Spark 4's
+    ``decode`` raises MALFORMED_CHARACTER_CODING on invalid input
+    instead of emitting U+FFFD, so a post-hoc U+FFFD scan would itself
+    force the failing decode and kill the task on ordinary Latin-1
+    text like 'S\u00c3O PAULO' or '\u00c2ge'). ``F.decode`` runs only
+    inside the when-branch VALUE, which CaseWhen evaluates lazily
+    after the gates pass. Anything failing a gate passes through
+    unchanged — never a lossy "repair" and never an exception. All
+    JVM built-ins (encode/decode/regexp), zero UDF."""
     c = _col(col)
-    repaired = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    latin1_bytes = F.encode(c, "ISO-8859-1")
     has_marker = c.rlike("[\u00c2\u00c3]")
     latin1_only = ~c.rlike("[^\u0000-\u00ff]")
-    clean = ~repaired.rlike("\ufffd")
+    valid = F.is_valid_utf8(latin1_bytes)
     return F.when(
-        has_marker & latin1_only & clean, repaired
+        has_marker & latin1_only & valid, F.decode(latin1_bytes, "UTF-8")
+    ).otherwise(c)
+
+
+# The 27 printable Windows-1252 characters in the 0x80-0x9F block and the
+# C1 code points their bytes shadow — built from the stdlib codec at
+# import so the pairing can't drift (the 5 undefined bytes 81/8D/8F/90/9D
+# stay Latin-1 C1 controls, the "sloppy cp1252" convention every
+# mojibake-repair tool uses).
+_CP1252_C1 = ""
+_CP1252_UNI = ""
+for _b in range(0x80, 0xA0):
+    try:
+        _u = bytes([_b]).decode("cp1252")
+    except UnicodeDecodeError:
+        continue
+    if _u != chr(_b):
+        _CP1252_C1 += chr(_b)
+        _CP1252_UNI += _u
+
+
+def fix_latin1_utf8(col: Column | str) -> Column:
+    """Repair single-decode mojibake: UTF-8 bytes that were read ONCE as
+    Windows-1252/Latin-1 ("\u00e2\u20ac\u2122" -> "'", "\u00c3\u00a9"
+    -> "\u00e9") — the other common crawl corruption next to
+    ``fix_double_utf8``, and a strict superset of it on Latin-1-only
+    input. Reference parity anchor: the chardet fallback cascade in
+    ``schema/utils/consolidation.py:905-947`` guards ingest against
+    exactly this class; here it is a column-level repair.
+
+    The exact inverse transform: map the 27 printable cp1252 specials
+    (\u20ac \u2122 \u2019 ...) back to the C1 code points their bytes
+    shadow (``F.translate``), re-encode as Latin-1 bytes — together
+    that re-encodes the string as Windows-1252 with Latin-1 fallback,
+    which Spark's charset list lacks natively — and re-decode those
+    bytes as UTF-8. Three gates keep it safe on healthy text, mirroring
+    ``fix_double_utf8``: the input must contain a char whose cp1252
+    byte is a UTF-8 LEAD byte (U+00C2-U+00F4 — every mojibake'd
+    multi-byte sequence starts with one), every char must be
+    cp1252-encodable (Latin-1 range or a special), and the
+    reconstructed bytes must be valid UTF-8 (``is_valid_utf8``,
+    checked BEFORE the lazily-evaluated ``F.decode`` — Spark 4 decode
+    raises on invalid input). Ordinary accented text ('d\u00e9but',
+    'S\u00c3O PAULO') fails the validity gate and passes through
+    unchanged. All JVM built-ins, zero UDF."""
+    c = _col(col)
+    cp1252_bytes = F.encode(
+        F.translate(c, _CP1252_UNI, _CP1252_C1), "ISO-8859-1"
+    )
+    has_marker = c.rlike("[\u00c2-\u00f4]")
+    cp1252_ok = ~c.rlike("[^\u0000-\u00ff" + _CP1252_UNI + "]")
+    valid = F.is_valid_utf8(cp1252_bytes)
+    return F.when(
+        has_marker & cp1252_ok & valid, F.decode(cp1252_bytes, "UTF-8")
     ).otherwise(c)

@@ -46,6 +46,9 @@ def curate_corpus(
     dsir_min_micro_per_token: int = 0,
     portable_neardup: bool = False,
     preprocess_web: bool = False,
+    boilerplate_domain_frac: float | None = None,
+    boilerplate_min_pages: int = 3,
+    domain_col: str = "domain",
 ) -> dict[str, DataFrame]:
     """Returns {"kept": curated docs, "dropped": per-stage drop ledger,
     "stats": one-row corpus stats}.
@@ -56,20 +59,32 @@ def curate_corpus(
 
     ``preprocess_web=True`` prepends the crawl-ingest stage: HTML-to-text
     extraction (``html_to_text``) then encoding repair
-    (``fix_double_utf8``), both gated pass-throughs on non-HTML /
-    non-mojibake inputs — so raw crawl payloads and already-clean text
-    run through the SAME pipeline. Documents whose text is empty after
-    extraction (pure-markup pages) drop with their own ledger stage.
+    (``fix_latin1_utf8`` — the cp1252/Latin-1 single-decode repair,
+    a strict superset of ``fix_double_utf8`` on Latin-1-only text, so
+    one application covers both mojibake classes), both gated
+    pass-throughs on non-HTML / non-mojibake inputs — so raw crawl
+    payloads and already-clean text run through the SAME pipeline.
+    Documents whose text is empty after extraction (pure-markup pages)
+    drop with their own ledger stage.
+
+    ``boilerplate_domain_frac`` enables per-domain boilerplate line
+    removal (``boilerplate_removal``) right after extraction: lines
+    repeating on more than that fraction of a domain's pages (nav,
+    cookie banners, footers) are stripped BEFORE any quality / dedup
+    signal sees them; ``docs`` must then carry ``domain_col``. Pages
+    left empty drop under the ``boilerplate`` ledger stage.
     """
+    keep_domain = [F.col(domain_col)] if boilerplate_domain_frac is not None else []
     if preprocess_web:
         from datagouvfr_data_pipelines_spark.functions.text import (
-            fix_double_utf8,
+            fix_latin1_utf8,
             html_to_text,
         )
 
         extracted = docs.select(
             F.col(id_col),
-            fix_double_utf8(html_to_text(F.col(text_col))).alias(text_col),
+            *keep_domain,
+            fix_latin1_utf8(html_to_text(F.col(text_col))).alias(text_col),
         )
         web_dropped = (
             extracted.where(F.length(F.trim(F.col(text_col))) == 0)
@@ -81,6 +96,31 @@ def curate_corpus(
         docs = extracted.where(F.length(F.trim(F.col(text_col))) > 0)
     else:
         web_dropped = None
+
+    bp_dropped = None
+    if boilerplate_domain_frac is not None:
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            boilerplate_removal,
+        )
+
+        cleaned = boilerplate_removal(
+            docs,
+            id_col,
+            text_col,
+            domain_col,
+            max_domain_frac=boilerplate_domain_frac,
+            min_pages=boilerplate_min_pages,
+        )
+        bp_dropped = (
+            cleaned.where(F.length(F.trim(F.col("text_clean"))) == 0)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("boilerplate").alias("stage"),
+            )
+        )
+        docs = cleaned.where(F.length(F.trim(F.col("text_clean"))) > 0).select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
 
     # C4 ordering: corpus-global line dedup rewrites documents FIRST, so
     # every downstream signal (quality, hashes, shingles) sees the cleaned
@@ -278,6 +318,8 @@ def curate_corpus(
         dropped = dropped.unionByName(d_dropped)
     if ld_dropped is not None:
         dropped = ld_dropped.unionByName(dropped)
+    if bp_dropped is not None:
+        dropped = bp_dropped.unionByName(dropped)
     if web_dropped is not None:
         dropped = web_dropped.unionByName(dropped)
     stats = nd_ok.agg(

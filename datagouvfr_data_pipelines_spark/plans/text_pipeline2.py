@@ -1444,3 +1444,122 @@ def t_mojibake_repair(spark, sf_dir):
         fix_double_utf8(corrupt).alias("repaired"),
         (corrupt != F.col("text")).alias("was_mojibake"),
     ).orderBy("doc_id")
+
+
+@register(
+    "t_mojibake_single",
+    oracle="""
+    SELECT doc_id, text AS repaired,
+           regexp_matches(text, '[^\\x00-\\x7F]') AS was_mojibake
+    FROM documents
+    WHERE doc_id < 300 AND length(trim(text)) > 0
+      AND NOT regexp_matches(text, '[^\\x00-\\x{00FF}]')
+    ORDER BY doc_id
+    """,
+    tags=["text", "encoding", "web-corpus"],
+)
+def t_mojibake_single(spark, sf_dir):
+    """The OTHER crawl corruption, with a ground-truth oracle: every
+    Latin-1-representable document has its UTF-8 bytes mis-decoded ONCE
+    as Windows-1252 Spark-side (latin-1 decode, then the C1 points the
+    cp1252 printables shadow mapped onto those printables — '\u00e9'
+    becomes '\u00c3\u00a9', an apostrophe U+2019 becomes
+    '\u00e2\u20ac\u2122'), then ``fix_latin1_utf8`` must recover the
+    ORIGINAL bit-for-bit; the oracle simply returns the original.
+    Reference parity: the chardet ingest cascade
+    (schema/utils/consolidation.py:905-947) guards this class at file
+    level; this is the column-level repair. ``was_mojibake`` pins the
+    gates: pure-ASCII docs are corruption fixed points. Shuffle-free
+    narrow map, all codegen built-ins."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        _CP1252_C1,
+        _CP1252_UNI,
+        fix_latin1_utf8,
+    )
+
+    docs = table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 300)
+        & (F.length(F.trim(F.col("text"))) > 0)
+        & ~F.col("text").rlike("[^\u0000-\u00ff]")
+    )
+    corrupt = F.translate(
+        F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1"),
+        _CP1252_C1,
+        _CP1252_UNI,
+    )
+    return docs.select(
+        "doc_id",
+        fix_latin1_utf8(corrupt).alias("repaired"),
+        (corrupt != F.col("text")).alias("was_mojibake"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t_boilerplate_domain",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 'd' || CAST(doc_id % 5 AS VARCHAR) AS domain,
+             'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10)
+               || '(c) 2026 site d' || CAST(doc_id % 5 AS VARCHAR) AS text
+      FROM documents WHERE doc_id < 240 AND length(trim(text)) > 0
+    ), l AS (
+      SELECT doc_id, domain,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM d
+    ), pages AS (
+      SELECT domain, COUNT(*) AS n_pages FROM d GROUP BY domain
+    ), freq AS (
+      SELECT domain, line, COUNT(*) AS df
+      FROM (SELECT DISTINCT domain, line, doc_id FROM l
+            WHERE length(trim(line)) > 0)
+      GROUP BY domain, line
+    ), flagged AS (
+      SELECT f.domain, f.line FROM freq f JOIN pages p USING (domain)
+      WHERE p.n_pages >= 3 AND f.df > 0.5 * p.n_pages
+    )
+    SELECT l.doc_id,
+           coalesce(string_agg(
+             CASE WHEN fl.line IS NULL THEN l.line END,
+             chr(10) ORDER BY l.pos), '') AS text_clean,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN fl.line IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM l LEFT JOIN flagged fl
+      ON l.domain = fl.domain AND l.line = fl.line
+    GROUP BY l.doc_id
+    """,
+    tags=["text", "web-corpus", "boilerplate"],
+)
+def t_boilerplate_domain(spark, sf_dir):
+    """Per-domain boilerplate line removal
+    (functions/text.py:boilerplate_removal): every page of a synthetic
+    5-domain crawl carries the same nav header and a per-domain footer —
+    lines whose within-domain document frequency exceeds half the
+    domain's pages are stripped, body text survives. The oracle
+    replicates the full rule (distinct doc-frequency, min-pages floor,
+    strict > threshold, blank lines exempt) in SQL. Scale shape: one
+    (domain, line)-keyed groupBy, aggregation-shrunk flagged side on
+    the join, no pair expansion."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        boilerplate_removal,
+    )
+
+    dom = F.concat(F.lit("d"), (F.col("doc_id") % 5).cast("string"))
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 240) & (F.length(F.trim(F.col("text"))) > 0))
+        .select(
+            "doc_id",
+            dom.alias("domain"),
+            F.concat_ws(
+                "\n",
+                F.lit("HOME | ABOUT | CONTACT"),
+                F.col("text"),
+                F.concat(F.lit("(c) 2026 site "), dom),
+            ).alias("text"),
+        )
+    )
+    return boilerplate_removal(
+        docs, "doc_id", "text", "domain", max_domain_frac=0.5, min_pages=3
+    )

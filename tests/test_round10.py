@@ -1,0 +1,283 @@
+"""Round-10 additions: single-decode cp1252/Latin-1 mojibake repair
+(``fix_latin1_utf8``), per-domain boilerplate removal, and the nightly
+regression gate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _sloppy_cp1252(b: bytes) -> str:
+    """UTF-8 bytes mis-read as Windows-1252 with the Latin-1 fallback
+    every real decoder applies to the 5 undefined bytes — the exact
+    corruption ``fix_latin1_utf8`` inverts."""
+    out = []
+    for byte in b:
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def test_fix_latin1_utf8_gates(spark):
+    """Exact repair of UTF-8-read-as-cp1252 text (the 'â€™' class the
+    Latin-1-only double-encode repair cannot touch), superset behavior
+    on the plain Latin-1 bridge, and pass-through on every gate: healthy
+    accented text, ASCII, non-cp1252-encodable input, NULL."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fix_latin1_utf8,
+    )
+
+    curly = "l’été — ça coûte €9"
+    latin1 = "l'été à Paris"
+
+    cases = [
+        # cp1252 single-decode corruption: bit-exact recovery
+        (_sloppy_cp1252(curly.encode("utf-8")), curly),
+        # Latin-1 bridge (what fix_double_utf8 covers): also recovered
+        (latin1.encode("utf-8").decode("iso-8859-1"), latin1),
+        # healthy accented text: marker present, bytes NOT valid UTF-8
+        ("SÃO PAULO", "SÃO PAULO"),
+        ("Âge", "Âge"),
+        ("début", "début"),
+        ("plain ascii", "plain ascii"),
+        (None, None),
+        # non-cp1252-encodable char blocks the repair
+        ("日本語 Ã©", "日本語 Ã©"),
+        # healthy text made only of cp1252 specials: no marker, unchanged
+        ("‘quoted’ — dash …", "‘quoted’ — dash …"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in df.select("i", fix_latin1_utf8("s").alias("o")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_fix_latin1_utf8_roundtrip_fuzz(spark):
+    """Property: for any text of Latin-1 chars + cp1252 specials, the
+    UTF-8-read-as-sloppy-cp1252 corruption is repaired bit-for-bit; and
+    realistic CLEAN text is a fixed point (never 'repaired')."""
+    import random
+
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        fix_latin1_utf8,
+    )
+
+    rng = random.Random(10)
+    alphabet = (
+        "abcdefghij XYZ.,;!?0123456789"
+        "éèàûïÉÔñß§"
+        "‘’“”–—…€™œ"
+    )
+    originals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 60)))
+        for _ in range(300)
+    ]
+    corrupted = [_sloppy_cp1252(s.encode("utf-8")) for s in originals]
+    df = spark.createDataFrame(
+        list(enumerate(corrupted)), "i int, s string"
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in df.select("i", fix_latin1_utf8("s").alias("o")).collect()
+    }
+    bad = [
+        (originals[i], corrupted[i], got[i])
+        for i in range(len(originals))
+        if got[i] != originals[i]
+    ]
+    assert not bad, bad[:3]
+
+    # clean-text fixed point: realistic words (accents NOT followed by
+    # continuation-range chars, as in actual language) stay untouched
+    words = [
+        "café", "été", "naïve", "Straße",
+        "mañana", "déjà", "vu", "the", "quick", "fox",
+        "œuvre", "—", "‘yes’",
+    ]
+    clean = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(1, 12)))
+        for _ in range(300)
+    ]
+    df2 = spark.createDataFrame(list(enumerate(clean)), "i int, s string")
+    got2 = {
+        r["i"]: r["o"]
+        for r in df2.select("i", fix_latin1_utf8("s").alias("o")).collect()
+    }
+    bad2 = [
+        (clean[i], got2[i]) for i in range(len(clean)) if got2[i] != clean[i]
+    ]
+    assert not bad2, bad2[:3]
+
+
+def test_curate_corpus_web_stage_repairs_cp1252(spark):
+    """The crawl-ingest stage now covers the single-decode class: an
+    HTML page whose text was UTF-8-read-as-cp1252 (curly quotes become
+    'â€™') comes out of curate_corpus(preprocess_web=True) with the
+    original text recovered exactly."""
+    from datagouvfr_data_pipelines_spark.pipelines.corpus import (
+        curate_corpus,
+    )
+
+    text = (
+        "It’s a long document — with curly “quotes” "
+        "and an ellipsis… plus enough plain words to pass the "
+        "quality heuristics of the corpus pipeline today."
+    )
+    page = "<html><body><p>" + _sloppy_cp1252(text.encode("utf-8")) + "</p></body></html>"
+    docs = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    res = curate_corpus(
+        docs, preprocess_web=True, min_quality=0.0, neardup_threshold=0.95
+    )
+    kept = res["kept"].collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert kept[0]["text"] == text
+
+
+def test_boilerplate_removal_rules(spark):
+    """Nav/footer lines repeated across a domain's pages collapse; body
+    text survives; small domains (< min_pages) are untouched; blank
+    lines are structure and always survive."""
+    from datagouvfr_data_pipelines_spark.functions.text import (
+        boilerplate_removal,
+    )
+
+    nav = "HOME | ABOUT | CONTACT"
+    foot = "(c) 2026 example.com"
+    rows = [
+        # example.com: 4 pages, nav+footer on all, bodies unique
+        (1, "example.com", f"{nav}\nalpha body one\n\n{foot}"),
+        (2, "example.com", f"{nav}\nbeta body two\n{foot}"),
+        (3, "example.com", f"{nav}\ngamma body three\n{foot}"),
+        (4, "example.com", f"{nav}\n{foot}"),  # pure boilerplate page
+        # shared body line on only 2/4 pages: below the 0.5 threshold
+        (5, "other.org", "unique five\nshared line"),
+        (6, "other.org", "unique six\nshared line"),
+        (7, "other.org", "unique seven"),
+        (8, "other.org", "unique eight"),
+        # tiny domain (2 pages < min_pages=3): identical lines kept
+        (9, "tiny.net", f"{nav}\nniner"),
+        (10, "tiny.net", f"{nav}\ntenner"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+        for r in boilerplate_removal(
+            df, "doc_id", "text", "domain", max_domain_frac=0.5, min_pages=3
+        ).collect()
+    }
+    # nav (4/4) and footer (4/4) exceed 0.5 * 4: stripped; blank kept
+    assert got[1] == ("alpha body one\n", 4, 2)
+    assert got[2] == ("beta body two", 3, 1)
+    assert got[4] == ("", 2, 0)  # fully-boilerplate page -> empty
+    # 2/4 = 0.5 is NOT > 0.5: shared line survives (strict threshold)
+    assert got[5] == ("unique five\nshared line", 2, 2)
+    # small domain untouched despite 2/2 nav repetition
+    assert got[9] == (f"{nav}\nniner", 2, 2)
+
+
+def test_curate_corpus_boilerplate_stage(spark):
+    """curate_corpus(boilerplate_domain_frac=...) strips domain chrome
+    before quality/dedup see it, and pages left empty drop under the
+    'boilerplate' ledger stage."""
+    from datagouvfr_data_pipelines_spark.pipelines.corpus import (
+        curate_corpus,
+    )
+
+    nav = "Cookie consent banner | Accept all | Reject"
+    bodies = {
+        1: "The quick brown fox jumps over the lazy dog and keeps "
+           "running through the quiet forest for a long while today.",
+        2: "Pack my box with five dozen liquor jugs before the market "
+           "closes and the evening crowd arrives near the old square.",
+        3: "Sphinx of black quartz judge my vow while the caravan "
+           "crosses the dunes under a pale and silent morning sky.",
+    }
+    rows = [(k, "site.com", f"{nav}\n{v}") for k, v in bodies.items()]
+    rows.append((9, "site.com", nav))  # chrome-only page
+    docs = spark.createDataFrame(
+        rows, "doc_id long, domain string, text string"
+    )
+    res = curate_corpus(
+        docs,
+        min_quality=0.0,
+        neardup_threshold=0.95,
+        boilerplate_domain_frac=0.5,
+        boilerplate_min_pages=3,
+    )
+    kept = {r["doc_id"]: r["text"] for r in res["kept"].collect()}
+    assert sorted(kept) == [1, 2, 3]
+    for k, v in bodies.items():
+        assert kept[k] == v  # nav gone, body exact
+    stages = {r["doc_id"]: r["stage"] for r in res["dropped"].collect()}
+    assert stages.get(9) == "boilerplate"
+
+
+def test_nightly_gate_rules(tmp_path):
+    """The nightly regression gate: aggregate >10%, multi-second query
+    >15%, sub-second query >50% and missing-query coverage loss all
+    fail; same-size or faster rows pass; <2 rows is a no-op pass."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "nightly_gate",
+        Path(__file__).resolve().parent.parent / "scripts" / "nightly_gate.py",
+    )
+    gate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gate)
+
+    def row(ts, value, queries):
+        return {
+            "ts": ts,
+            "bench": {
+                "metric": "headline_suite_seconds",
+                "value": value,
+                "unit": "sec",
+                "queries": queries,
+                "sf": 0.1,
+            },
+        }
+
+    base = row("t0", 26.0, {"big": 2.0, "small": 0.4})
+
+    # within band: aggregate +8%, multi-second +10%, sub-second +40%
+    ok = row("t1", 28.0, {"big": 2.2, "small": 0.56})
+    assert gate.compare_rows(base, ok) == []
+    # faster never fails
+    assert gate.compare_rows(base, row("t1", 20.0, {"big": 1.0, "small": 0.1})) == []
+
+    # aggregate regression
+    f = gate.compare_rows(base, row("t1", 29.0, {"big": 2.0, "small": 0.4}))
+    assert len(f) == 1 and f[0].startswith("aggregate")
+    # multi-second query regression (aggregate flat)
+    f = gate.compare_rows(base, row("t1", 26.0, {"big": 2.4, "small": 0.4}))
+    assert len(f) == 1 and "big" in f[0]
+    # sub-second query within 50% band passes, beyond fails
+    assert gate.compare_rows(base, row("t1", 26.0, {"big": 2.0, "small": 0.59})) == []
+    f = gate.compare_rows(base, row("t1", 26.0, {"big": 2.0, "small": 0.61}))
+    assert len(f) == 1 and "small" in f[0]
+    # dropped query = coverage loss
+    f = gate.compare_rows(base, row("t1", 26.0, {"big": 2.0}))
+    assert len(f) == 1 and "missing" in f[0]
+
+    # end-to-end main(): synthetic jsonl files
+    p = tmp_path / "nb.jsonl"
+    p.write_text(
+        json.dumps(base) + "\n" + json.dumps(ok) + "\n"
+    )
+    assert gate.main(["gate", str(p)]) == 0
+    p.write_text(
+        json.dumps(base) + "\n"
+        + json.dumps(row("t1", 30.0, {"big": 2.0, "small": 0.4})) + "\n"
+    )
+    assert gate.main(["gate", str(p)]) == 1
+    p.write_text(json.dumps(base) + "\n")
+    assert gate.main(["gate", str(p)]) == 0

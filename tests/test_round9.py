@@ -634,6 +634,12 @@ def test_canonicalize_url_rules(spark):
         # (a 'referrer' param is NOT tracking)
         ("https://ex.com/P%41th?referrer=k&b=1",
          "https://ex.com/P%41th?b=1&referrer=k"),
+        # scheme-less input passes through UNCHANGED — canonicalizing
+        # would collapse every such URL onto '://'+path and falsely
+        # merge distinct documents in the exact-URL dedup
+        ("example.com/a", "example.com/a"),
+        ("/x?b=1", "/x?b=1"),
+        ("foo.org/b", "foo.org/b"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
@@ -711,6 +717,14 @@ def test_fix_double_utf8_gates(spark):
         (None, None),
         # marker present but a non-Latin-1 char (euro) blocks the repair
         ("\u00c3\u00a9 \u20ac", "\u00c3\u00a9 \u20ac"),
+        # Latin-1-only text with a marker whose Latin-1 bytes are NOT
+        # valid UTF-8 \u2014 the Spark-4 crash class (decode raises
+        # MALFORMED_CHARACTER_CODING unless gated by is_valid_utf8):
+        # ordinary Portuguese/French text must pass through unchanged,
+        # not kill the task.
+        ("S\u00c3O PAULO", "S\u00c3O PAULO"),
+        ("\u00c2ge", "\u00c2ge"),
+        ("\u00c2", "\u00c2"),
     ]
     df = spark.createDataFrame(
         [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
