@@ -680,13 +680,27 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark 4 transformWithState: per-key typed value state survives
     micro-batches; each batch emits the updated snapshot. The state
     protocol needs google.protobuf (not bundled with pyspark) — skip
-    where absent, matching the operator's documented gate."""
+    where absent, matching the operator's documented gate, but fail
+    loudly under SPARK_GRAFT_REQUIRE_STATEFUL=1 so CI with protobuf
+    installed can't silently lose ST-stateful coverage (same pattern
+    as the Derby JDBC gate in test_connectors.py)."""
     import glob as globmod
+    import os
     import shutil
 
     import pytest
 
-    pytest.importorskip("google.protobuf")
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        msg = (
+            "google.protobuf is not installed — Spark's "
+            "transformWithState Python protocol needs it. "
+            "`pip install protobuf` to restore ST-stateful coverage."
+        )
+        if os.environ.get("SPARK_GRAFT_REQUIRE_STATEFUL") == "1":
+            pytest.fail(msg)
+        pytest.skip(msg)
 
     from datagouvfr_data_pipelines_spark.streaming.stateful import (
         running_totals_stream,
