@@ -33,11 +33,20 @@ def main() -> None:
         rows.append(
             f"| `{name}` | {check} | {tags} | {first_sentence_line(q.fn.__doc__)} |"
         )
+    if n_oracle == n:
+        checks_line = (
+            f"{n} queries, ALL {n_oracle} with DuckDB value oracles.\n"
+        )
+    else:
+        checks_line = (
+            f"{n} queries, {n_oracle} with DuckDB oracles (the rest are\n"
+            "rows-only: iterative algorithms, hash functions DuckDB lacks, or\n"
+            "float-basis outputs — each names its unit-test coverage in its "
+            "docstring).\n"
+        )
     out = (
         "# Query catalog\n\n"
-        f"{n} queries, {n_oracle} with DuckDB oracles (the rest are\n"
-        "rows-only: iterative algorithms, hash functions DuckDB lacks, or\n"
-        "float-basis outputs — each names its unit-test coverage in its docstring).\n"
+        + checks_line +
         "Every entry is a `(spark_fn, oracle_sql)` pair registered in `plans/*.py`\n"
         "and served through `__spark_entry__.py`.\n"
         "Regenerate with `python scripts/gen_catalog_md.py`.\n\n"
