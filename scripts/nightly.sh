@@ -20,8 +20,16 @@ printf '{"ts": "%s", "bench": %s}\n' \
   "$(date -u +%Y-%m-%dT%H:%M:%SZ)" "$bench_json" \
   >> scripts/nightly_bench.jsonl
 
+echo "=== nightly: regression gate (vs previous row) ==="
+python scripts/nightly_gate.py
+gate_rc=$?
+
 if [ $pytest_rc -ne 0 ]; then
   echo "nightly: PYTEST FAILED (rc=$pytest_rc)"
   exit $pytest_rc
+fi
+if [ $gate_rc -ne 0 ]; then
+  echo "nightly: BENCH REGRESSION (rc=$gate_rc)"
+  exit $gate_rc
 fi
 echo "nightly: green"
