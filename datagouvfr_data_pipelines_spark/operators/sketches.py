@@ -160,12 +160,19 @@ def portable_id_hash(col) -> "F.Column":
     stand-in for xxhash64 where the hash only drives uniform SAMPLING (not
     adversarial collision resistance). ANSI arithmetic only, so a DuckDB
     oracle reproduces it bit-for-bit:
-    ``((id*1103515245 + 12345) % 2147483647 * 784588716 + 997) % 2147483647``.
-    Overflow-safe for ids < 8.3e9 under ANSI BIGINT (id * 1103515245 must
-    stay under 2^63)."""
+    ``((id % 2147483647 * 1103515245 + 12345) % 2147483647
+    * 784588716 + 997) % 2147483647``.
+    The id is reduced mod 2^31-1 BEFORE the first multiply, so the mix is
+    overflow-safe for the FULL int64 id range under ANSI BIGINT on both
+    engines (the round-10 suite-wide scale sweep crashed here: offset
+    fact keys above 2^32 pushed id*1103515245 past 2^63 — exactly what
+    64-bit ids at real scale do). For ids < 2^31 the pre-reduction is the
+    identity, so every existing oracle value is unchanged."""
     c = F.col(col) if isinstance(col, str) else col
     h1 = F.pmod(
-        c.cast("long") * F.lit(1103515245) + F.lit(12345), F.lit(2147483647)
+        F.pmod(c.cast("long"), F.lit(2147483647)) * F.lit(1103515245)
+        + F.lit(12345),
+        F.lit(2147483647),
     )
     return F.pmod(h1 * F.lit(784588716) + F.lit(997), F.lit(2147483647))
 

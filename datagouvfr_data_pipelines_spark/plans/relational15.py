@@ -297,7 +297,7 @@ def _qinterp_sql(p: float, alias: str) -> str:
     oracle=f"""
     WITH h AS (
       SELECT o_orderstatus,
-             (((o_orderkey * 1103515245 + 12345) % 2147483647)
+             ((((o_orderkey % 2147483647) * 1103515245 + 12345) % 2147483647)
               * 784588716 + 997) % 2147483647 AS h,
              CAST(o_totalprice AS DOUBLE) AS v
       FROM orders

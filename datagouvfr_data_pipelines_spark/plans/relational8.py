@@ -297,7 +297,7 @@ def _pq_oracle(
     argmin, ADC = sum of probe->sub-centroid distances in subspace order."""
     sub = dim // m
     lcg = (
-        "(((vec_id * 1103515245 + 12345) % 2147483647) * 784588716 + 997)"
+        "((((vec_id % 2147483647) * 1103515245 + 12345) % 2147483647) * 784588716 + 997)"
         " % 2147483647"
     )
 

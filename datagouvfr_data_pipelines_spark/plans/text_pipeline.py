@@ -765,7 +765,7 @@ def _kmeans_af_ctes(k: int = 8, iterations: int = 2, dim: int = 64) -> str:
     holds the final centroids. Reused by the IVF-search and semantic-dedup
     oracles so the trainer replica lives in exactly one place."""
     dist = _km_dist(dim)
-    lcg = "(((vec_id * 1103515245 + 12345) % 2147483647) * 784588716 + 997) % 2147483647"
+    lcg = "((((vec_id % 2147483647) * 1103515245 + 12345) % 2147483647) * 784588716 + 997) % 2147483647"
     parts = [
         f"""
     WITH c0 AS (

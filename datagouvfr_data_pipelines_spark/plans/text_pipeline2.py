@@ -1196,7 +1196,7 @@ def w27_cusum_drift(spark, sf_dir):
     ).select("r.day", "r.revenue", "r.cusum", "r.is_alarm")
 
 
-_ILV_HASH = ("((doc_id * 1103515245 + 12345) % 2147483647"
+_ILV_HASH = ("(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647"
              " * 784588716 + 997) % 2147483647")
 
 
