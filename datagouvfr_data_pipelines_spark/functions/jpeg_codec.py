@@ -6,9 +6,14 @@ passthrough): ``decode_jpeg_rgb24`` handles baseline sequential DCT
 JPEG/JFIF — Huffman entropy decode (custom or Annex-K tables), 8- bit
 samples, 1 (grayscale) or 3 (YCbCr) components, any h/v subsampling in
 {1,2} (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart markers, byte stuffing.
-Progressive (SOF2), arithmetic-coded, 12-bit, and CMYK payloads return
-``None`` — the same honest-gate policy as ``parse_image_dimensions``
-(callers report ``passthrough``/``unsupported``, never a wrong pixel).
+Progressive (SOF2) files decode at DC-SCAN GRADE (round 10): the first
+scans of a progressive stream carry every block's DC coefficient = its
+8x8 mean, exactly what dHash and thumbnailing consume — both the
+interleaved (libjpeg default) and per-component DC scan scripts are
+handled, refinement and AC scans are skipped. Arithmetic-coded, 12-bit,
+and CMYK payloads return ``None`` — the same honest-gate policy as
+``parse_image_dimensions`` (callers report ``passthrough``/
+``unsupported``, never a wrong pixel).
 
 ``encode_jpeg_baseline`` is the matching writer (4:4:4, Annex-K tables
 scaled by the libjpeg quality formula) so round-trip tests need no
@@ -252,9 +257,19 @@ def _split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
 def decode_jpeg_rgb24(data: bytes | None):
     """Decode a baseline sequential JPEG to (width, height, rows) with
     ``rows[y][x] == (r, g, b)`` — the same contract as
-    ``udfs.decode_png_rgb24``. Returns None for anything outside the
-    baseline envelope (progressive SOF2, arithmetic, 12-bit, CMYK,
-    truncated streams)."""
+    ``udfs.decode_png_rgb24``.
+
+    Progressive (SOF2) files decode at DC-SCAN GRADE: the first scan of
+    a progressive JPEG carries every 8x8 block's DC coefficient (the
+    block mean), which is exactly the information dHash and thumbnail
+    resampling consume — the returned pixels are the 8x-block-mean
+    image at full declared dimensions. Supported progressive layout is
+    the libjpeg/mozjpeg default (first scan = interleaved DC of all
+    components, Ah=0); successive-approximation low bits (Al>0) are
+    truncated, which costs < one quant step of precision. Anything else
+    (arithmetic coding, 12-bit, CMYK, lossless/hierarchical, exotic
+    scan scripts whose first scan is not a full DC scan, truncated
+    streams) returns None — never a wrong pixel."""
     import numpy as np
 
     if not data or len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
@@ -263,6 +278,8 @@ def decode_jpeg_rgb24(data: bytes | None):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    prog_grids: dict[int, "np.ndarray"] = {}
     restart_interval = 0
     i = 2
     n = len(data)
@@ -312,7 +329,8 @@ def decode_jpeg_rgb24(data: bytes | None):
                     tbl = _build_huffman_decoder(bits, vals)
                     (huff_dc if tc == 0 else huff_ac)[th] = tbl
                     j += 17 + nv
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-ish
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+                progressive = marker == 0xC2
                 precision = seg[0]
                 if precision != 8:
                     return None
@@ -338,9 +356,9 @@ def decode_jpeg_rgb24(data: bytes | None):
                     if c["h"] not in (1, 2) or c["v"] not in (1, 2):
                         return None
                 frame = (w_img, h_img, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless: honest gate
+                return None  # arithmetic / lossless / hierarchical: honest gate
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack(">H", seg[0:2])[0]
             elif marker == 0xDA:  # SOS — entropy data follows
@@ -352,7 +370,35 @@ def decode_jpeg_rgb24(data: bytes | None):
                     cs = seg[1 + 2 * c]
                     td_ta = seg[2 + 2 * c]
                     scan.append((cs, td_ta >> 4, td_ta & 0x0F))
-                segs, _ = _split_entropy_segments(data, i + 2 + seg_len)
+                segs, term = _split_entropy_segments(
+                    data, i + 2 + seg_len
+                )
+                if progressive:
+                    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                    # a DC scan has Ss=Se=0 (T.81 G.1.1.1.1); requiring
+                    # Se=0 also rejects a baseline entropy stream behind
+                    # a mislabeled SOF2 header instead of misreading its
+                    # DC+AC bits as DC-only garbage
+                    if ss == 0 and se == 0 and ah == 0:
+                        # first DC scan for these components — either
+                        # interleaved (all components, libjpeg default)
+                        # or non-interleaved single-component (the other
+                        # common scan script); AC and refinement scans
+                        # are skipped (DC-grade decode)
+                        if not _decode_dc_scan_into(
+                            frame, scan, huff_dc, restart_interval,
+                            segs, al, prog_grids,
+                        ):
+                            return None
+                        if all(
+                            c["id"] in prog_grids for c in frame[2]
+                        ):
+                            return _finish_progressive_dc(
+                                frame, prog_grids, quant
+                            )
+                    i = term
+                    continue
                 return _decode_scan(
                     frame, scan, quant, huff_dc, huff_ac,
                     restart_interval, segs,
@@ -457,8 +503,13 @@ def _decode_scan(frame, scan, quant, huff_dc, huff_ac, restart_interval, segs):
             return None
     if mcu < n_mcus:
         return None  # truncated stream
+    return _planes_to_rgb(w_img, h_img, comps, planes, hmax, vmax, np)
 
-    # upsample each component to full resolution (sample replication)
+
+def _planes_to_rgb(w_img, h_img, comps, planes, hmax, vmax, np):
+    """Upsample component planes to full resolution (sample replication)
+    and color-convert to (w, h, rows) — shared by the sequential and
+    progressive-DC decode paths."""
     full = []
     for c in comps:
         p = planes[c["id"]]
@@ -483,6 +534,125 @@ def _decode_scan(frame, scan, quant, huff_dc, huff_ac, restart_interval, segs):
         for yy in range(h_img)
     ]
     return (w_img, h_img, rows)
+
+
+def _decode_dc_scan_into(frame, scan, huff_dc, restart_interval, segs,
+                         al, grids):
+    """Decode one progressive first-DC scan (Ss=0, Ah=0) into ``grids``
+    (comp_id -> int64 block grid of DC << al). Handles the interleaved
+    all-components layout (MCU walk, h x v blocks per component per MCU)
+    and the non-interleaved single-component layout (the component's own
+    ceil(cw/8) x ceil(ch/8) block raster, T.81 A.2). Returns False on
+    any malformed/truncated input. The DC coefficient of a block is its
+    mean, so these grids are the whole DC-grade decode state."""
+    import numpy as np
+
+    w_img, h_img, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    if len(comps) == 1:
+        # sampling factors are meaningless for a single-component frame
+        c0 = dict(comps[0], h=1, v=1)
+        comps = [c0]
+        by_id = {c0["id"]: c0}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
+
+    order = []
+    for cs, td, _ta in scan:
+        c = by_id.get(cs)
+        if c is None or td not in huff_dc or c["id"] in grids:
+            return False
+        order.append((c, huff_dc[td]))
+
+    if len(order) == len(comps) and len(comps) > 1:
+        # interleaved: MCU walk
+        for c, _tbl in order:
+            grids[c["id"]] = np.zeros(
+                (mcus_y * c["v"], mcus_x * c["h"]), dtype=np.int64
+            )
+        n_mcus = mcus_x * mcus_y
+        per_seg = restart_interval if restart_interval else n_mcus
+        mcu = 0
+        for seg in segs:
+            if mcu >= n_mcus:
+                break
+            rd = _BitReader(seg)
+            pred = {c["id"]: 0 for c, _t in order}
+            for _ in range(min(per_seg, n_mcus - mcu)):
+                my, mx = divmod(mcu, mcus_x)
+                for c, tbl in order:
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            s = rd.decode_symbol(tbl)
+                            if s is None:
+                                return False
+                            pred[c["id"]] += _extend(rd.read_bits(s), s)
+                            grids[c["id"]][my * c["v"] + bv,
+                                           mx * c["h"] + bh] = (
+                                pred[c["id"]] << al
+                            )
+                mcu += 1
+            if rd.exhausted:
+                return False
+        return mcu == n_mcus
+
+    if len(order) != 1:
+        return False  # partial multi-component scan: outside envelope
+    # non-interleaved: the component's own block raster (which can be
+    # narrower than the MCU-padded grid when dimensions are not MCU
+    # multiples — T.81 A.2.2)
+    c, tbl = order[0]
+    grid = np.zeros((mcus_y * c["v"], mcus_x * c["h"]), dtype=np.int64)
+    bx_n = ((w_img * c["h"] + hmax - 1) // hmax + 7) // 8
+    by_n = ((h_img * c["v"] + vmax - 1) // vmax + 7) // 8
+    n_units = bx_n * by_n
+    per_seg = restart_interval if restart_interval else n_units
+    unit = 0
+    pred = 0
+    for seg in segs:
+        if unit >= n_units:
+            break
+        rd = _BitReader(seg)
+        pred = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            by, bx = divmod(unit, bx_n)
+            s = rd.decode_symbol(tbl)
+            if s is None:
+                return False
+            pred += _extend(rd.read_bits(s), s)
+            grid[by, bx] = pred << al
+            unit += 1
+        if rd.exhausted:
+            return False
+    if unit < n_units:
+        return False
+    grids[c["id"]] = grid
+    return True
+
+
+def _finish_progressive_dc(frame, grids, quant):
+    """Expand accumulated DC grids into 8x-block-mean planes and color
+    convert: the orthonormal IDCT of a DC-only block is the constant
+    dc*q00/8 + 128, so each block paints as its mean."""
+    import numpy as np
+
+    w_img, h_img, comps = frame
+    if len(comps) == 1:
+        comps = [dict(comps[0], h=1, v=1)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        if c["tq"] not in quant:
+            return None
+        q00 = quant[c["tq"]][0, 0]
+        planes[c["id"]] = np.repeat(
+            np.repeat(grids[c["id"]] * (q00 / 8.0) + 128.0, 8, axis=0),
+            8, axis=1,
+        )
+    return _planes_to_rgb(w_img, h_img, comps, planes, hmax, vmax, np)
 
 
 class _BitWriter:
@@ -528,11 +698,16 @@ def _size_cat(v: int) -> int:
     return s
 
 
-def _encode_block(bw, block, qm, a, enc_dc, enc_ac, pred, ci, np):
-    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
+def _block_zz(block, qm, a, np):
+    """FDCT + quantize one 8x8 block to its zigzag coefficient list."""
     coef = a @ block @ a.T
     qz = np.rint(coef / qm).astype(np.int64)
-    zz = [int(qz.flat[ZIGZAG[k]]) for k in range(64)]
+    return [int(qz.flat[ZIGZAG[k]]) for k in range(64)]
+
+
+def _encode_block(bw, block, qm, a, enc_dc, enc_ac, pred, ci, np):
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
+    zz = _block_zz(block, qm, a, np)
     diff = zz[0] - pred[ci]
     pred[ci] = zz[0]
     s = _size_cat(diff)
@@ -687,4 +862,191 @@ def encode_jpeg_baseline(
     out += b"\x00\x3f\x00"
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 90,
+    dc_al: int = 1,
+) -> bytes:
+    """Encode RGB rows as a PROGRESSIVE (SOF2) JFIF at 4:4:4 — the
+    test-side twin for the decoder's DC-grade progressive path, shaped
+    like the libjpeg default scan script: scan 1 = interleaved DC of all
+    components with successive approximation (Ah=0, Al=``dc_al``),
+    scan 2 = DC refinement (Ah=``dc_al``, Al=0 — one raw bit per block,
+    which the DC-grade decoder must SKIP), scans 3-5 = per-component
+    spectral-selection AC scans (Ss=1, Se=63) with real coefficients
+    under T.81 G.1.2.2 EOBRUN coding. A full progressive decoder would
+    reconstruct the image exactly as ``encode_jpeg_baseline`` quality
+    would; our DC-grade decoder reads only scan 1."""
+    import numpy as np
+
+    if dc_al < 0 or dc_al > 13:
+        raise ValueError("dc_al out of range")
+    rgb = np.array(rows, dtype=np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+        -0.168736 * r - 0.331264 * g + 0.5 * b,
+        0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    qy = _quality_scaled(STD_LUMA_QUANT, quality)
+    qc = _quality_scaled(STD_CHROMA_QUANT, quality)
+
+    def qmat(zz):
+        m = np.zeros(64, dtype=np.float64)
+        for k in range(64):
+            m[ZIGZAG[k]] = zz[k]
+        return m.reshape(8, 8)
+
+    qms = [qmat(qy), qmat(qc), qmat(qc)]
+    pad_h = (height + 7) // 8 * 8
+    pad_w = (width + 7) // 8 * 8
+    a = _dct_a()
+    bx_n, by_n = pad_w // 8, pad_h // 8
+    # per-component zigzag coefficient rasters
+    zz_all = []
+    for ci, plane in enumerate(planes):
+        p = np.pad(
+            plane, ((0, pad_h - height), (0, pad_w - width)), mode="edge"
+        )
+        zz_all.append([
+            _block_zz(
+                p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                qms[ci], a, np,
+            )
+            for by in range(by_n) for bx in range(bx_n)
+        ])
+
+    enc_dc = [
+        _build_huffman_encoder(*STD_DC_LUMA),
+        _build_huffman_encoder(*STD_DC_CHROMA),
+    ]
+    # Progressive AC scans need EOBn symbols (r<<4|0 for r in 0..14),
+    # which Annex K's SEQUENTIAL example tables do not contain — use a
+    # custom uniform table: all 176 possible progressive-AC symbols
+    # (EOB0..EOB14, ZRL, and r/s for s in 1..10) at code length 8
+    # (canonical, 176 <= 2^8). Emitted in this file's DHT, so any
+    # conforming decoder reads it; our DC-grade decoder skips AC scans.
+    prog_ac_vals = (
+        [r << 4 for r in range(15)] + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    prog_ac_bits = [0] * 16
+    prog_ac_bits[7] = len(prog_ac_vals)
+    enc_ac_prog = _build_huffman_encoder(prog_ac_bits, prog_ac_vals)
+
+    # scan 1: interleaved first DC scan, values coded as DC >> dc_al
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for blk in range(bx_n * by_n):
+        for ci in range(3):
+            v = zz_all[ci][blk][0] >> dc_al
+            diff = v - pred[ci]
+            pred[ci] = v
+            s = _size_cat(diff)
+            code, ln = enc_dc[0 if ci == 0 else 1][s]
+            bw.write(code, ln)
+            if s:
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                bw.write(amp, s)
+    bw.flush()
+    dc_first = bytes(bw.out)
+
+    # scan 2: DC refinement — the dc_al low bits, raw, MSB first
+    dc_refine = b""
+    if dc_al:
+        bw = _BitWriter()
+        for blk in range(bx_n * by_n):
+            for ci in range(3):
+                bw.write(zz_all[ci][blk][0] & ((1 << dc_al) - 1), dc_al)
+        bw.flush()
+        dc_refine = bytes(bw.out)
+
+    # scans 3-5: per-component AC first scans with EOBRUN coding
+    def ac_scan(ci):
+        enc = enc_ac_prog
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            while eobrun > 0:
+                chunk = min(eobrun, 32767)
+                rr = chunk.bit_length() - 1
+                code, ln = enc[rr << 4]
+                bw.write(code, ln)
+                if rr:
+                    bw.write(chunk - (1 << rr), rr)
+                eobrun -= chunk
+
+        for blk in range(bx_n * by_n):
+            zz = zz_all[ci][blk]
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if zz[k]:
+                    last_nz = k
+                    break
+            if last_nz == 0:
+                eobrun += 1
+                continue
+            flush_eobrun()
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _size_cat(v)
+                code, ln = enc[(run << 4) | s]
+                bw.write(code, ln)
+                amp = v if v >= 0 else v + (1 << s) - 1
+                bw.write(amp, s)
+                run = 0
+            if last_nz < 63:
+                eobrun += 1
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, zz in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(zz)
+    out += b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+    out += struct.pack(">HH", height, width) + b"\x03"
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, (bits, vals) in (
+        (0x00, STD_DC_LUMA), (0x01, STD_DC_CHROMA),
+        (0x10, (prog_ac_bits, prog_ac_vals)),
+        (0x11, (prog_ac_bits, prog_ac_vals)),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+    def sos(comps_spec, ss, se, ah, al, entropy):
+        nonlocal out
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps_spec))
+        out += bytes([len(comps_spec)])
+        for cid, tdta in comps_spec:
+            out += bytes([cid, tdta])
+        out += bytes([ss, se, (ah << 4) | al])
+        out += entropy
+
+    sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, dc_al, dc_first)
+    if dc_al:
+        sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, dc_al, 0, dc_refine)
+    sos([(1, 0x00)], 1, 63, 0, 0, ac_scan(0))
+    sos([(2, 0x01)], 1, 63, 0, 0, ac_scan(1))
+    sos([(3, 0x01)], 1, 63, 0, 0, ac_scan(2))
+    out += b"\xff\xd9"
     return bytes(out)

@@ -456,6 +456,114 @@ def parse_wav_metadata(data: bytes | None) -> tuple[int, int, int] | None:
     return (rate, channels, int(data_size * 1000 / byte_rate))
 
 
+def make_mjpeg_avi(
+    frames: list[list[list[tuple[int, int, int]]]],
+    width: int,
+    height: int,
+    fps: int = 10,
+    quality: int = 95,
+) -> bytes:
+    """Serialize RGB frame rasters as a minimal MJPEG-in-AVI file
+    (RIFF 'AVI ': hdrl/avih + strl/strh'vids'/MJPG + movi/00dc chunks,
+    each chunk one baseline JPEG) — the fixture writer that makes the
+    real video-decode path (``parse_avi_mjpeg`` + jpeg_codec) testable
+    with zero external dependencies, the same pattern as
+    ``encode_jpeg_baseline``."""
+    import struct as _struct
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        encode_jpeg_baseline,
+    )
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (cid + _struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    mspf_us = 1_000_000 // fps
+    avih = _struct.pack(
+        "<IIIIIIIIII", mspf_us, 0, 0, 0, len(frames), 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG"
+            + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                           len(frames), 0, 0, 0)
+            + _struct.pack("<hhhh", 0, 0, width, height))
+    strf = _struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(
+        chunk(b"00dc", encode_jpeg_baseline(width, height, f, quality=quality))
+        for f in frames
+    ))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(data: bytes | None):
+    """MJPEG-in-AVI decode seam for ``sample_frames``: RIFF chunk walk
+    (same pattern as ``parse_wav_metadata``) pulling the frame period
+    from ``avih`` and the per-frame JPEG payloads from the ``movi``
+    list's ``##dc``/``##db`` chunks. Returns ``(duration_ms, frame_at,
+    'decoded:mjpeg-avi')`` where ``frame_at(ts_ms)`` yields the RAW
+    JPEG bytes of the frame covering that timestamp (decodable by
+    ``jpeg_codec.decode_jpeg_rgb24`` downstream), or None for anything
+    that is not an MJPEG AVI (other codecs still need ffmpeg — the
+    injectable-decoder gate stays honest)."""
+    import struct as _struct
+
+    if (not data or len(data) < 12 or data[:4] != b"RIFF"
+            or data[8:12] != b"AVI "):
+        return None
+    mspf_us = None
+    is_mjpg = False
+    frames: list[tuple[int, int]] = []  # (offset, size) into data
+
+    def walk(start: int, end: int) -> None:
+        nonlocal mspf_us, is_mjpg
+        i = start
+        while i + 8 <= end:
+            cid = data[i : i + 4]
+            size = _struct.unpack("<I", data[i + 4 : i + 8])[0]
+            body_start = i + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST" and body_end >= body_start + 4:
+                walk(body_start + 4, body_end)
+            elif cid == b"avih" and size >= 40:
+                mspf_us = _struct.unpack(
+                    "<I", data[body_start : body_start + 4]
+                )[0]
+            elif cid == b"strh" and size >= 8:
+                if (data[body_start : body_start + 4] == b"vids"
+                        and data[body_start + 4 : body_start + 8].upper()
+                        == b"MJPG"):
+                    is_mjpg = True
+            elif (len(cid) == 4 and cid[2:4] in (b"dc", b"db")
+                  and data[body_start : body_start + 2] == b"\xff\xd8"):
+                frames.append((body_start, body_end - body_start))
+            i = body_start + size + (size & 1)
+
+    try:
+        walk(12, len(data))
+    except (IndexError, _struct.error):
+        return None
+    if not is_mjpg or not mspf_us or not frames:
+        return None
+    mspf_ms = mspf_us / 1000.0
+    dur_ms = int(round(len(frames) * mspf_ms))
+
+    def frame_at(ts: int) -> bytes:
+        idx = min(int(ts / mspf_ms), len(frames) - 1)
+        off, size = frames[idx]
+        return bytes(data[off : off + size])
+
+    return dur_ms, frame_at, "decoded:mjpeg-avi"
+
+
 def make_bmp(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
     """Serialize a 24-bit uncompressed bottom-up BMP (BITMAPINFOHEADER),
     pure Python — the zero-dependency raster format the real-codec paths
@@ -532,10 +640,11 @@ def resize_images(
     sequential JPEGs get a REAL nearest-neighbor downscale
     (``resize_bmp_nearest`` / ``resize_png_nearest`` /
     ``resize_jpeg_nearest`` — PNG is a full stdlib inflate + un-filter
-    decode, JPEG a full Huffman + IDCT decode, functions/jpeg_codec.py);
-    codecs still needing external libs (progressive JPEG, GIF's LZW —
-    PIL/ffmpeg not in this container) pass through unchanged with an
-    honest 'passthrough:<fmt>' status and their REAL header dimensions.
+    decode, JPEG a full Huffman + IDCT decode for baseline and a
+    DC-scan-grade decode for progressive SOF2, functions/jpeg_codec.py);
+    codecs still needing external libs (GIF's LZW, arithmetic-coded
+    JPEG — PIL/ffmpeg not in this container) pass through unchanged with
+    an honest 'passthrough:<fmt>' status and their REAL header dimensions.
     Schema and batch shape are identical in every path, so swapping in a
     full codec never touches the Spark plan. Shuffle-free: one narrow map
     over whatever partitioning the caller arranged."""
@@ -591,7 +700,9 @@ def sample_frames(
     input row -> one row per sampled frame). Real video decode needs ffmpeg
     (not in this container), so the frame ``decoder`` is injectable — the
     same gate pattern as ``sftp_land_and_read``'s transport and the geocode
-    cascade's service. The default decoder is a deterministic stand-in
+    cascade's service — except MJPEG-in-AVI, which the in-tree jpeg codec
+    decodes for real (``parse_avi_mjpeg``). For other codecs the default
+    decoder is a deterministic stand-in
     ('fake-decoded'): duration is derived from payload length (matching
     ``extract_media_metadata``'s fake branch) and each emitted frame is a
     REAL 2x2 BMP whose pixels derive from the payload sha — downstream
@@ -600,6 +711,12 @@ def sample_frames(
 
     decoder(blob: bytes) -> (duration_ms, frame_at: Callable[[int], bytes],
     status); partitioning, fan-out shape and schema are production-real.
+
+    Round 10: MJPEG-in-AVI payloads take a REAL decode path by default —
+    ``parse_avi_mjpeg`` walks the RIFF structure and ``frame_at`` emits
+    each sampled frame's raw JPEG bytes (decodable downstream by the
+    in-tree jpeg codec); everything else falls back to the deterministic
+    stand-in as before.
     """
     import hashlib
 
@@ -607,6 +724,9 @@ def sample_frames(
         raise ValueError(f"every_ms must be positive, got {every_ms}")
 
     def default_decoder(blob: bytes):
+        real = parse_avi_mjpeg(blob)
+        if real is not None:
+            return real
         dur = len(blob) % 60_000
         sha = hashlib.sha256(blob).digest()
 
@@ -994,6 +1114,46 @@ def image_dhash(df, id_col: str, content_col: str):
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def make_banded_test_rows(
+    seed: int, perturb: bool = False
+) -> list[list[tuple[int, int, int]]]:
+    """Deterministic 72x64 block-aligned dHash codeword image: each of
+    the 8x8 dHash gradient bits is rendered as a +-12-luma step between
+    adjacent 8-px column bands, the bit pattern being a 64-bit mix of
+    ``seed`` (pairwise Hamming ~32 between seeds). Because every band is
+    an exact JPEG block, the FULL decode and the progressive DC-GRADE
+    decode (block means) produce the identical dHash — the fixture that
+    lets one near-dup query span baseline and progressive encodings.
+    ``perturb=True`` nudges a 4x4 patch by +15 (below the band step, a
+    visible-but-minor edit)."""
+    v = (seed * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    v ^= v >> 30
+    v = (v * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+    v ^= v >> 27
+    v = (v * 0x94D049BB133111EB) & ((1 << 64) - 1)
+    code = v ^ (v >> 31)
+    rows = []
+    for rb in range(8):
+        vals = [128]
+        for cb in range(8):
+            bit = (code >> (rb * 8 + cb)) & 1
+            vals.append(vals[-1] + (12 if bit else -12))
+        for _ in range(8):
+            row = []
+            for cb in range(9):
+                val = vals[cb]
+                row.extend([(val, val, val)] * 8)
+            rows.append(row)
+    if perturb:
+        for yy in range(20, 24):
+            for xx in range(40, 44):
+                r, g, b = rows[yy][xx]
+                rows[yy][xx] = (
+                    min(255, r + 15), min(255, g + 15), min(255, b + 15)
+                )
+    return rows
 
 
 def make_test_pattern_bmp(

@@ -21,7 +21,7 @@ from datagouvfr_data_pipelines_spark.plans.catalog import register, table
 from datagouvfr_data_pipelines_spark.plans.relational6 import _lat, _lon
 
 
-_RU_HASH = ("((user_id * 1103515245 + 12345) % 2147483647"
+_RU_HASH = ("(((user_id % 2147483647) * 1103515245 + 12345) % 2147483647"
             " * 784588716 + 997) % 2147483647")
 _RU_BITLEN = " + ".join(
     f"CASE WHEN rest >= {1 << k} THEN 1 ELSE 0 END" for k in range(25)
@@ -956,6 +956,174 @@ def mm_image_neardups_jpeg(spark, sf_dir):
 
 
 @register(
+    "mm_image_neardups_progressive",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1 AS id_b
+    FROM documents
+    WHERE doc_id < 100 AND doc_id % 2 = 0
+    ORDER BY id_a
+    """,
+    tags=["multimodal", "dedup-image", "dhash", "jpeg", "progressive"],
+)
+def mm_image_neardups_progressive(spark, sf_dir):
+    """Image near-dup ACROSS JPEG encodings: even ids are BASELINE
+    sequential files, their odd twins PROGRESSIVE (SOF2) files of the
+    perturbed image — the decoder reads the progressive twin at DC-scan
+    grade (functions/jpeg_codec.py:_decode_dc_scan_into), and because
+    the banded codeword fixture (udfs.py:make_banded_test_rows) is
+    block-aligned, the full decode and the 8x-block-mean decode hash
+    identically: the banded-Hamming search at max_hamming=6 must
+    recover EXACTLY the ground-truth twin pairs (measured margins:
+    twins 0 bits apart cross-codec, different patterns >= 16). Same
+    one-shuffle scale shape as the other dhash queries."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        image_dhash,
+        make_banded_test_rows,
+    )
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("img", BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, imgs = [], []
+            for did in pdf["doc_id"]:
+                rows = make_banded_test_rows(
+                    int(did) // 2, perturb=bool(did % 2)
+                )
+                enc = encode_jpeg_progressive if did % 2 else encode_jpeg_baseline
+                ids.append(int(did))
+                imgs.append(enc(72, 64, rows, quality=95))
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    imgs = docs.mapInPandas(synth, schema=schema)
+    fp = image_dhash(imgs, "doc_id", "img").where(F.col("dhash").isNotNull())
+    return (
+        banded_hamming_pairs(fp, "media_id", "dhash", max_hamming=6)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+@register(
+    "mm_video_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id AS media_id,
+           CAST(ts / 500 AS INTEGER) AS frame_idx,
+           CAST(ts AS BIGINT) AS ts_ms,
+           'jpeg' AS frame_format,
+           72 AS frame_w, 64 AS frame_h,
+           'decoded:mjpeg-avi' AS decode_status
+    FROM (SELECT doc_id,
+                 unnest(range(0, n_frames * 500, 500)) AS ts
+          FROM d)
+    ORDER BY media_id, frame_idx
+    """,
+    tags=["multimodal", "video", "mjpeg", "fanout"],
+)
+def mm_video_frames(spark, sf_dir):
+    """REAL video frame sampling: each document gets a synthesized
+    MJPEG-in-AVI payload (2-4 banded-pattern frames at 2 fps,
+    udfs.py:make_mjpeg_avi), and ``sample_frames``' DEFAULT decoder now
+    walks the RIFF structure for real (udfs.py:parse_avi_mjpeg) — one
+    output row per sampled frame carrying the frame's raw JPEG bytes,
+    whose dimensions the in-tree jpeg codec then parses back. The
+    oracle pins the full fan-out arithmetic (per-doc frame counts,
+    timestamps, dims, status) as ground truth; decoded-PIXEL exactness
+    is pinned in tests/test_round10.py (the block-aligned fixture
+    survives q95 bit-exactly). Scale shape: two narrow Arrow-batched
+    maps, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        make_banded_test_rows,
+        make_mjpeg_avi,
+        parse_image_dimensions,
+        sample_frames,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("content", BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                n = 2 + int(did) % 3
+                frames = [
+                    make_banded_test_rows(int(did) * 7 + k) for k in range(n)
+                ]
+                ids.append(int(did))
+                blobs.append(make_mjpeg_avi(frames, 72, 64, fps=2))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema=schema)
+    sampled = sample_frames(media, "doc_id", "content", every_ms=500)
+
+    dims_schema = (
+        "media_id long, frame_idx int, ts_ms long, frame_format string, "
+        "frame_w int, frame_h int, decode_status string"
+    )
+
+    def dims(batches):
+        for pdf in batches:
+            rows = []
+            for mid, idx, ts, fr, st in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["ts_ms"],
+                pdf["frame"], pdf["decode_status"],
+            ):
+                parsed = parse_image_dimensions(bytes(fr))
+                fmt, w, h = parsed if parsed else (None, None, None)
+                rows.append((mid, idx, ts, fmt, w, h, st))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "ts_ms", "frame_format",
+                "frame_w", "frame_h", "decode_status",
+            ])
+
+    return sampled.mapInPandas(dims, schema=dims_schema).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@register(
     "mm_audio_neardups",
     oracle="""
     WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
@@ -1058,7 +1226,7 @@ def mm_audio_neardups(spark, sf_dir):
 
 _CO_K = 128
 _CO_M = 2147483646.0
-_CO_HASH = ("((o_custkey * 1103515245 + 12345) % 2147483647"
+_CO_HASH = ("(((o_custkey % 2147483647) * 1103515245 + 12345) % 2147483647"
             " * 784588716 + 997) % 2147483647")
 
 
@@ -1217,7 +1385,7 @@ def sk_customer_cohort_overlap(spark, sf_dir):
     )
 
 
-_HLL_HASH = ("((user_id * 1103515245 + 12345) % 2147483647"
+_HLL_HASH = ("(((user_id % 2147483647) * 1103515245 + 12345) % 2147483647"
              " * 784588716 + 997) % 2147483647")
 _HLL_BITLEN = " + ".join(
     f"CASE WHEN rest >= {1 << k} THEN 1 ELSE 0 END" for k in range(25)
@@ -1289,7 +1457,7 @@ def sk_hll_portable_reach(spark, sf_dir):
 
 _KMV_K = 128
 _KMV_M = 2147483646.0
-_KMV_HASH = ("((o_custkey * 1103515245 + 12345) % 2147483647"
+_KMV_HASH = ("(((o_custkey % 2147483647) * 1103515245 + 12345) % 2147483647"
              " * 784588716 + 997) % 2147483647")
 
 

@@ -137,8 +137,10 @@ def test_jpeg_solid_color_decodes_exactly():
 
 
 def test_jpeg_progressive_is_honestly_gated():
-    """A SOF2 (progressive) frame must return None — never wrong pixels —
-    and resize_images must report passthrough with real header dims."""
+    """The progressive envelope's remaining honest gates: a BASELINE
+    entropy stream behind a mislabeled SOF2 header is rejected (its scan
+    has Se=63, not a DC scan — misreading its DC+AC bits as DC-only
+    would paint garbage), and malformed/truncated inputs return None."""
     from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
         decode_jpeg_rgb24, encode_jpeg_baseline,
     )
@@ -149,7 +151,7 @@ def test_jpeg_progressive_is_honestly_gated():
     rows = [[(10, 20, 30)] * 16 for _ in range(16)]
     jpg = bytearray(encode_jpeg_baseline(16, 16, rows))
     i = jpg.find(b"\xff\xc0")
-    jpg[i + 1] = 0xC2  # SOF0 -> SOF2
+    jpg[i + 1] = 0xC2  # SOF0 -> SOF2, entropy still sequential
     prog = bytes(jpg)
     assert parse_image_dimensions(prog) == ("jpeg", 16, 16)  # header real
     assert decode_jpeg_rgb24(prog) is None
@@ -420,3 +422,119 @@ def test_jpeg_truncated_mid_segment_returns_none():
             assert decode_jpeg_rgb24(jpg[:cut]) is None, (ri, frac)
         # cutting ONLY the EOI loses no entropy data: still decodes
         assert decode_jpeg_rgb24(jpg[:-2]) is not None, ri
+
+
+def test_jpeg_progressive_dc_roundtrip():
+    """Progressive (SOF2) decode at DC grade: exact dims, every 8x8
+    block constant at (approximately) the source block mean, refinement
+    and AC scans skipped; truncation INSIDE the DC scan returns None,
+    while truncation after the DC scans still decodes — rendering an
+    incomplete progressive stream at DC grade is the format's point."""
+    import statistics
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24, encode_jpeg_progressive,
+    )
+
+    w, h = 37, 21
+    rows = [
+        [(min(255, x * 6), min(255, y * 8), (x * y) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    prog = encode_jpeg_progressive(w, h, rows, quality=90, dc_al=1)
+    dec = decode_jpeg_rgb24(prog)
+    assert dec is not None and (dec[0], dec[1]) == (w, h)
+    errs = []
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            px = dec[2][by * 8][bx * 8]
+            for y in range(by * 8, min(by * 8 + 8, h)):
+                for x in range(bx * 8, min(bx * 8 + 8, w)):
+                    assert dec[2][y][x] == px  # block-constant
+            for c in range(3):
+                mean = statistics.mean(
+                    rows[min(y, h - 1)][min(x, w - 1)][c]
+                    for y in range(by * 8, by * 8 + 8)
+                    for x in range(bx * 8, bx * 8 + 8)
+                )
+                errs.append(abs(mean - px[c]))
+    assert max(errs) < 4.0, max(errs)
+
+    # the DC scan sits at the front: cuts inside it must fail honestly
+    sos = prog.index(b"\xff\xda")
+    for cut in (sos + 20, sos + 40):
+        assert decode_jpeg_rgb24(prog[:cut]) is None
+    # a cut that only loses AC scans still decodes at DC grade
+    last_sos = prog.rindex(b"\xff\xda")
+    late = decode_jpeg_rgb24(prog[:last_sos])
+    assert late is not None and late[2] == dec[2]
+
+
+def test_jpeg_progressive_real_world_fixture():
+    """Independent validation: progressive JPEGs shipped in this
+    container (nodejs docs — libjpeg-style per-component DC scan
+    script, verified SOF2) must decode with exact header dimensions."""
+    import glob
+
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        parse_image_dimensions,
+    )
+
+    found = 0
+    for p in glob.glob("/usr/share/doc/nodejs/*.jpg"):
+        with open(p, "rb") as fh:
+            data = fh.read()
+        if b"\xff\xc2" not in data:
+            continue
+        parsed = parse_image_dimensions(data)
+        dec = decode_jpeg_rgb24(data)
+        assert dec is not None, p
+        assert (dec[0], dec[1]) == (parsed[1], parsed[2]), p
+        found += 1
+    if not found:
+        import pytest
+
+        pytest.skip("no progressive JPEG fixture in this container")
+
+
+def test_jpeg_progressive_cross_codec_dhash_margins():
+    """The near-dup guarantee behind mm_image_neardups_progressive: on
+    the block-aligned banded codeword fixture, a BASELINE original and
+    the PROGRESSIVE encode of its perturbed twin hash 0 bits apart
+    (full decode and DC-grade decode see the same band means), while
+    different patterns stay >= 2x the banded-search radius."""
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        encode_jpeg_baseline, encode_jpeg_progressive,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        dhash64_py, make_banded_test_rows,
+    )
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    hashes = {}
+    for seed in range(20):
+        hb = dhash64_py(
+            encode_jpeg_baseline(72, 64, make_banded_test_rows(seed),
+                                 quality=95)
+        )
+        hp = dhash64_py(
+            encode_jpeg_progressive(
+                72, 64, make_banded_test_rows(seed, perturb=True),
+                quality=95,
+            )
+        )
+        assert hb is not None and hp is not None
+        assert hamming(hb, hp) <= 2, seed
+        hashes[seed] = hb
+    ks = list(hashes)
+    worst = min(
+        hamming(hashes[ks[i]], hashes[ks[j]])
+        for i in range(len(ks)) for j in range(i + 1, len(ks))
+    )
+    assert worst > 12, worst

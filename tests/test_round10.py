@@ -281,3 +281,105 @@ def test_nightly_gate_rules(tmp_path):
     assert gate.main(["gate", str(p)]) == 1
     p.write_text(json.dumps(base) + "\n")
     assert gate.main(["gate", str(p)]) == 0
+
+
+def test_portable_id_hash_full_int64_range(spark):
+    """The portable LCG hash must survive 64-bit ids (the suite-wide
+    scale sweep crashed on ANSI long overflow at offset keys > 2^32):
+    bit-identical to the Python reference AND to DuckDB at every
+    magnitude, and the identity pre-reduction keeps small-id values
+    unchanged."""
+    import duckdb
+
+    from datagouvfr_data_pipelines_spark.operators.sketches import (
+        portable_id_hash,
+    )
+
+    ids = [0, 1, 7, 12345, 2**31 - 2, 2**31, 2**32 + 5, 37 * 2**32 + 99,
+           2**62, 2**63 - 1]
+
+    def ref(i):
+        h1 = ((i % 2147483647) * 1103515245 + 12345) % 2147483647
+        return (h1 * 784588716 + 997) % 2147483647
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", portable_id_hash("id").alias("h")).collect()
+    }
+    sql = ("(((id % 2147483647) * 1103515245 + 12345) % 2147483647 "
+           "* 784588716 + 997) % 2147483647")
+    con = duckdb.connect()
+    for i in ids:
+        assert got[i] == ref(i), i
+        duck = con.execute(
+            f"SELECT {sql} FROM (SELECT CAST(? AS BIGINT) AS id)", [i]
+        ).fetchone()[0]
+        assert got[i] == duck, i
+
+
+def test_mjpeg_avi_real_frame_decode(spark):
+    """sample_frames' default decoder walks MJPEG-in-AVI for real: each
+    sampled frame is the source frame's JPEG, decoding BIT-EXACTLY back
+    to the block-aligned fixture pixels; non-AVI payloads still take the
+    deterministic stand-in branch."""
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        make_banded_test_rows,
+        make_mjpeg_avi,
+        parse_avi_mjpeg,
+        sample_frames,
+    )
+
+    frames = [make_banded_test_rows(s) for s in range(3)]
+    avi = make_mjpeg_avi(frames, 72, 64, fps=2)  # 500 ms per frame
+
+    dur, frame_at, status = parse_avi_mjpeg(avi)
+    assert (dur, status) == (1500, "decoded:mjpeg-avi")
+    for k in range(3):
+        dec = decode_jpeg_rgb24(frame_at(k * 500))
+        assert dec is not None and (dec[0], dec[1]) == (72, 64)
+        assert dec[2] == frames[k], k  # bit-exact pixels
+    # past-the-end timestamps clamp to the final frame
+    assert frame_at(99_000) == frame_at(1000)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a video payload"))],
+        "media_id long, content binary",
+    )
+    out = sample_frames(df, "media_id", "content", every_ms=500).collect()
+    mine = sorted(
+        (r["frame_idx"], r["ts_ms"]) for r in out if r["media_id"] == 1
+    )
+    assert mine == [(0, 0), (1, 500), (2, 1000)]
+    statuses = {r["media_id"]: r["decode_status"] for r in out}
+    assert statuses[1] == "decoded:mjpeg-avi"
+    assert statuses[2] == "fake-decoded"
+    got1 = {
+        r["frame_idx"]: bytes(r["frame"]) for r in out if r["media_id"] == 1
+    }
+    for k in range(3):
+        assert decode_jpeg_rgb24(got1[k])[2] == frames[k], k
+
+
+def test_mjpeg_avi_parser_rejects_non_mjpeg(spark):
+    """The honest gate stays for codecs the container cannot decode: a
+    structurally-valid AVI whose stream is NOT MJPG falls back to the
+    stand-in decoder instead of emitting wrong frames."""
+    import struct
+
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        make_banded_test_rows, make_mjpeg_avi, parse_avi_mjpeg,
+    )
+
+    avi = bytearray(make_mjpeg_avi(
+        [make_banded_test_rows(0)], 72, 64, fps=2
+    ))
+    i = avi.find(b"vidsMJPG")
+    avi[i + 4 : i + 8] = b"H264"
+    assert parse_avi_mjpeg(bytes(avi)) is None
+    # truncated header / empty movi
+    assert parse_avi_mjpeg(bytes(avi[:20])) is None
+    assert parse_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"AVI ") is None
