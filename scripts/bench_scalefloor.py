@@ -21,6 +21,28 @@ five scan-floor headliners under the bench.py fulleval protocol on both
 engines and emit scripts/bench_scalefloor_r9.json.
 
 Run: python scripts/bench_scalefloor.py   (~5 min; writes the artifact)
+
+Round-10 extension (judge task #1): SPARK_GRAFT_SCALEFLOOR_FULL=1 runs
+ALL bench.py headline queries instead of the 5 scan-floor headliners, at
+scales {1,10} by default, and scales EVERY fact-like table, not just the
+two relational facts:
+
+  - lineitem / orders: key-offset duplication (unchanged — per-order
+    basket sizes and join fan-outs stay exactly realistic)
+  - events: event_id AND user_id offset per copy (per-user session /
+    funnel / retention cardinalities stay realistic)
+  - documents: doc_id offset; copies get a seeded word-level shuffle of
+    the text, so exact/near-dup cardinalities stay realistic (a plain
+    text duplication would hand the dedup tier k-sized clusters
+    everywhere and blow pair outputs up quadratically on BOTH engines —
+    that measures duplicate-mass handling, not scan scale)
+  - embeddings: vec_id offset; copies get seeded random directions at
+    the source row's norm (plain vector duplication makes every vector
+    a 0.999-cosine twin of k-1 others — same quadratic distortion)
+  - dimensions (region nation customer supplier part): single-copy
+
+Writes scripts/bench_scalefloor_full_r10.json with per-query ratios at
+each scale and a falls/flat verdict per query.
 """
 
 from __future__ import annotations
@@ -38,13 +60,17 @@ REPO_ROOT = str(Path(__file__).resolve().parent.parent)
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-QUERIES = [
-    "q1_pricing_summary",
-    "j1_brand_revenue",
-    "q21_waiting_supplier",
-    "a36_corr_matrix",
-    "j18_brand_affinity",
-]
+FULL = os.environ.get("SPARK_GRAFT_SCALEFLOOR_FULL") == "1"
+if FULL:
+    from bench import HEADLINE as QUERIES
+else:
+    QUERIES = [
+        "q1_pricing_summary",
+        "j1_brand_revenue",
+        "q21_waiting_supplier",
+        "a36_corr_matrix",
+        "j18_brand_affinity",
+    ]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -52,12 +78,112 @@ TABLES = [
 FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 SCALES = [
     int(x) for x in os.environ.get(
-        "SPARK_GRAFT_SCALES", "1,3,10,30"
+        "SPARK_GRAFT_SCALES", "1,10" if FULL else "1,3,10,30"
     ).split(",")
 ]
 ROW_GROUP_SIZE = 65_536
 KEY_STRIDE = 1 << 32
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+
+
+def _offset_col(table, col: str, off: int):
+    """Cast ``col`` to int64 and add ``off`` (0 = cast only)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    v = pc.cast(table[col], pa.int64())
+    if off:
+        v = pc.add(v, pa.scalar(off))
+    return table.set_column(
+        table.schema.get_field_index(col), pa.field(col, pa.int64()), v
+    )
+
+
+def _scale_events(table, k: int):
+    """k copies with event_id and user_id offset — per-user cardinality
+    (sessions, funnels, cohorts) stays exactly realistic."""
+    import pyarrow as pa
+
+    copies = []
+    for i in range(k):
+        c = _offset_col(table, "event_id", i * KEY_STRIDE)
+        c = _offset_col(c, "user_id", i * KEY_STRIDE)
+        copies.append(c)
+    return pa.concat_tables(copies)
+
+
+def _scale_documents(table, k: int):
+    """k copies with doc_id offset; copy i>0 texts are a seeded word
+    shuffle so exact/near-dup cluster sizes stay realistic at scale."""
+    import random
+
+    import pyarrow as pa
+
+    base = _offset_col(table, "doc_id", 0)
+    texts = base["text"].to_pylist()
+    copies = [base.set_column(
+        base.schema.get_field_index("n_chars"),
+        pa.field("n_chars", pa.int64()),
+        pa.array([len(t) if t is not None else 0 for t in texts],
+                 pa.int64()),
+    )]
+    # copy 0 keeps original text; recompute n_chars uniformly so every
+    # copy's n_chars matches its text under the same definition
+    for i in range(1, k):
+        shuffled = []
+        for j, t in enumerate(texts):
+            if t is None:
+                shuffled.append(None)
+                continue
+            words = t.split()
+            random.Random((i << 32) | j).shuffle(words)
+            shuffled.append(" ".join(words))
+        c = _offset_col(base, "doc_id", i * KEY_STRIDE)
+        c = c.set_column(
+            c.schema.get_field_index("text"),
+            pa.field("text", pa.string()), pa.array(shuffled, pa.string()),
+        )
+        c = c.set_column(
+            c.schema.get_field_index("n_chars"),
+            pa.field("n_chars", pa.int64()),
+            pa.array([len(t) if t is not None else 0 for t in shuffled],
+                     pa.int64()),
+        )
+        copies.append(c)
+    return pa.concat_tables(copies)
+
+
+def _scale_embeddings(table, k: int):
+    """k copies with vec_id offset; copy i>0 vectors are seeded random
+    directions at the source row's norm (duplicated vectors would be
+    0.999-cosine twins and quadratically distort the near-dup tier)."""
+    import math
+    import random
+
+    import pyarrow as pa
+
+    base = _offset_col(table, "vec_id", 0)
+    vecs = base["embedding"].to_pylist()
+    copies = [base]
+    for i in range(1, k):
+        new_vecs = []
+        for j, v in enumerate(vecs):
+            if v is None:
+                new_vecs.append(None)
+                continue
+            norm = math.sqrt(sum(x * x for x in v)) or 1.0
+            rng = random.Random((i << 32) | j)
+            d = [rng.gauss(0.0, 1.0) for _ in v]
+            dn = math.sqrt(sum(x * x for x in d)) or 1.0
+            new_vecs.append([x / dn * norm for x in d])
+        c = _offset_col(base, "vec_id", i * KEY_STRIDE)
+        c = c.set_column(
+            c.schema.get_field_index("embedding"),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.array(new_vecs, pa.list_(pa.float32())),
+        )
+        copies.append(c)
+    return pa.concat_tables(copies)
 
 
 def build_scaled(src_dir: str, dst_dir: str, k: int) -> dict[str, int]:
@@ -71,7 +197,13 @@ def build_scaled(src_dir: str, dst_dir: str, k: int) -> dict[str, int]:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(dst_dir, f"{t}.parquet")
         table = pq.ParquetFile(src).read()
-        if t in FACTS and k > 1:
+        if FULL and k > 1 and t == "events":
+            table = _scale_events(table, k)
+        elif FULL and k > 1 and t == "documents":
+            table = _scale_documents(table, k)
+        elif FULL and k > 1 and t == "embeddings":
+            table = _scale_embeddings(table, k)
+        elif t in FACTS and k > 1:
             key = FACTS[t]
             copies = []
             for i in range(k):
@@ -179,11 +311,35 @@ def main() -> None:
             "action": "fulleval", "reps": REPS, "stat": "median",
             "cpus": int(cpus), "row_group_size": ROW_GROUP_SIZE,
             "base_sf_dir": sf_dir, "fact_key_stride": KEY_STRIDE,
+            "full_headline_set": FULL, "n_queries": len(QUERIES),
             "load_avg": round(os.getloadavg()[0], 2),
         },
         "points": points,
     }
-    out = os.path.join(REPO_ROOT, "scripts", "bench_scalefloor_r9.json")
+    if len(points) >= 2:
+        # per-query verdict between the first and last scale point:
+        # 'falls' = the Spark/DuckDB ratio shrank with scale (stage-floor
+        # class, amortizes horizontally); 'flat_or_rises' queries are the
+        # ones worth a plan audit.
+        first, last = points[0]["ratio"], points[-1]["ratio"]
+        result["verdict"] = {
+            n: {
+                "ratio_first": first[n],
+                "ratio_last": last[n],
+                "class": (
+                    "falls" if last[n] < first[n] * 0.85 else "flat_or_rises"
+                ),
+            }
+            for n in QUERIES
+        }
+    out = os.environ.get(
+        "SPARK_GRAFT_SCALEFLOOR_OUT",
+        os.path.join(
+            REPO_ROOT, "scripts",
+            "bench_scalefloor_full_r10.json" if FULL
+            else "bench_scalefloor_r9.json",
+        ),
+    )
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps({"wrote": out}))
