@@ -979,11 +979,12 @@ def resize_png_nearest(data: bytes | None, max_side: int) -> bytes | None:
 def resize_jpeg_nearest(
     data: bytes | None, max_side: int, quality: int = 90
 ) -> bytes | None:
-    """REAL baseline-JPEG thumbnail: full entropy + IDCT decode
-    (functions/jpeg_codec.py), nearest-neighbor downscale, re-encode
-    4:4:4 at ``quality``. Returns input unchanged when it already fits,
-    None outside the baseline envelope (progressive, arithmetic, CMYK —
-    those keep the honest passthrough path)."""
+    """REAL JPEG thumbnail: full entropy + IDCT decode for baseline,
+    DC-scan-grade decode for progressive SOF2 (functions/jpeg_codec.py),
+    nearest-neighbor downscale, re-encode 4:4:4 at ``quality``. Returns
+    input unchanged when it already fits, None outside the codec
+    envelope (arithmetic, CMYK — those keep the honest passthrough
+    path)."""
     from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
         decode_jpeg_rgb24,
         encode_jpeg_baseline,
@@ -1043,9 +1044,10 @@ def dhash64_py(data: bytes | None) -> int | None:
     (gray[x] > gray[x+1]) — 64 bits total. Robust to re-encoding, scaling
     and small edits; Hamming distance between hashes approximates visual
     difference. Decodes 24bpp BMP (random-access sampling), stdlib PNG
-    (type 2/6), and baseline sequential JPEG (functions/jpeg_codec.py —
-    round 9; progressive stays gated); returns None for payloads outside
-    the codec envelope (the honest-gate policy of parse_image_dimensions).
+    (type 2/6), and JPEG (functions/jpeg_codec.py — baseline fully,
+    progressive SOF2 at DC-scan grade, round 10); returns None for
+    payloads outside the codec envelope (the honest-gate policy of
+    parse_image_dimensions).
 
     Luminance is integer ITU-R 601 (299r + 587g + 114b) — no floats, so
     the hash is bit-stable across platforms.
