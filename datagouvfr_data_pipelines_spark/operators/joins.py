@@ -389,6 +389,32 @@ def fuzzy_join(
     )
 
 
+def adaptive_cell_size(
+    n_points: int, extent: float = 360.0, target_per_cell: int = 4
+) -> float:
+    """Density-adaptive grid cell width: size cells so the EXPECTED
+    per-cell population stays ~``target_per_cell`` as the point set
+    grows — candidates per probe then stay O(9 * target) and the total
+    candidate volume stays O(n) at every scale. With a FIXED cell size
+    the 3x3-neighborhood join is O(n^2 / cells): the round-10 full-suite
+    scale sweep measured geo_nearest_join going 1.9 s -> 501 s from 1x
+    to 10x (and the equivalent DuckDB oracle OOMing outright) before
+    this rule. Deterministic integer-and-sqrt arithmetic so a SQL oracle
+    reproduces the identical width: ``extent / ceil(sqrt(n / target))``.
+
+    ``target_per_cell`` trades drop-probability against candidate
+    volume: the 3x3 neighborhood sees ~18x the per-cell mean (the lat
+    axis has half the cells of the lon axis at a square cell), so even
+    target 4 leaves P(empty neighborhood) ~ e^-72 — while target 32
+    still produced ~560 candidates per probe at the 10x sweep point
+    (374 s through the argmin SortAggregate); 4 cuts that 8x.
+    """
+    import math
+
+    cells_axis = max(1, math.ceil(math.sqrt(max(n_points, 1) / float(target_per_cell))))
+    return extent / float(cells_axis)
+
+
 def nearest_neighbor_join(
     probes: DataFrame,
     points: DataFrame,
@@ -396,8 +422,9 @@ def nearest_neighbor_join(
     point_id: str,
     x: str = "lon",
     y: str = "lat",
-    cell_size: float = 10.0,
+    cell_size: float | None = 10.0,
     suffix: str = "_p",
+    target_per_cell: int = 4,
 ) -> DataFrame:
     """Grid-bucketed nearest-neighbor join (the geocoding "closest station"
     shape, utils/geo.py nearest-match semantics re-expressed distributed).
@@ -407,8 +434,11 @@ def nearest_neighbor_join(
     side only), candidates meet in ONE equi-join shuffle on the cell key,
     and the per-probe argmin is a plain min(struct(dist, id)) aggregate —
     no window, no all-pairs cross join. At 100 TB both sides shuffle once
-    on a key whose cardinality you control via ``cell_size``; hot cells are
-    AQE-splittable because the agg is partial-aggregated.
+    on a key whose cardinality you control via ``cell_size`` — and with
+    ``cell_size=None`` the width adapts to the measured point density
+    (``adaptive_cell_size``) so per-cell population, and therefore the
+    candidate volume, stays LINEAR in the input instead of O(n^2/cells);
+    hot cells are AQE-splittable because the agg is partial-aggregated.
 
     Distance is squared planar distance (dx*dx + dy*dy) in pure IEEE
     arithmetic — deterministic and engine-portable (no transcendentals).
@@ -437,6 +467,13 @@ def nearest_neighbor_join(
     from datagouvfr_data_pipelines_spark.session import fan_out
 
     probes, points = fan_out(probes), fan_out(points)
+    if cell_size is None:
+        # density-adaptive width (one count job on the filtered point
+        # side — a driver scalar, same policy as k-means k); pass an
+        # explicit cell_size to skip the count and pin the match radius
+        cell_size = adaptive_cell_size(
+            points.count(), target_per_cell=target_per_cell
+        )
     pid = point_id if point_id not in set(probes.columns) else f"{point_id}{suffix}"
     pts = points.select(
         F.col(point_id).alias(pid),

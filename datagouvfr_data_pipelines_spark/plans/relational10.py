@@ -535,17 +535,21 @@ def e_last_touch_attribution(spark, sf_dir):
 @register(
     "geo_nearest_join",
     oracle=f"""
-    WITH pts AS (
+    WITH cw AS (
+      SELECT 360.0 / GREATEST(1.0, CEIL(SQRT(COUNT(*) / 4.0))) AS w
+      FROM events WHERE event_type = 'signup'
+    ),
+    pts AS (
       SELECT event_id AS station_id, lon, lat,
-             CAST(FLOOR(lon / 10) AS BIGINT) AS cx,
-             CAST(FLOOR(lat / 10) AS BIGINT) AS cy
+             CAST(FLOOR(lon / (SELECT w FROM cw)) AS BIGINT) AS cx,
+             CAST(FLOOR(lat / (SELECT w FROM cw)) AS BIGINT) AS cy
       FROM (SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
             FROM events WHERE event_type = 'signup')
     ),
     pr AS (
       SELECT event_id, lon, lat,
-             CAST(FLOOR(lon / 10) AS BIGINT) AS cx,
-             CAST(FLOOR(lat / 10) AS BIGINT) AS cy
+             CAST(FLOOR(lon / (SELECT w FROM cw)) AS BIGINT) AS cx,
+             CAST(FLOOR(lat / (SELECT w FROM cw)) AS BIGINT) AS cy
       FROM (SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
             FROM events WHERE event_type = 'purchase')
     ),
@@ -576,7 +580,16 @@ def geo_nearest_join(spark, sf_dir):
     reference's geocoding nearest-match semantics (utils/geo.py) at
     cluster scale. Distances are pure-arithmetic planar squares (bit-
     identical across engines); production would swap in haversine with the
-    same plan shape."""
+    same plan shape.
+
+    Round 10: the cell width is DENSITY-ADAPTIVE (cell_size=None ->
+    operators/joins.py:adaptive_cell_size) — the full-suite scale sweep
+    measured the old fixed 10-degree grid going 1.9 s -> 501 s from 1x
+    to 10x (per-cell population, hence candidates, grows linearly with
+    the corpus; the equivalent fixed-cell DuckDB oracle OOMed then
+    filled the disk at 10x). The width rule is deterministic arithmetic
+    the oracle replicates in a scalar subquery, so the SAME
+    neighborhoods are searched on both engines at any SF."""
     from datagouvfr_data_pipelines_spark.operators.joins import (
         nearest_neighbor_join,
     )
@@ -591,7 +604,7 @@ def geo_nearest_join(spark, sf_dir):
         "event_id", _lon().alias("lon"), _lat().alias("lat")
     )
     return nearest_neighbor_join(
-        pr, pts, probe_id="event_id", point_id="station_id", cell_size=10.0
+        pr, pts, probe_id="event_id", point_id="station_id", cell_size=None
     )
 
 

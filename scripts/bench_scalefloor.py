@@ -84,6 +84,24 @@ SCALES = [
 ROW_GROUP_SIZE = 65_536
 KEY_STRIDE = 1 << 32
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+# Per-query rep cap: when a single rep exceeds this, record that one
+# sample instead of the median of REPS (and list the query under
+# protocol.capped). Exists for the ORACLE side of scaled points — e.g.
+# geo_nearest_join's DuckDB oracle is the naive all-pairs argmin join
+# (the whole point of the Spark grid-bucketed plan), which goes
+# superlinear with scale; 5 reps of a ~10-minute oracle would dominate
+# the sweep without changing the verdict.
+CAP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_CAP_SEC", "90"))
+CAPPED: list[str] = []
+# Oracles that cannot run at scaled points on this box at all: the
+# geo_nearest_join oracle's within-cell candidate expansion + window
+# materialization OOMed DuckDB's 80%-RAM limit at 10x, then filled the
+# disk with ~80 GB of spill before dying — while the Spark grid plan
+# finished the same point in seconds. Skipped-and-recorded rather than
+# crashed: the asymmetry IS the scale evidence.
+DUCKDB_SKIP = set(
+    q for q in os.environ.get("SPARK_GRAFT_DUCKDB_SKIP", "").split(",") if q
+)
 
 
 def _offset_col(table, col: str, off: int):
@@ -240,6 +258,9 @@ def time_spark(spark, qs, name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
         _run(df, "fulleval")
         samples.append(time.perf_counter() - t0)
+        if samples[-1] > CAP_SEC:
+            CAPPED.append(f"spark:{name}")
+            break
     return round(statistics.median(samples), 3)
 
 
@@ -252,12 +273,26 @@ def time_duckdb(sf_dir: str, oracles) -> dict[str, float]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     out = {}
     for name in QUERIES:
+        if name in DUCKDB_SKIP:
+            CAPPED.append(f"duckdb-skipped:{name}")
+            out[name] = None
+            continue
         samples = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                samples.append(time.perf_counter() - t0)
+                if samples[-1] > CAP_SEC:
+                    CAPPED.append(f"duckdb:{name}")
+                    break
+        except Exception as exc:  # OOM / spill-disk-full: record, go on
+            CAPPED.append(f"duckdb-failed:{name}:{type(exc).__name__}")
+            out[name] = None
+            continue
         out[name] = round(statistics.median(samples), 3)
+        print(json.dumps({"duckdb_done": name, "sec": out[name]}),
+              flush=True)
     con.close()
     return out
 
@@ -291,6 +326,11 @@ def main() -> None:
         try:
             rows = build_scaled(sf_dir, scaled, k)
             spark_t = {n: time_spark(spark, qs, n, scaled) for n in QUERIES}
+            # flush Spark timings immediately: the oracle phase can die
+            # (the 10x geo oracle OOMed DuckDB then filled the disk) and
+            # 40 minutes of Spark measurements must survive that
+            print(json.dumps({"spark_phase_done": k, "spark_sec": spark_t}),
+                  flush=True)
             duck_t = time_duckdb(scaled, oracles)
             points.append({
                 "scale_x": k,
@@ -298,7 +338,9 @@ def main() -> None:
                 "spark_sec": spark_t,
                 "duckdb_sec": duck_t,
                 "ratio": {
-                    n: round(spark_t[n] / duck_t[n], 2) for n in QUERIES
+                    n: (round(spark_t[n] / duck_t[n], 2)
+                        if duck_t[n] else None)
+                    for n in QUERIES
                 },
             })
             print(json.dumps(points[-1]))
@@ -312,6 +354,7 @@ def main() -> None:
             "cpus": int(cpus), "row_group_size": ROW_GROUP_SIZE,
             "base_sf_dir": sf_dir, "fact_key_stride": KEY_STRIDE,
             "full_headline_set": FULL, "n_queries": len(QUERIES),
+            "rep_cap_sec": CAP_SEC, "capped": CAPPED,
             "load_avg": round(os.getloadavg()[0], 2),
         },
         "points": points,
@@ -327,7 +370,10 @@ def main() -> None:
                 "ratio_first": first[n],
                 "ratio_last": last[n],
                 "class": (
-                    "falls" if last[n] < first[n] * 0.85 else "flat_or_rises"
+                    "oracle_infeasible_at_scale"
+                    if last[n] is None or first[n] is None
+                    else "falls" if last[n] < first[n] * 0.85
+                    else "flat_or_rises"
                 ),
             }
             for n in QUERIES
