@@ -875,9 +875,10 @@ def encode_jpeg_progressive(
     """Encode RGB rows as a PROGRESSIVE (SOF2) JFIF at 4:4:4 — the
     test-side twin for the decoder's DC-grade progressive path, shaped
     like the libjpeg default scan script: scan 1 = interleaved DC of all
-    components with successive approximation (Ah=0, Al=``dc_al``),
-    scan 2 = DC refinement (Ah=``dc_al``, Al=0 — one raw bit per block,
-    which the DC-grade decoder must SKIP), scans 3-5 = per-component
+    components with successive approximation (Ah=0, Al=``dc_al``), then
+    ``dc_al`` DC refinement scans — T.81 G.1.2.1 refines exactly ONE bit
+    per scan, so each carries Ah=Al+1 and one raw bit per block, highest
+    bit first (the DC-grade decoder must SKIP these) — then per-component
     spectral-selection AC scans (Ss=1, Se=63) with real coefficients
     under T.81 G.1.2.2 EOBRUN coding. A full progressive decoder would
     reconstruct the image exactly as ``encode_jpeg_baseline`` quality
@@ -956,15 +957,19 @@ def encode_jpeg_progressive(
     bw.flush()
     dc_first = bytes(bw.out)
 
-    # scan 2: DC refinement — the dc_al low bits, raw, MSB first
-    dc_refine = b""
-    if dc_al:
+    # DC refinement scans: T.81 G.1.2.1 successive approximation refines
+    # exactly ONE bit per scan (Ah = Al + 1), so dc_al low bits take
+    # dc_al separate scans, highest bit first. A single all-bits scan
+    # would be non-conforming for dc_al > 1 and misparse in third-party
+    # decoders (round-11 advice fix).
+    dc_refines = []  # (ah, al, entropy) — ah = al + 1
+    for al in range(dc_al - 1, -1, -1):
         bw = _BitWriter()
         for blk in range(bx_n * by_n):
             for ci in range(3):
-                bw.write(zz_all[ci][blk][0] & ((1 << dc_al) - 1), dc_al)
+                bw.write((zz_all[ci][blk][0] >> al) & 1, 1)
         bw.flush()
-        dc_refine = bytes(bw.out)
+        dc_refines.append((al + 1, al, bytes(bw.out)))
 
     # scans 3-5: per-component AC first scans with EOBRUN coding
     def ac_scan(ci):
@@ -1043,8 +1048,8 @@ def encode_jpeg_progressive(
         out += entropy
 
     sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, dc_al, dc_first)
-    if dc_al:
-        sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, dc_al, 0, dc_refine)
+    for ah, al, entropy in dc_refines:
+        sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, ah, al, entropy)
     sos([(1, 0x00)], 1, 63, 0, 0, ac_scan(0))
     sos([(2, 0x01)], 1, 63, 0, 0, ac_scan(1))
     sos([(3, 0x01)], 1, 63, 0, 0, ac_scan(2))

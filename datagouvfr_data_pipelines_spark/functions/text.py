@@ -220,6 +220,22 @@ def fingerprint_sha(col: Column | str) -> Column:
     return F.sha2(c, 256)
 
 
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content hash as a non-negative int64: first 60 bits of md5.
+
+    The JVM-codegen replacement for ``fingerprint_rolling`` on LONG text:
+    the per-character interpreted ``aggregate`` fold is O(len) but
+    allocation-heavy (measured 6x slower than md5 on the 10x document
+    sweep), while md5 runs inside whole-stage codegen at memory bandwidth.
+    Oracle-reproducible in DuckDB as
+    ``CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT)`` — both engines
+    hash the UTF-8 bytes and emit lowercase hex, and 15 hex digits
+    (60 bits) always fit int64. NULL in -> NULL out on both sides.
+    Use ``fingerprint_rolling`` only where the rolling-polynomial algebra
+    itself is the point (shingle composition, d_fingerprints parity)."""
+    return F.conv(F.substring(F.md5(_col(col)), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint_rolling(col: Column | str) -> Column:
     """Polynomial rolling hash over codepoints, mod 2^31-1.
 
@@ -489,6 +505,10 @@ def boilerplate_removal(
     and the same groupBy(doc) reassembly as ``line_dedup``. Returns
     (id, text_clean, n_lines, n_kept); a fully-boilerplate page comes
     back with ``text_clean = ''`` for the caller's drop ledger.
+
+    ``sep`` is a Java REGEX (it feeds ``F.split``, same contract as
+    ``line_dedup``): a literal separator like ``.`` or ``|`` must be
+    escaped (``\\.``, ``\\|``) or it splits on every character.
     """
     lines = df.select(
         F.col(id_col),

@@ -520,11 +520,17 @@ def parse_avi_mjpeg(data: bytes | None):
             or data[8:12] != b"AVI "):
         return None
     mspf_us = None
-    is_mjpg = False
-    frames: list[tuple[int, int]] = []  # (offset, size) into data
+    # AVI stream index = strh order within hdrl (AVI 1.0 spec); the movi
+    # chunk ids carry that index as two ASCII digits ('00dc', '01db'...).
+    # Keying frames on the MJPG stream's OWN index keeps a multi-stream
+    # file (MJPG video + a second video/audio stream) from interleaving
+    # the other stream's frames into the timeline (round-11 advice fix).
+    n_streams = 0
+    mjpg_stream = None
+    frames: list[tuple[int, int, int]] = []  # (stream_id, offset, size)
 
     def walk(start: int, end: int) -> None:
-        nonlocal mspf_us, is_mjpg
+        nonlocal mspf_us, n_streams, mjpg_stream
         i = start
         while i + 8 <= end:
             cid = data[i : i + 4]
@@ -538,20 +544,28 @@ def parse_avi_mjpeg(data: bytes | None):
                     "<I", data[body_start : body_start + 4]
                 )[0]
             elif cid == b"strh" and size >= 8:
-                if (data[body_start : body_start + 4] == b"vids"
+                if (mjpg_stream is None
+                        and data[body_start : body_start + 4] == b"vids"
                         and data[body_start + 4 : body_start + 8].upper()
                         == b"MJPG"):
-                    is_mjpg = True
+                    mjpg_stream = n_streams
+                n_streams += 1
             elif (len(cid) == 4 and cid[2:4] in (b"dc", b"db")
+                  and cid[0:2].isdigit()
                   and data[body_start : body_start + 2] == b"\xff\xd8"):
-                frames.append((body_start, body_end - body_start))
+                frames.append(
+                    (int(cid[0:2]), body_start, body_end - body_start)
+                )
             i = body_start + size + (size & 1)
 
     try:
         walk(12, len(data))
     except (IndexError, _struct.error):
         return None
-    if not is_mjpg or not mspf_us or not frames:
+    if mjpg_stream is None or not mspf_us:
+        return None
+    frames = [(off, size) for sid, off, size in frames if sid == mjpg_stream]
+    if not frames:
         return None
     mspf_ms = mspf_us / 1000.0
     dur_ms = int(round(len(frames) * mspf_ms))

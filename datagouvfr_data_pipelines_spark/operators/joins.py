@@ -437,7 +437,12 @@ def nearest_neighbor_join(
     on a key whose cardinality you control via ``cell_size`` — and with
     ``cell_size=None`` the width adapts to the measured point density
     (``adaptive_cell_size``) so per-cell population, and therefore the
-    candidate volume, stays LINEAR in the input instead of O(n^2/cells);
+    candidate volume, stays LINEAR in the input instead of O(n^2/cells).
+    NOTE: adaptive sizing ties the effective match radius (the 3x3
+    neighborhood = 1 cell width) to point density — it SHRINKS as the
+    point set grows, so whether a probe matches, and which neighbor it
+    gets, can change between scales. Callers needing a fixed radius must
+    pass an explicit ``cell_size``;
     hot cells are AQE-splittable because the agg is partial-aggregated.
 
     Distance is squared planar distance (dx*dx + dy*dy) in pure IEEE

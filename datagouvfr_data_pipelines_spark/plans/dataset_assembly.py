@@ -9,13 +9,9 @@ from __future__ import annotations
 from datagouvfr_data_pipelines_spark.plans.catalog import register, table
 from datagouvfr_data_pipelines_spark.plans.text_pipeline import _TOKENS_SQL
 
-_ROLLING_SQL = """
-    list_reduce(
-      list_prepend(CAST(0 AS BIGINT),
-        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-      (acc, x) -> (acc * 131 + x) % 2147483647
-    )
-""".strip()
+# DuckDB twin of functions/text.py:fingerprint_md5 — first 60 bits of md5
+# as int64; `||` (not concat) so NULL text stays NULL on both engines.
+_MD5_SQL = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
 
 _CHUNK, _OVERLAP = 32, 8
 _STEP = _CHUNK - _OVERLAP
@@ -54,7 +50,7 @@ def asm_chunked_docs(spark, sf_dir):
     "asm_hash_split",
     oracle=f"""
     WITH b AS (
-      SELECT doc_id, {_ROLLING_SQL} % 100 AS bucket FROM documents
+      SELECT doc_id, {_MD5_SQL} % 100 AS bucket FROM documents
     )
     SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
            CASE WHEN bucket < 90 THEN 'train'
@@ -80,7 +76,7 @@ def asm_hash_split(spark, sf_dir):
       SELECT doc_id, lang, source,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY {_ROLLING_SQL} ASC, doc_id ASC
+               ORDER BY {_MD5_SQL} ASC, doc_id ASC
              ) AS rn
       FROM documents
     )
@@ -210,7 +206,7 @@ _DOMAIN_BUDGET = 1500
     WITH t AS (
       SELECT doc_id, source,
              CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
-             {_ROLLING_SQL} AS prio
+             {_MD5_SQL} AS prio
       FROM documents WHERE length(trim(text)) > 0
     ),
     o AS (
@@ -234,7 +230,7 @@ def asm_budget_select(spark, sf_dir):
     import pyspark.sql.functions as F
 
     from datagouvfr_data_pipelines_spark.functions.text import (
-        fingerprint_rolling,
+        fingerprint_md5,
         token_count_ws,
     )
     from datagouvfr_data_pipelines_spark.operators.assembly import budget_select
@@ -246,7 +242,7 @@ def asm_budget_select(spark, sf_dir):
             "doc_id",
             "source",
             token_count_ws("text").alias("n_tokens"),
-            fingerprint_rolling("text").alias("__prio"),
+            fingerprint_md5("text").alias("__prio"),
         )
     )
     return budget_select(

@@ -187,11 +187,27 @@ def j18_brand_affinity(spark, sf_dir):
     + code pairs 4% faster (not worth the driver-side code map); per-order
     brand BITMASK via bit_or + per-distinct-mask pair expansion 5.8 s
     (the mask space barely collapses at ~4 lines/order over 25 brands, so
-    the 300-candidate filter dominates). Keeping the measured best."""
+    the 300-candidate filter dominates). Keeping the measured best.
+
+    Round-11 scale fix: ``fan_out`` on the orderkey at the SCAN, before
+    the broadcast enrich. On a narrow input (few row groups / low
+    shuffle-partition sessions) the map-side partial collect_set builds a
+    hash map over ~every distinct orderkey per task — at 10x that map
+    outgrew cache and the whole basket+pair stage ran at the session's
+    8-way floor. Hash-repartitioning the compact (orderkey, partkey)
+    stream to cluster parallelism fires on the scan frame (exact width;
+    fan_out can't see through a join), the broadcast join preserves the
+    streamed side's partitioning, so the exchange doubles as the groupBy
+    shuffle (the partial agg's 1.5M-key map is never built) and the pair
+    explode runs at full width: 3.22 s -> 2.45 s at 10x (median of 4,
+    clearCache + fresh-plan protocol). No-op at real scale where the scan
+    is already wide — partial aggregation is preserved there."""
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     brands = (
-        l.select("l_orderkey", "l_partkey")
+        fan_out(l.select("l_orderkey", "l_partkey"), "l_orderkey")
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))

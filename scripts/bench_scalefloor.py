@@ -248,6 +248,20 @@ def build_scaled(src_dir: str, dst_dir: str, k: int) -> dict[str, int]:
     return rows
 
 
+def ratio_for(spark_sec: float, duck_sec: float | None) -> float | None:
+    """Spark/DuckDB ratio; None ONLY for a skipped/failed oracle (None).
+
+    A 0.0 DuckDB median is a measured sub-millisecond value, not a skip —
+    conflating it with None (the old truthiness check) misclassified the
+    query as 'oracle_infeasible_at_scale'. It maps to +inf: JSON-encodes
+    as Infinity and compares correctly in the falls/flat verdict."""
+    if duck_sec is None:
+        return None
+    if duck_sec == 0.0:
+        return float("inf")
+    return round(spark_sec / duck_sec, 2)
+
+
 def time_spark(spark, qs, name: str, sf_dir: str) -> float:
     from bench import _run
 
@@ -338,9 +352,7 @@ def main() -> None:
                 "spark_sec": spark_t,
                 "duckdb_sec": duck_t,
                 "ratio": {
-                    n: (round(spark_t[n] / duck_t[n], 2)
-                        if duck_t[n] else None)
-                    for n in QUERIES
+                    n: ratio_for(spark_t[n], duck_t[n]) for n in QUERIES
                 },
             })
             print(json.dumps(points[-1]))

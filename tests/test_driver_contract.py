@@ -48,3 +48,27 @@ def test_tables_read_ntz_free_on_plain_session(plain_spark, sf_dir):
         df = table(plain_spark, sf_dir, name)
         ntz = [f for f, t in df.dtypes if t == "timestamp_ntz"]
         assert ntz == [], (name, ntz)
+
+
+def test_catalog_md_is_current():
+    """The committed CATALOG.md must track the live registry — both the
+    self-correcting header count and one table row per query. Fails on a
+    stale file; fix with `python scripts/gen_catalog_md.py`."""
+    import re
+    from pathlib import Path
+
+    from datagouvfr_data_pipelines_spark import plans
+
+    n_live = len(plans.queries())
+    text = Path(__file__).resolve().parent.parent.joinpath("CATALOG.md").read_text()
+    header = re.search(r"^(\d+) queries", text, re.M)
+    assert header is not None, "CATALOG.md header missing query count"
+    assert int(header.group(1)) == n_live, (
+        f"CATALOG.md header says {header.group(1)} queries, registry has "
+        f"{n_live} — regenerate with scripts/gen_catalog_md.py"
+    )
+    n_rows = len(re.findall(r"^\| `", text, re.M))
+    assert n_rows == n_live, (
+        f"CATALOG.md has {n_rows} table rows, registry has {n_live} — "
+        "regenerate with scripts/gen_catalog_md.py"
+    )

@@ -471,6 +471,52 @@ def test_jpeg_progressive_dc_roundtrip():
     assert late is not None and late[2] == dec[2]
 
 
+def test_jpeg_progressive_dc_refinement_scans_conform():
+    """T.81 G.1.2.1: successive-approximation refinement scans refine
+    exactly ONE bit each (Ah = Al + 1). For dc_al=3 the encoder must
+    emit three separate DC refinement scans (Ah/Al = 3/2, 2/1, 1/0),
+    highest bit first — a single all-bits scan is non-conforming and
+    misparses in third-party decoders. The DC-grade decoder still
+    decodes scan 1 and skips every refinement."""
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        decode_jpeg_rgb24, encode_jpeg_progressive,
+    )
+
+    w, h = 24, 16
+    rows = [
+        [((x * 11) % 256, (y * 17) % 256, (x + y) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    data = encode_jpeg_progressive(w, h, rows, quality=85, dc_al=3)
+
+    # walk SOS headers, collect (Ss, Se, Ah, Al) per scan
+    scans = []
+    i = 2
+    while i < len(data) - 1:
+        if data[i] != 0xFF or data[i + 1] in (0x00, 0xD8, 0xD9):
+            i += 1
+            continue
+        marker = data[i + 1]
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        if marker == 0xDA:
+            ns = data[i + 4]
+            b = data[i + 4 + 2 * ns + 3]
+            scans.append(
+                (data[i + 4 + 2 * ns + 1], data[i + 4 + 2 * ns + 2],
+                 b >> 4, b & 0x0F)
+            )
+        i += 2 + seg_len
+
+    dc_scans = [s for s in scans if s[0] == 0 and s[1] == 0]
+    first = [s for s in dc_scans if s[2] == 0]
+    refines = [s for s in dc_scans if s[2] != 0]
+    assert first == [(0, 0, 0, 3)]
+    assert refines == [(0, 0, 3, 2), (0, 0, 2, 1), (0, 0, 1, 0)]
+
+    dec = decode_jpeg_rgb24(data)
+    assert dec is not None and (dec[0], dec[1]) == (w, h)
+
+
 def test_jpeg_progressive_real_world_fixture():
     """Independent validation: progressive JPEGs shipped in this
     container (nodejs docs — libjpeg-style per-component DC scan
