@@ -650,18 +650,23 @@ def resize_images(
     df: DataFrame, id_col: str, content_col: str, max_side: int
 ) -> DataFrame:
     """Thumbnail pass over a multimodal binary column via Arrow-batched
-    ``mapInPandas``: 24-bit BMPs, 8-bit truecolor PNGs, and baseline
-    sequential JPEGs get a REAL nearest-neighbor downscale
+    ``mapInPandas``: 24-bit BMPs, 8-bit truecolor PNGs, baseline
+    sequential JPEGs, and GIFs get a REAL nearest-neighbor downscale
     (``resize_bmp_nearest`` / ``resize_png_nearest`` /
-    ``resize_jpeg_nearest`` — PNG is a full stdlib inflate + un-filter
-    decode, JPEG a full Huffman + IDCT decode for baseline and a
-    DC-scan-grade decode for progressive SOF2, functions/jpeg_codec.py);
-    codecs still needing external libs (GIF's LZW, arithmetic-coded
-    JPEG — PIL/ffmpeg not in this container) pass through unchanged with
-    an honest 'passthrough:<fmt>' status and their REAL header dimensions.
-    Schema and batch shape are identical in every path, so swapping in a
-    full codec never touches the Spark plan. Shuffle-free: one narrow map
-    over whatever partitioning the caller arranged."""
+    ``resize_jpeg_nearest`` / ``resize_gif_nearest`` — PNG is a full
+    stdlib inflate + un-filter decode, JPEG a full Huffman + IDCT decode
+    for baseline and a DC-scan-grade decode for progressive SOF2
+    (functions/jpeg_codec.py), GIF a full LZW decode + palette re-encode
+    (functions/gif_codec.py, round 11)); codecs still needing external
+    libs (arithmetic-coded JPEG — PIL/ffmpeg not in this container) pass
+    through unchanged with an honest 'passthrough:<fmt>' status and their
+    REAL header dimensions. Schema and batch shape are identical in every
+    path, so swapping in a full codec never touches the Spark plan.
+    Shuffle-free: one narrow map over whatever partitioning the caller
+    arranged."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        resize_gif_nearest,
+    )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -672,6 +677,7 @@ def resize_images(
                     ("bmp", resize_bmp_nearest),
                     ("png", resize_png_nearest),
                     ("jpeg", resize_jpeg_nearest),
+                    ("gif", resize_gif_nearest),
                 ):
                     resized = resize(blob_b, max_side)
                     if resized is not None:
@@ -1058,9 +1064,10 @@ def dhash64_py(data: bytes | None) -> int | None:
     (gray[x] > gray[x+1]) — 64 bits total. Robust to re-encoding, scaling
     and small edits; Hamming distance between hashes approximates visual
     difference. Decodes 24bpp BMP (random-access sampling), stdlib PNG
-    (type 2/6), and JPEG (functions/jpeg_codec.py — baseline fully,
-    progressive SOF2 at DC-scan grade, round 10); returns None for
-    payloads outside the codec envelope (the honest-gate policy of
+    (type 2/6), JPEG (functions/jpeg_codec.py — baseline fully,
+    progressive SOF2 at DC-scan grade, round 10), and GIF (full LZW
+    first-frame decode, functions/gif_codec.py, round 11); returns None
+    for payloads outside the codec envelope (the honest-gate policy of
     parse_image_dimensions).
 
     Luminance is integer ITU-R 601 (299r + 587g + 114b) — no floats, so
@@ -1077,6 +1084,12 @@ def dhash64_py(data: bytes | None) -> int | None:
             )
 
             decoded = decode_jpeg_rgb24(data)
+        if decoded is None:
+            from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+                decode_gif_rgb24,
+            )
+
+            decoded = decode_gif_rgb24(data)
         if decoded is None:
             return None
         w, h, rows = decoded

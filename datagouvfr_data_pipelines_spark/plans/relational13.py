@@ -1027,6 +1027,81 @@ def mm_image_neardups_progressive(spark, sf_dir):
 
 
 @register(
+    "mm_image_neardups_gif",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1 AS id_b
+    FROM documents
+    WHERE doc_id < 100 AND doc_id % 2 = 0
+    ORDER BY id_a
+    """,
+    tags=["multimodal", "dedup-image", "dhash", "gif"],
+)
+def mm_image_neardups_gif(spark, sf_dir):
+    """Image near-dup with GIF in the hash space: even ids are GIF files
+    (full LZW decode, functions/gif_codec.py — round 11 closes the last
+    common web image format), their odd twins baseline JPEGs of the
+    perturbed image. GIF is lossless over the banded codeword fixture's
+    palette, so the GIF dhash equals the raw-raster hash exactly and the
+    cross-codec distance to the JPEG twin stays within the <= 2-bit
+    JPEG-quantization jitter; the banded-Hamming search at max_hamming=6
+    must recover EXACTLY the ground-truth twin pairs. Same one-shuffle
+    scale shape as the other dhash queries."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        encode_gif_rgb24,
+    )
+    from datagouvfr_data_pipelines_spark.functions.jpeg_codec import (
+        encode_jpeg_baseline,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        image_dhash,
+        make_banded_test_rows,
+    )
+    from datagouvfr_data_pipelines_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("img", BinaryType())]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, imgs = [], []
+            for did in pdf["doc_id"]:
+                rows = make_banded_test_rows(
+                    int(did) // 2, perturb=bool(did % 2)
+                )
+                ids.append(int(did))
+                imgs.append(
+                    encode_jpeg_baseline(72, 64, rows, quality=95)
+                    if did % 2
+                    else encode_gif_rgb24(72, 64, rows)
+                )
+            yield pd.DataFrame({"doc_id": ids, "img": imgs})
+
+    imgs = docs.mapInPandas(synth, schema=schema)
+    fp = image_dhash(imgs, "doc_id", "img").where(F.col("dhash").isNotNull())
+    return (
+        banded_hamming_pairs(fp, "media_id", "dhash", max_hamming=6)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+@register(
     "mm_video_frames",
     oracle="""
     WITH d AS (

@@ -149,3 +149,162 @@ def test_scalefloor_ratio_distinguishes_zero_from_none():
     assert m.ratio_for(1.0, 0.0) == float("inf")
     assert m.ratio_for(1.0, None) is None
     assert m.ratio_for(1.0, 0.5) == 2.0
+
+
+# ---------------------------------------------------------------- GIF codec
+
+
+def test_gif_lzw_spec_vector():
+    """Hand-computed LZW stream (2x2 indices [0,1,1,0], min code size 2,
+    code width bump 3->4 exactly when the decoder table hits 8 entries):
+    pins both the bit order and the 'late' width-change rule against an
+    independently derived byte sequence, not a round-trip."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        gif_lzw_decode, gif_lzw_encode,
+    )
+
+    assert gif_lzw_decode(2, bytes([0x44, 0x02, 0x05]), 4) == bytes([0, 1, 1, 0])
+    assert gif_lzw_encode(2, bytes([0, 1, 1, 0])) == bytes([0x44, 0x02, 0x05])
+
+
+def test_gif_roundtrip_and_table_growth():
+    """Encode/decode round-trip is pixel-exact, including a 200x200
+    2-color noise raster that grows the LZW table through every code
+    width and past the 4096-entry clear."""
+    import random
+
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        decode_gif_rgb24, encode_gif_rgb24,
+    )
+
+    w, h = 64, 48
+    rows = [
+        [((x // 8 * 32) % 256, (y // 6 * 32) % 256, ((x // 8 + y // 6) * 16) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    enc = encode_gif_rgb24(w, h, rows)
+    assert enc is not None and enc[:6] == b"GIF89a"
+    assert decode_gif_rgb24(enc)[2] == rows
+
+    rng = random.Random(7)
+    noise = [
+        [(0, 0, 0) if rng.random() < 0.5 else (255, 255, 255)
+         for _ in range(200)]
+        for _ in range(200)
+    ]
+    enc2 = encode_gif_rgb24(200, 200, noise)
+    assert decode_gif_rgb24(enc2)[2] == noise
+
+    # >256 distinct colors is out of the palette format, honestly refused
+    truecolor = [[(x, y, (x + y) % 256) for x in range(64)] for y in range(64)]
+    assert encode_gif_rgb24(64, 64, truecolor) is None
+
+
+def test_gif_real_world_fixtures_decode():
+    """Independent validation against files written by real encoders:
+    every GIF shipped in this container (libxslt docs — GIF87a and
+    GIF89a, with and without transparency) must decode to exact header
+    dimensions with in-palette pixels."""
+    import glob
+    import struct as _struct
+
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        decode_gif_rgb24,
+    )
+
+    paths = sorted(glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif"))
+    if not paths:
+        pytest.skip("no GIF fixtures in this container")
+    for p in paths:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        w, h = _struct.unpack("<HH", data[6:10])
+        dec = decode_gif_rgb24(data)
+        assert dec is not None, p
+        assert (dec[0], dec[1]) == (w, h), p
+        assert len(dec[2]) == h and len(dec[2][0]) == w, p
+
+
+def test_gif_interlaced_and_transparent_decode():
+    """Interlaced frames deinterlace through the 4-pass row order, and
+    GCE-transparent pixels composite onto the background color."""
+    import struct as _struct
+
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        _interlace_rows, decode_gif_rgb24, gif_lzw_encode,
+    )
+
+    w, h = 8, 10
+    # palette: 0=red (background), 1=green, 2=blue (transparent)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])
+    rows_idx = [[1 if (x + y) % 3 else 2 for x in range(w)] for y in range(h)]
+    order = _interlace_rows(h)
+    assert sorted(order) == list(range(h)) and order[:3] == [0, 8, 4]
+    stream = bytes(
+        px for y in order for px in rows_idx[y]
+    )
+    lzw = gif_lzw_encode(2, stream)
+    gif = bytearray()
+    gif += b"GIF89a" + _struct.pack("<HH", w, h)
+    gif += bytes([0x81, 0, 0]) + pal          # GCT of 4, bg index 0
+    gif += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 2, 0])  # GCE: transparent=2
+    gif += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h)
+    gif += bytes([0x40])                       # interlaced, no LCT
+    gif += bytes([2])                          # min code size
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+
+    dec = decode_gif_rgb24(bytes(gif))
+    assert dec is not None and (dec[0], dec[1]) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            want = (0, 255, 0) if (x + y) % 3 else (255, 0, 0)  # transp->bg
+            assert dec[2][y][x] == want, (x, y)
+
+
+def test_gif_corrupt_and_truncated_return_none():
+    """Malformed untrusted bytes must return None, never raise — an
+    exception in the Arrow worker kills the task, not one image."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        decode_gif_rgb24, encode_gif_rgb24,
+    )
+
+    good = encode_gif_rgb24(16, 16, [[(0, 0, 0)] * 16] * 16)
+    assert decode_gif_rgb24(None) is None
+    assert decode_gif_rgb24(b"") is None
+    assert decode_gif_rgb24(b"GIF89a") is None
+    assert decode_gif_rgb24(good[:20]) is None
+    assert decode_gif_rgb24(good[:len(good) // 2]) is None
+    corrupted = bytearray(good)
+    corrupted[-10] ^= 0xFF
+    decode_gif_rgb24(bytes(corrupted))  # any result, just no raise
+    # absurd claimed dimensions must not allocate
+    huge = bytearray(good)
+    huge[6:10] = (65535).to_bytes(2, "little") * 2
+    assert decode_gif_rgb24(bytes(huge)) is None
+
+
+def test_gif_dhash_and_resize_integration():
+    """dhash64_py hashes GIF payloads into the same hash space as the
+    raw raster (lossless decode -> identical dhash), and resize_images
+    takes the real-resize branch with format preserved."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        decode_gif_rgb24, encode_gif_rgb24, resize_gif_nearest,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        dhash64_py, make_banded_test_rows, make_bmp,
+    )
+
+    rows = make_banded_test_rows(3)
+    gif = encode_gif_rgb24(72, 64, rows)
+    bmp = make_bmp(72, 64, rows)
+    assert dhash64_py(gif) == dhash64_py(bmp)
+
+    small = resize_gif_nearest(gif, 24)
+    assert small is not None and small[:6] == b"GIF89a"
+    dw, dh, _ = decode_gif_rgb24(small)
+    assert max(dw, dh) == 24
+    assert resize_gif_nearest(gif, 100) == gif  # already fits: unchanged
