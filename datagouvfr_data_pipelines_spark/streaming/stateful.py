@@ -228,7 +228,17 @@ def running_totals_stream(
     """Continuous per-key (count, sum) over a stream with columns
     (key string, value double) via transformWithStateInPandas — emits an
     updated snapshot row per key per micro-batch. The Update output mode
-    pairs with an upsert sink (ST3)."""
+    pairs with an upsert sink (ST3).
+
+    Runtime requirements: ``google.protobuf`` (the real package, or the
+    vendored fallback via ``vendor.ensure_protobuf()`` activated before
+    the session starts) for the worker-side state protocol, and the
+    RocksDB state store —
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+    — because transformWithState keeps multiple column families, which
+    the default HDFS-backed store does not support (rocksdbjni ships in
+    pyspark's jars; this is also the store you want at 100 TB state)."""
     return values.groupBy("key").transformWithStateInPandas(
         make_running_totals_processor(ttl_ms),
         outputStructType=RUNNING_TOTALS_OUTPUT,

@@ -61,7 +61,16 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 FULL = os.environ.get("SPARK_GRAFT_SCALEFLOOR_FULL") == "1"
-if FULL:
+# Round-11 extension: SPARK_GRAFT_SCALEFLOOR_QUERIES="q1,...,qn" sweeps an
+# arbitrary headline subset (e.g. the flat-ratio tail at a deeper scale
+# point) with the SAME realistic per-table scaling as full mode.
+QUERY_OVERRIDE = [
+    q for q in os.environ.get("SPARK_GRAFT_SCALEFLOOR_QUERIES", "").split(",")
+    if q
+]
+if QUERY_OVERRIDE:
+    QUERIES = QUERY_OVERRIDE
+elif FULL:
     from bench import HEADLINE as QUERIES
 else:
     QUERIES = [
@@ -71,6 +80,9 @@ else:
         "a36_corr_matrix",
         "j18_brand_affinity",
     ]
+# realistic per-table scaling for every fact-like table (not just the two
+# relational facts) applies in full mode and for explicit query subsets
+SCALE_ALL_TABLES = FULL or bool(QUERY_OVERRIDE)
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -215,11 +227,11 @@ def build_scaled(src_dir: str, dst_dir: str, k: int) -> dict[str, int]:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(dst_dir, f"{t}.parquet")
         table = pq.ParquetFile(src).read()
-        if FULL and k > 1 and t == "events":
+        if SCALE_ALL_TABLES and k > 1 and t == "events":
             table = _scale_events(table, k)
-        elif FULL and k > 1 and t == "documents":
+        elif SCALE_ALL_TABLES and k > 1 and t == "documents":
             table = _scale_documents(table, k)
-        elif FULL and k > 1 and t == "embeddings":
+        elif SCALE_ALL_TABLES and k > 1 and t == "embeddings":
             table = _scale_embeddings(table, k)
         elif t in FACTS and k > 1:
             key = FACTS[t]

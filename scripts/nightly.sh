@@ -10,7 +10,8 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 echo "=== nightly: pytest (Hypothesis explore profile) ==="
-SPARK_GRAFT_HYPOTHESIS_EXPLORE=1 SPARK_GRAFT_REQUIRE_JDBC=1 python -m pytest tests/ -q
+SPARK_GRAFT_HYPOTHESIS_EXPLORE=1 SPARK_GRAFT_REQUIRE_JDBC=1 \
+  SPARK_GRAFT_REQUIRE_STATEFUL=1 python -m pytest tests/ -q
 pytest_rc=$?
 
 echo "=== nightly: fulleval bench ==="

@@ -308,3 +308,98 @@ def test_gif_dhash_and_resize_integration():
     dw, dh, _ = decode_gif_rgb24(small)
     assert max(dw, dh) == 24
     assert resize_gif_nearest(gif, 100) == gif  # already fits: unchanged
+
+
+# ---------------------------------------------------- miniproto runtime
+
+
+def _miniproto():
+    from datagouvfr_data_pipelines_spark.vendor import ensure_protobuf
+
+    mode = ensure_protobuf()
+    try:
+        # the vendored runtime is identified by its wire module — the
+        # ensure_protobuf return value alone can't distinguish "real"
+        # from "mini activated earlier in this process"
+        from google.protobuf import wire  # type: ignore[attr-defined]
+    except ImportError:
+        pytest.skip(
+            "real protobuf installed — the vendored runtime is dormant "
+            "(these tests pin the fallback only)"
+        )
+    return mode, wire
+
+
+def test_miniproto_varint_and_zigzag():
+    """Wire primitives against spec-known encodings: varint 300 is
+    0xAC 0x02 (protobuf.dev's worked example); negative int64 is 10
+    bytes of two's complement; zigzag maps -1 -> 1, 1 -> 2."""
+    _, w = _miniproto()
+
+    out = bytearray()
+    w.encode_varint(out, 300)
+    assert bytes(out) == b"\xac\x02"
+    assert w.decode_varint(b"\xac\x02", 0) == (300, 2)
+
+    out = bytearray()
+    w.encode_varint(out, -2)
+    assert len(out) == 10
+    v, _ = w.decode_varint(bytes(out), 0)
+    assert w._to_signed64(v) == -2
+
+    assert w._zigzag_encode(-1) == 1
+    assert w._zigzag_encode(1) == 2
+    assert w._zigzag_decode(w._zigzag_encode(-123456789)) == -123456789
+
+
+def test_miniproto_loads_pyspark_gencode_and_roundtrips():
+    """The vendored runtime must load pyspark's REAL generated
+    StateMessage_pb2 (descriptor-pool + builder path) and round-trip the
+    exact message shapes the stateful clients construct. The end-to-end
+    JVM oracle is test_streaming.py::test_transform_with_state_running_
+    totals; this pins the Python-side reflection layer in isolation."""
+    mode, _ = _miniproto()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    req = sm.StateRequest(
+        version=2,
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        ),
+    )
+    data = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(data)
+    assert back.version == 2
+    assert back.statefulProcessorCall.setHandleState.state == sm.INITIALIZED
+
+    # repeated bytes + bool (the list-get response shape)
+    resp = sm.StateResponseWithListGet(
+        statusCode=0, value=[b"a", b"bc", b""], requireNextFetch=True
+    )
+    back2 = sm.StateResponseWithListGet()
+    back2.ParseFromString(resp.SerializeToString())
+    assert list(back2.value) == [b"a", b"bc", b""]
+    assert back2.requireNextFetch is True
+    # unset fields read as typed defaults
+    assert back2.errorMessage == ""
+    fresh = sm.StateResponse()
+    assert fresh.statusCode == 0 and fresh.value == b""
+
+
+def test_miniproto_unknown_fields_and_strings():
+    """Forward compatibility: unknown field numbers are skipped, UTF-8
+    strings round-trip, and parsing is re-entrant (ParseFromString
+    resets prior state)."""
+    mode, w = _miniproto()
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    msg = sm.ParseStringSchema(schema="key string, café double")
+    data = msg.SerializeToString()
+    # splice an unknown field 15 (varint 7) in front
+    spliced = bytes([15 << 3 | 0, 7]) + data
+    back = sm.ParseStringSchema()
+    back.ParseFromString(spliced)
+    assert back.schema == "key string, café double"
+    back.ParseFromString(data)
+    assert back.schema == "key string, café double"

@@ -679,11 +679,12 @@ def test_enrich_stream_with_refreshing_versioned_dim(spark, tmp_path):
 def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark 4 transformWithState: per-key typed value state survives
     micro-batches; each batch emits the updated snapshot. The state
-    protocol needs google.protobuf (not bundled with pyspark) — skip
-    where absent, matching the operator's documented gate, but fail
-    loudly under SPARK_GRAFT_REQUIRE_STATEFUL=1 so CI with protobuf
-    installed can't silently lose ST-stateful coverage (same pattern
-    as the Derby JDBC gate in test_connectors.py)."""
+    protocol needs google.protobuf; conftest activates the vendored
+    pure-Python fallback (vendor/miniproto — round-11) when the real
+    package is absent, so this runs everywhere and doubles as the wire
+    oracle for that runtime: the JVM state server parses every request
+    it emits and vice versa. The gate below only trips if BOTH runtimes
+    are unavailable; SPARK_GRAFT_REQUIRE_STATEFUL=1 makes that loud."""
     import glob as globmod
     import os
     import shutil
@@ -694,9 +695,10 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         import google.protobuf  # noqa: F401
     except ImportError:
         msg = (
-            "google.protobuf is not installed — Spark's "
-            "transformWithState Python protocol needs it. "
-            "`pip install protobuf` to restore ST-stateful coverage."
+            "google.protobuf is unavailable and the vendored fallback "
+            "(datagouvfr_data_pipelines_spark.vendor.ensure_protobuf) "
+            "did not activate — Spark's transformWithState protocol "
+            "needs one of them."
         )
         if os.environ.get("SPARK_GRAFT_REQUIRE_STATEFUL") == "1":
             pytest.fail(msg)
@@ -704,6 +706,16 @@ def test_transform_with_state_running_totals(spark, tmp_path):
 
     from datagouvfr_data_pipelines_spark.streaming.stateful import (
         running_totals_stream,
+    )
+
+    # transformWithState keeps multiple column families -> RocksDB store
+    # (per-query conf, captured at query start; restored after the test)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
 
     src = tmp_path / "twsrc"
@@ -755,6 +767,10 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     q2.awaitTermination(120)
     snap2 = {r["key"]: (r["n_events"], r["total"]) for r in results}
     assert snap2["a"] == (3, 7.0)
+    if old_provider is None:
+        spark.conf.unset(provider_key)
+    else:
+        spark.conf.set(provider_key, old_provider)
 
 
 def test_out_of_band_merge_preserves_replay_watermark(spark, tmp_path):
