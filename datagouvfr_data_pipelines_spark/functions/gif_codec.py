@@ -250,6 +250,130 @@ def decode_gif_rgb24(
     return None
 
 
+def decode_gif_frames(
+    data: bytes | None, max_frames: int = 1000
+) -> tuple[int, int, list[tuple[int, int, list]]] | None:
+    """FULL animation decode: every frame composited at logical-screen
+    size, honoring per-frame GCE delays and disposal methods 0/1 (leave
+    in place) and 2 (restore background). Returns
+    (width, height, [(ts_ms, duration_ms, rgb_rows), ...]) or None.
+
+    Disposal 3 (restore previous) is honestly gated (None — it needs a
+    frame-history stack and is vanishingly rare in web GIFs). A 0 or 1
+    centisecond delay renders as 100 ms, the documented convention every
+    browser applies. ``max_frames`` bounds memory against adversarial
+    frame counts; a single-frame still is a 1-element animation."""
+    if (not data or len(data) < 13
+            or data[:6] not in (b"GIF87a", b"GIF89a")):
+        return None
+    try:
+        w, h = struct.unpack("<HH", data[6:10])
+        if not w or not h or w * h > MAX_GIF_PIXELS:
+            return None
+        packed, bg_index = data[10], data[11]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = data[i : i + 3 * n]
+            if len(gct) < 3 * n:
+                return None
+            i += 3 * n
+        bg = (255, 255, 255)
+        if gct is not None and bg_index < len(gct) // 3:
+            bg = (gct[3 * bg_index], gct[3 * bg_index + 1],
+                  gct[3 * bg_index + 2])
+        canvas = [[bg] * w for _ in range(h)]
+        frames: list[tuple[int, int, list]] = []
+        ts = 0
+        transparent: int | None = None
+        delay_cs = 0
+        disposal = 0
+        while i < len(data) and len(frames) < max_frames:
+            b0 = data[i]
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:
+                if i + 2 > len(data):
+                    return None
+                label = data[i + 1]
+                i += 2
+                if label == 0xF9 and i < len(data) and data[i] >= 4:
+                    flags = data[i + 1]
+                    disposal = (flags >> 2) & 0x07
+                    delay_cs = struct.unpack(
+                        "<H", data[i + 2 : i + 4]
+                    )[0]
+                    transparent = data[i + 4] if flags & 1 else None
+                while i < len(data) and data[i] != 0:
+                    i += data[i] + 1
+                i += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            if disposal == 3:
+                return None  # restore-previous: out of envelope
+            left, top, fw, fh = struct.unpack("<HHHH", data[i + 1 : i + 9])
+            fpacked = data[i + 9]
+            i += 10
+            pal = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                pal = data[i : i + 3 * n]
+                if len(pal) < 3 * n:
+                    return None
+                i += 3 * n
+            if pal is None or not fw or not fh or fw * fh > MAX_GIF_PIXELS:
+                return None
+            mcs = data[i]
+            i += 1
+            blocks = bytearray()
+            while i < len(data) and data[i] != 0:
+                sz = data[i]
+                blocks += data[i + 1 : i + 1 + sz]
+                i += sz + 1
+            i += 1
+            idx = gif_lzw_decode(mcs, bytes(blocks), fw * fh)
+            if idx is None or len(idx) < fw * fh:
+                return None if not frames else _finish(w, h, frames)
+            n_colors = len(pal) // 3
+            row_order = (
+                _interlace_rows(fh) if fpacked & 0x40 else range(fh)
+            )
+            for k, fy in enumerate(row_order):
+                y = top + fy
+                if y >= h:
+                    continue
+                base = k * fw
+                row = canvas[y]
+                for fx in range(fw):
+                    x = left + fx
+                    if x >= w:
+                        break
+                    ci = idx[base + fx]
+                    if ci == transparent or ci >= n_colors:
+                        continue
+                    row[x] = (pal[3 * ci], pal[3 * ci + 1], pal[3 * ci + 2])
+            dur_ms = (delay_cs if delay_cs >= 2 else 10) * 10
+            frames.append((ts, dur_ms, [list(r) for r in canvas]))
+            ts += dur_ms
+            if disposal == 2:  # restore frame rect to background
+                for y in range(top, min(top + fh, h)):
+                    row = canvas[y]
+                    for x in range(left, min(left + fw, w)):
+                        row[x] = bg
+            transparent = None
+            delay_cs = 0
+            disposal = 0
+        return _finish(w, h, frames) if frames else None
+    except (IndexError, struct.error):
+        return None
+
+
+def _finish(w, h, frames):
+    return (w, h, frames)
+
+
 def encode_gif_rgb24(
     width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]
 ) -> bytes | None:
@@ -291,6 +415,55 @@ def encode_gif_rgb24(
         chunk = lzw[off : off + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[tuple[list[list[tuple[int, int, int]]], int]],
+) -> bytes | None:
+    """Serialize (rgb_rows, delay_cs) frames as an animated GIF89a —
+    each frame full-size with its own LOCAL palette and a GCE carrying
+    its delay (disposal 0). The fixture writer that makes the animation
+    decode path testable with zero external dependencies. Returns None
+    if any frame exceeds 256 distinct colors."""
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x00, 0, 0])  # no global color table
+    # Netscape 2.0 looping extension, as real encoders emit
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for rgb_rows, delay_cs in frames:
+        palette: dict[tuple[int, int, int], int] = {}
+        for row in rgb_rows:
+            for px in row:
+                if px not in palette:
+                    if len(palette) == 256:
+                        return None
+                    palette[px] = len(palette)
+        bits = max(1, (max(len(palette), 2) - 1).bit_length())
+        size = 1 << bits
+        pal = bytearray()
+        for px in palette:
+            pal += bytes(px)
+        pal += b"\x00" * (3 * size - len(pal))
+        mcs = max(2, bits)
+        out += bytes([0x21, 0xF9, 4, 0x00]) + struct.pack(
+            "<H", delay_cs
+        ) + bytes([0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x80 | (bits - 1)])  # local color table flag+size
+        out += pal
+        out += bytes([mcs])
+        lzw = gif_lzw_encode(
+            mcs, bytes(palette[px] for row in rgb_rows for px in row)
+        )
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 

@@ -578,6 +578,80 @@ def parse_avi_mjpeg(data: bytes | None):
     return dur_ms, frame_at, "decoded:mjpeg-avi"
 
 
+def parse_mp4_metadata(data: bytes | None):
+    """REAL ISO-BMFF (MP4/MOV) container walk — no codec decode: pulls
+    duration from ``moov/mvhd`` (timescale-normalized), the first video
+    track's pixel dimensions from ``trak/tkhd``, and its codec fourcc
+    from ``stbl/stsd``. Returns ``(duration_ms, width, height, codec)``
+    or None for non-BMFF bytes. The honest middle ground between
+    'fake-decoded' and a full decoder: a crawl pipeline can partition,
+    filter and budget MP4s by their true duration/dims/codec while the
+    frame decode stays behind the injectable-ffmpeg gate."""
+    import struct as _struct
+
+    if not data or len(data) < 16:
+        return None
+    # first box must be well-formed and a known BMFF signature
+    first_size = _struct.unpack(">I", data[0:4])[0]
+    if data[4:8] not in (b"ftyp", b"moov", b"styp") or first_size < 8:
+        return None
+
+    dur_ms = None
+    width = height = None
+    codec = None
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal dur_ms, width, height, codec
+        i = start
+        while i + 8 <= end and depth < 12:
+            size = _struct.unpack(">I", data[i : i + 4])[0]
+            btype = data[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = _struct.unpack(">Q", data[i + 8 : i + 16])[0]
+                body = i + 16
+            if size < 8 or i + size > end:
+                return
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, i + size, depth + 1)
+            elif btype == b"mvhd" and dur_ms is None:
+                ver = data[body]
+                if ver == 1:
+                    scale, dur = _struct.unpack(
+                        ">IQ", data[body + 20 : body + 32]
+                    )
+                else:
+                    scale, dur = _struct.unpack(
+                        ">II", data[body + 12 : body + 20]
+                    )
+                if scale:
+                    dur_ms = int(dur * 1000 // scale)
+            elif btype == b"tkhd" and width is None:
+                # fixed-point 16.16 width/height are the LAST 8 bytes
+                wfx, hfx = _struct.unpack(
+                    ">II", data[i + size - 8 : i + size]
+                )
+                if wfx and hfx:
+                    width, height = wfx >> 16, hfx >> 16
+            elif btype == b"stsd" and codec is None:
+                # full box header (4) + entry_count (4) + first sample
+                # entry: size (4) + format fourcc (4)
+                fmt = data[body + 12 : body + 16]
+                if len(fmt) == 4 and fmt.isalnum():
+                    codec = fmt.decode("ascii")
+            i += size
+
+    try:
+        walk(0, len(data), 0)
+    except (IndexError, _struct.error):
+        return None
+    if dur_ms is None:
+        return None
+    return dur_ms, width, height, codec
+
+
 def make_bmp(width: int, height: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
     """Serialize a 24-bit uncompressed bottom-up BMP (BITMAPINFOHEADER),
     pure Python — the zero-dependency raster format the real-codec paths
@@ -735,19 +809,25 @@ def sample_frames(
     Round 10: MJPEG-in-AVI payloads take a REAL decode path by default —
     ``parse_avi_mjpeg`` walks the RIFF structure and ``frame_at`` emits
     each sampled frame's raw JPEG bytes (decodable downstream by the
-    in-tree jpeg codec); everything else falls back to the deterministic
-    stand-in as before.
+    in-tree jpeg codec). Round 11 adds two more real paths: animated
+    GIFs (full LZW + composition decode, ``gif_codec.decode_gif_frames``;
+    sampled frames re-emitted as PNG) and MP4/MOV containers
+    (``parse_mp4_metadata`` — REAL duration drives the sampling grid and
+    the codec fourcc lands in the status as
+    'container:mp4-<codec>' while the frame pixels stay the
+    deterministic stand-in, since the codec decode itself still needs
+    ffmpeg). Everything else falls back to the stand-in as before.
     """
     import hashlib
+
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        decode_gif_frames,
+    )
 
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
 
-    def default_decoder(blob: bytes):
-        real = parse_avi_mjpeg(blob)
-        if real is not None:
-            return real
-        dur = len(blob) % 60_000
+    def fake_frame_at(blob: bytes):
         sha = hashlib.sha256(blob).digest()
 
         def frame_at(ts: int) -> bytes:
@@ -755,7 +835,35 @@ def sample_frames(
             d = tuple(sha[(ts // max(every_ms, 1) + k + 3) % 32] for k in range(3))
             return make_bmp(2, 2, [[c, d], [d, c]])
 
-        return dur, frame_at, "fake-decoded"
+        return frame_at
+
+    def default_decoder(blob: bytes):
+        real = parse_avi_mjpeg(blob)
+        if real is not None:
+            return real
+        gif = decode_gif_frames(blob)
+        if gif is not None:
+            gw, gh, frames = gif
+            dur = frames[-1][0] + frames[-1][1]
+
+            def gif_frame_at(ts: int) -> bytes:
+                rows = frames[-1][2]
+                for fts, fdur, frows in frames:
+                    if fts <= ts < fts + fdur:
+                        rows = frows
+                        break
+                return encode_png_rgb24(gw, gh, rows)
+
+            return dur, gif_frame_at, "decoded:gif-anim"
+        mp4 = parse_mp4_metadata(blob)
+        if mp4 is not None:
+            dur_ms, _w, _h, codec = mp4
+            return (
+                dur_ms,
+                fake_frame_at(blob),
+                f"container:mp4-{codec or 'unknown'}",
+            )
+        return len(blob) % 60_000, fake_frame_at(blob), "fake-decoded"
 
     dec = decoder or default_decoder
 
@@ -785,11 +893,13 @@ def extract_media_metadata(
     metadata via Arrow-batched ``mapInPandas``.
 
     Image payloads get REAL dimensions (``parse_image_dimensions``:
-    PNG/JPEG/GIF/BMP headers) and WAV audio gets REAL sample-rate/channels/
-    duration (``parse_wav_metadata``: RIFF chunk walk) — pure Python byte
-    parsing, no PIL/ffmpeg. For payloads the header sniffing cannot
-    identify (compressed audio/video decode needs ffmpeg, not in this
-    container), ``fake_decode`` selects between deterministic
+    PNG/JPEG/GIF/BMP headers), WAV audio gets REAL sample-rate/channels/
+    duration (``parse_wav_metadata``: RIFF chunk walk), and MP4/MOV
+    containers get REAL duration/dims/codec (``parse_mp4_metadata``:
+    ISO-BMFF box walk, round 11) — pure Python byte parsing, no
+    PIL/ffmpeg. For payloads the header sniffing cannot identify
+    (compressed audio / non-container video decode needs ffmpeg, not in
+    this container), ``fake_decode`` selects between deterministic
     byte-length-derived stand-in values ('fake-decoded') and honest nulls
     ('unsupported'). The schema, Arrow batch shape and partitioning are
     identical in every path — a real deployment swaps in the full codec
@@ -806,6 +916,11 @@ def extract_media_metadata(
                 sha = hashlib.sha256(blob_b).hexdigest()
                 parsed = parse_image_dimensions(blob_b)
                 wav = parse_wav_metadata(blob_b) if parsed is None else None
+                mp4 = (
+                    parse_mp4_metadata(blob_b)
+                    if parsed is None and wav is None
+                    else None
+                )
                 if parsed is not None:
                     fmt, w, h = parsed
                     rows.append(
@@ -817,6 +932,12 @@ def extract_media_metadata(
                     rows.append(
                         (mid, media_type, n, sha, None, None, dur_ms, rate, ch,
                          "decoded:wav")
+                    )
+                elif mp4 is not None:
+                    dur_ms, w, h, codec = mp4
+                    rows.append(
+                        (mid, media_type, n, sha, w, h, dur_ms, None, None,
+                         f"container:mp4-{codec or 'unknown'}")
                     )
                 elif fake_decode:
                     rows.append(

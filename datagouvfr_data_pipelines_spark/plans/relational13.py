@@ -1634,3 +1634,104 @@ def sk_kmv_portable_overlap(spark, sf_dir):
             "n_inter_exact",
         )
     )
+
+
+@register(
+    "mm_gif_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id AS media_id,
+           CAST(ts / 500 AS INTEGER) AS frame_idx,
+           CAST(ts AS BIGINT) AS ts_ms,
+           'png' AS frame_format,
+           40 AS frame_w, 32 AS frame_h,
+           'decoded:gif-anim' AS decode_status
+    FROM (SELECT doc_id,
+                 unnest(range(0, n_frames * 500, 500)) AS ts
+          FROM d)
+    ORDER BY media_id, frame_idx
+    """,
+    tags=["multimodal", "video", "gif", "animation", "fanout"],
+)
+def mm_gif_frames(spark, sf_dir):
+    """REAL animated-GIF frame sampling (round 11): each document gets a
+    synthesized multi-frame GIF89a (2-4 full-palette frames at 50 cs =
+    500 ms each, gif_codec.encode_gif_animation), and ``sample_frames``'
+    default decoder composites every frame for real
+    (gif_codec.decode_gif_frames: LZW + GCE delays + disposal) and
+    re-emits the sampled canvas as PNG. The oracle pins the fan-out
+    arithmetic (per-doc frame counts, timestamps, PNG dims, status);
+    composited-PIXEL exactness is pinned in tests/test_round11.py.
+    Scale shape: two narrow Arrow-batched maps, no shuffle — identical
+    to mm_video_frames."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        encode_gif_animation,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        parse_image_dimensions,
+        sample_frames,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("content", BinaryType())]
+    )
+    gw, gh = 40, 32
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                n = 2 + int(did) % 3
+                frames = []
+                for k in range(n):
+                    c = ((int(did) * 37 + k * 61) % 256,
+                         (int(did) * 17 + k * 29) % 256,
+                         (int(did) + k * 113) % 256)
+                    frames.append(([[c] * gw for _ in range(gh)], 50))
+                ids.append(int(did))
+                blobs.append(encode_gif_animation(gw, gh, frames))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(synth, schema=schema)
+    sampled = sample_frames(media, "doc_id", "content", every_ms=500)
+
+    dims_schema = (
+        "media_id long, frame_idx int, ts_ms long, frame_format string, "
+        "frame_w int, frame_h int, decode_status string"
+    )
+
+    def dims(batches):
+        for pdf in batches:
+            rows = []
+            for mid, idx, ts, fr, st in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["ts_ms"],
+                pdf["frame"], pdf["decode_status"],
+            ):
+                parsed = parse_image_dimensions(bytes(fr))
+                fmt, w, h = parsed if parsed else (None, None, None)
+                rows.append((mid, idx, ts, fmt, w, h, st))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "ts_ms", "frame_format",
+                "frame_w", "frame_h", "decode_status",
+            ])
+
+    return sampled.mapInPandas(dims, schema=dims_schema).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -403,3 +403,138 @@ def test_miniproto_unknown_fields_and_strings():
     assert back.schema == "key string, café double"
     back.ParseFromString(data)
     assert back.schema == "key string, café double"
+
+
+# --------------------------------------- animated GIF + MP4 container
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_test_mp4(duration_ms=2500, timescale=1000, w=320, h=240,
+                   codec=b"avc1") -> bytes:
+    mvhd = (bytes([0]) + b"\x00" * 3 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80)
+    tkhd = (bytes([0]) + b"\x00" * 3 + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16))
+    entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+    stsd = bytes([0]) + b"\x00" * 3 + struct.pack(">I", 1) + entry
+    stbl = _box(b"stsd", stsd)
+    minf = _box(b"stbl", stbl)
+    mdia = _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+def test_mp4_container_metadata_parse():
+    """parse_mp4_metadata walks ftyp/moov/mvhd/trak/tkhd/stsd and
+    reports real duration (timescale-normalized), track dims, and the
+    codec fourcc; garbage and truncation return None."""
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        parse_mp4_metadata,
+    )
+
+    mp4 = _make_test_mp4(duration_ms=2500, timescale=90_000, w=320, h=240)
+    assert parse_mp4_metadata(mp4) == (2500, 320, 240, "avc1")
+    # version-1 mvhd (64-bit duration) and a different codec
+    assert parse_mp4_metadata(
+        _make_test_mp4(duration_ms=1000, codec=b"hvc1")
+    ) == (1000, 320, 240, "hvc1")
+    assert parse_mp4_metadata(b"not a video") is None
+    assert parse_mp4_metadata(mp4[:30]) is None
+    assert parse_mp4_metadata(None) is None
+
+
+def test_gif_animation_decode_composition():
+    """decode_gif_frames honors per-frame delays (0/1 cs render as
+    100 ms), composites partial frames onto the running canvas, and
+    disposal 2 restores the frame rect to background."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        decode_gif_frames, encode_gif_animation,
+    )
+
+    w, h = 10, 8
+    red, green, blue = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    anim = encode_gif_animation(
+        w, h,
+        [([[red] * w for _ in range(h)], 50),
+         ([[green] * w for _ in range(h)], 30),
+         ([[blue] * w for _ in range(h)], 0)],
+    )
+    dw, dh, frames = decode_gif_frames(anim)
+    assert (dw, dh) == (w, h)
+    assert [(ts, dur) for ts, dur, _ in frames] == [
+        (0, 500), (500, 300), (800, 100)
+    ]
+    assert frames[1][2][0][0] == green
+
+    # hand-build: frame 2 is a 2x2 patch at (1,1) over frame 1 (keep),
+    # with disposal 2 on frame 2 so frame 3's canvas is restored
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        gif_lzw_encode,
+    )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # r g b bg->r
+    def img(left, top, fw, fh, idxs, disposal, delay_cs):
+        gce = bytes([0x21, 0xF9, 4, disposal << 2]) + struct.pack(
+            "<H", delay_cs) + bytes([0, 0])
+        desc = b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        lzw = gif_lzw_encode(2, bytes(idxs))
+        blocks = b"".join(
+            bytes([len(lzw[o:o+255])]) + lzw[o:o+255]
+            for o in range(0, len(lzw), 255))
+        return gce + desc + bytes([2]) + blocks + b"\x00"
+
+    gif = (b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x81, 0, 0]) + pal
+           + img(0, 0, 4, 4, [0] * 16, 0, 10)          # full red
+           + img(1, 1, 2, 2, [1] * 4, 2, 10)           # green patch, disp 2
+           + img(0, 0, 1, 1, [2], 0, 10)               # blue pixel
+           + b"\x3b")
+    _, _, fr = decode_gif_frames(gif)
+    assert len(fr) == 3
+    assert fr[1][2][1][1] == (0, 255, 0)      # patch composited over red
+    assert fr[1][2][0][0] == (255, 0, 0)      # outside patch unchanged
+    assert fr[2][2][1][1] == (255, 0, 0)      # disposal 2 restored to bg
+    assert fr[2][2][0][0] == (0, 0, 255)      # frame 3's own pixel
+
+
+def test_sample_frames_gif_and_mp4_paths(spark):
+    """sample_frames: animated GIFs sample REAL composited frames (PNG
+    re-encode, decodable downstream), MP4 payloads get a REAL duration
+    grid with the codec in the status, and unknown bytes keep the
+    stand-in."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        encode_gif_animation,
+    )
+    from datagouvfr_data_pipelines_spark.functions.udfs import (
+        decode_png_rgb24, sample_frames,
+    )
+
+    w, h = 8, 6
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    anim = encode_gif_animation(
+        w, h, [([[c] * w for _ in range(h)], 50) for c in colors]
+    )  # 3 frames x 500 ms = 1500 ms
+    mp4 = _make_test_mp4(duration_ms=1200)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(mp4)), (3, bytearray(b"???"))],
+        "media_id long, content binary",
+    )
+    out = sample_frames(df, "media_id", "content", every_ms=500).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    gif_rows = sorted(by_id[1], key=lambda r: r["ts_ms"])
+    assert [r["ts_ms"] for r in gif_rows] == [0, 500, 1000]
+    assert gif_rows[0]["decode_status"] == "decoded:gif-anim"
+    for r, want in zip(gif_rows, colors):
+        dec = decode_png_rgb24(bytes(r["frame"]))
+        assert dec is not None and dec[2][0][0] == want
+    mp4_rows = by_id[2]
+    assert {r["decode_status"] for r in mp4_rows} == {"container:mp4-avc1"}
+    assert [r["ts_ms"] for r in sorted(mp4_rows, key=lambda x: x["ts_ms"])] \
+        == [0, 500, 1000]
+    assert by_id[3][0]["decode_status"] == "fake-decoded"
