@@ -552,6 +552,8 @@ def semantic_dedup(
     threshold: float = 0.5,
     max_cell_size: int = 10_000,
     n_slices: int | None = None,
+    base: "DataFrame | None" = None,
+    persist_base: bool = False,
 ):
     """SemDeDup semantic deduplication (Abbas et al. 2023, public method):
     assign every vector to its nearest k-means centroid, and inside each
@@ -578,8 +580,30 @@ def semantic_dedup(
     centroid cosines are computed per VECTOR before the self-join (the
     emb_neardup_pairs lesson: higher-order folds are interpreted, so
     per-pair norm folds dominate the naive form).
+
+    The ``base`` projection feeds FOUR plan branches (pair sides a and b,
+    the cell-size cap, the final status join), and Catalyst performs no
+    cross-branch subtree sharing — unshared, the per-vector fold block
+    (k distance folds + norm + centroid cosine, all interpreted) executes
+    four times per action. ``persist_base=True`` computes it once (the
+    cached rows are the compact per-vector index, bounded like the
+    MinHash ``sh`` cache of dedup.near_duplicate_pairs; long-lived
+    sessions reclaim it via ``spark.catalog.clearCache()``), with the
+    input fanned on ``id_col`` first so the fold block is not serialized
+    behind a narrow scan. Callers that already hold the projection (the
+    incremental ingest tier persists its batch index) pass it via
+    ``base`` — it must carry the ``semantic_base`` schema and the SAME
+    centroids.
     """
-    base = semantic_base(df, id_col, vec_col, centroids)
+    if base is None:
+        if persist_base:
+            from datagouvfr_data_pipelines_spark.session import fan_out
+
+            base = semantic_base(
+                fan_out(df, id_col), id_col, vec_col, centroids
+            ).persist()
+        else:
+            base = semantic_base(df, id_col, vec_col, centroids)
     a = base.select(
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),

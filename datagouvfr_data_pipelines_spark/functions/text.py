@@ -349,7 +349,11 @@ def repetition_stats(df, id_col: str, text_col: str):
     """
     from datagouvfr_data_pipelines_spark.session import fan_out
 
-    toks = fan_out(df.select(id_col, text_col)).select(
+    # round 12: the fan hashes on the doc id — explode preserves the
+    # partitioning and HashPartitioning(id) satisfies both doc-keyed
+    # groupBys' clustered distributions, so the one explicit exchange
+    # replaces three (round-robin fan + two groupBy shuffles)
+    toks = fan_out(df.select(id_col, text_col), id_col).select(
         id_col, tokens(text_col).alias("__t")
     )
     is_big = F.col("g").contains(" ")
@@ -815,7 +819,8 @@ def _cross_doc_marked_positions(
     toks = fan_out(
         df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
             F.size("__t") >= n
-        )
+        ),
+        id_col,
     )
     grams = toks.select(
         F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
@@ -859,7 +864,8 @@ def _cross_doc_positions_with_canon(
     toks = fan_out(
         df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
             F.size("__t") >= n
-        )
+        ),
+        id_col,
     )
     grams = toks.select(
         F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
@@ -1011,6 +1017,11 @@ def charlm_nll_scores(df, id_col: str, text_col: str):
     """
     from datagouvfr_data_pipelines_spark.session import fan_out
 
+    # NOTE (round 12, measured): do NOT key this fan on the doc id. The
+    # (doc, bigram) exchange it would eliminate is the plan's shared
+    # materialization point — global/prefix/V tables and the final doc
+    # aggregate all hang off it via exchange reuse, so removing it makes
+    # each branch re-run the bigram explode (1.02 s -> 1.23 s at sf0.1).
     bg = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(char_bigrams(text_col)).alias("bg")
     )

@@ -443,9 +443,13 @@ def dsir_importance_weights(
     from datagouvfr_data_pipelines_spark.session import fan_out
 
     # the per-token rolling-hash fold amplifies compute ~tokens-per-doc x;
-    # fan past a narrow (single-row-group) scan before it runs
+    # fan past a narrow (single-row-group) scan before it runs. The fan
+    # hashes on the doc id (round 12): explode preserves the partitioning
+    # and HashPartitioning(id) satisfies the (id, __tgt, bkt) groupBy's
+    # clustered distribution, so the fan exchange doubles as the groupBy
+    # shuffle (and skips the keyless round-robin's local sort)
     tk = fan_out(docs.select(F.col(id_col), is_target.alias("__tgt"),
-                             F.col(text_col))).select(
+                             F.col(text_col)), id_col).select(
         F.col(id_col),
         "__tgt",
         F.explode(tokens(text_col)).alias("tok"),

@@ -45,10 +45,20 @@ def _fanned_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     scan's row-group count — a single-file corpus sample runs the whole
     hash pipeline in one task (the nearest_neighbor_join lesson).
     session.fan_out is a no-op once the scan already fans wide, so this
-    is safe to keep in the 100 TB path."""
+    is safe to keep in the 100 TB path.
+
+    The fan hashes on ``id_col`` (round 12): the signature aggregates
+    downstream all group by the document id, so a hash exchange on the id
+    doubles as their groupBy shuffle — explode and per-shingle hashing
+    preserve the partitioning, EnsureRequirements sees the clustered
+    distribution already satisfied, and the separate signature exchange
+    (plus the local sort a keyless round-robin repartition pays,
+    SPARK-23207) disappears. Per-partition balance is bounded by document
+    size — one document never spans partitions, which is exactly the
+    granularity the group-by needs."""
     from datagouvfr_data_pipelines_spark.session import fan_out
 
-    return fan_out(df.select(id_col, text_col))
+    return fan_out(df.select(id_col, text_col), id_col)
 
 
 def content_hash(col: Column | str) -> Column:

@@ -48,9 +48,9 @@ from pyspark.sql import DataFrame
 from datagouvfr_data_pipelines_spark.functions.text import word_shingles
 from datagouvfr_data_pipelines_spark.operators.dedup import (
     MERSENNE31,
+    _fanned_text,
     _minhash_params,
     content_hash,
-    near_duplicate_pairs,
 )
 
 
@@ -237,17 +237,83 @@ def incremental_dedup(
     )
 
     # -- near tier within batch (exact text verify) -------------------------
-    near_batch = near_duplicate_pairs(
-        batch,
-        id_col,
-        text_col,
-        k=k,
-        bands=bands,
-        shingle_n=shingle_n,
-        threshold=threshold,
-        max_bucket_size=max_bucket_size,
-        portable=portable,
-    ).select(F.col("id_b").alias("doc")).distinct()
+    # Round 12: candidates come from the PERSISTED batch index instead of
+    # re-running the full minhash pipeline over the batch text
+    # (near_duplicate_pairs re-derived shingles, the K-permutation
+    # signature aggregate and the band keys — all already in ``bidx``, by
+    # the same hash family, so the band buckets are identical). Only the
+    # exact-Jaccard verifier still needs the hashed shingle SETS, which
+    # the compact index deliberately does not store: one fanned shingle
+    # projection over the batch text, persisted around its two join sides.
+    from pyspark import StorageLevel
+
+    ft = _fanned_text(batch, id_col, text_col)
+    if portable:
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            ROLLING_HASH_BASE,
+            ROLLING_HASH_MOD,
+        )
+
+        def _rolling(s):
+            codes = F.transform(
+                F.split(s, ""), lambda ch: F.ascii(ch).cast("long")
+            )
+            return F.aggregate(
+                codes,
+                F.lit(0).cast("long"),
+                lambda acc, x: F.pmod(
+                    acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)
+                ),
+            )
+
+        sh = ft.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(
+                F.transform(word_shingles(text_col, shingle_n), _rolling)
+            ).alias("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sh = ft.select(
+            F.col(id_col).alias("doc"),
+            F.transform(
+                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    nb_buckets = (
+        b_bands.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    nb_pairs = (
+        nb_buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    denom = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(denom == 0.0, F.lit(0.0)).otherwise(inter / denom)
+    near_batch = (
+        nb_pairs.join(
+            sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .where(jac >= threshold)
+        .select(F.col("id_b").alias("doc"))
+        .distinct()
+    )
 
     return _combine(
         batch, bidx, id_col, exact_corpus, exact_batch, near_corpus, near_batch

@@ -65,8 +65,15 @@ def build_semantic_index(
     One narrow projection (``semantic_base``) — cell assignment, norm and
     own-centroid cosine are computed once here and never re-derived, so a
     vector's index row is bit-stable for the lifetime of the index.
+
+    The input is fanned on ``id_col`` first (session.fan_out, a no-op on
+    already-wide inputs): the per-vector fold block otherwise runs at the
+    scan's row-group width — a single-file embedding sample computes every
+    distance fold in one task.
     """
-    base = semantic_base(df, id_col, vec_col, centroids)
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    base = semantic_base(fan_out(df, id_col), id_col, vec_col, centroids)
     return base.select(
         F.col(id_col).alias("doc"),
         "cell",
@@ -176,6 +183,9 @@ def incremental_semantic_dedup(
     )
 
     # -- batch tier ------------------------------------------------------
+    # reuse the (persisted) batch index as semantic_dedup's base so the
+    # per-vector fold block is not re-derived from raw vectors a second
+    # time — bidx and semantic_base carry the same values by construction
     near_batch = (
         semantic_dedup(
             batch,
@@ -185,18 +195,33 @@ def incremental_semantic_dedup(
             threshold=threshold,
             max_cell_size=max_cell_size,
             n_slices=n_slices,
+            base=bidx.select(
+                F.col("doc").alias(id_col),
+                F.col("vec").alias("__v"),
+                "cell",
+                F.col("nrm").alias("__n"),
+                "c_sim",
+            ),
         )
         .where(F.col("status") == "dropped")
         .select(F.col(id_col).alias("doc"))
     )
 
     # -- combine: near_corpus > near_batch -------------------------------
+    # one union + precedence groupBy (the _combine shape of
+    # incremental_dedup): the old anti-join form referenced near_corpus
+    # from TWO branches, and with no cross-branch subtree sharing the
+    # whole corpus-tier pair join executed twice per action
     nc = near_corpus.withColumn("reason", F.lit("near_corpus"))
-    nb = (
-        near_batch.join(near_corpus, "doc", "left_anti")
-        .withColumn("reason", F.lit("near_batch"))
+    nb = near_batch.withColumn("reason", F.lit("near_batch"))
+    pri = F.array_position(
+        F.array(F.lit("near_corpus"), F.lit("near_batch")), F.col("reason")
     )
-    ledger = nc.unionByName(nb)
+    ledger = (
+        nc.unionByName(nb)
+        .groupBy("doc")
+        .agg(F.min_by("reason", pri).alias("reason"))
+    )
     dropped = ledger.select(F.col("doc").alias("__dropped_id"))
     survivors = batch.join(
         dropped, F.col(id_col) == F.col("__dropped_id"), "left_anti"

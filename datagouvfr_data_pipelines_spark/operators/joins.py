@@ -471,7 +471,10 @@ def nearest_neighbor_join(
     """
     from datagouvfr_data_pipelines_spark.session import fan_out
 
-    probes, points = fan_out(probes), fan_out(points)
+    # hash the fans on the id columns (round 12): same width, but an
+    # explicit-key repartition skips the local sort every keyless
+    # round-robin repartition pays (SPARK-23207)
+    probes, points = fan_out(probes, probe_id), fan_out(points, point_id)
     if cell_size is None:
         # density-adaptive width (one count job on the filtered point
         # side — a driver scalar, same policy as k-means k); pass an

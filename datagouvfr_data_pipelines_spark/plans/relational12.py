@@ -594,6 +594,12 @@ def q21_waiting_supplier(spark, sf_dir):
     # singleton element of the R-set. Set sizes are bounded by basket size,
     # so state per key is a small constant at any scale. The orders filter
     # joins on the groupBy's own partitioning (co-located, no re-shuffle).
+    # Round 12: fan the scan on the orderkey first (the j18 pattern) — the
+    # exchange doubles as the groupBy shuffle and the per-order set build
+    # runs at cluster width instead of inside a single narrow scan task.
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    li = fan_out(li.select("l_orderkey", "l_suppkey", "l_returnflag"), "l_orderkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.collect_set("l_suppkey").alias("all_s"),
         F.collect_set(

@@ -588,7 +588,17 @@ def v1_variant_extract(spark, sf_dir):
     shredded variant columns prune like ordinary ones). Integer-typed
     extraction keeps the aggregate bit-exact against DuckDB's JSON
     reader."""
-    ev = table(spark, sf_dir, "events")
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
+    # round 12 (VERDICT #2, the flat-ratio outlier): the per-row
+    # parse_json variant construction ran inside the single narrow scan
+    # task — fan the two needed columns first (no-op on wide inputs) so
+    # the parse runs at cluster width; the partial aggregate follows in
+    # the same stage
+    ev = fan_out(
+        table(spark, sf_dir, "events").select("event_id", "event_type", "props"),
+        "event_id",
+    )
     k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))

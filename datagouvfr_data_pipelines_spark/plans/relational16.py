@@ -309,11 +309,16 @@ def a36_corr_matrix(spark, sf_dir):
     Exactness is unchanged: the long products are exact, and the
     decimal(38) sum is where int64 would actually overflow (Σy² wraps
     at sf>=0.1)."""
+    from datagouvfr_data_pipelines_spark.session import fan_out
+
     dec38 = "decimal(38,0)"
     x = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
     y = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    # round 12: fan the scan (no-op on wide inputs) — the decimal(38)
+    # accumulators dominate, and a narrow scan otherwise runs the whole
+    # partial aggregate in one task
     s = (
-        table(spark, sf_dir, "lineitem")
+        fan_out(table(spark, sf_dir, "lineitem"), "l_orderkey")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast(dec38).alias("n"),

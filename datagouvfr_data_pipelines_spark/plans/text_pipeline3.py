@@ -296,6 +296,9 @@ def d_semantic_dedup(spark, sf_dir):
         centroids,
         threshold=_SEM_TAU,
         max_cell_size=_SEM_MAX_CELL,
+        # compute the per-vector fold block once (4 plan branches consume
+        # it); bounded cache, cleared by clearCache() in long sessions
+        persist_base=True,
     )
 
 
@@ -415,7 +418,15 @@ def d_incremental_semantic(spark, sf_dir):
     )
     corpus = emb.where(F.col("vec_id") % 4 != 3)
     batch = emb.where(F.col("vec_id") % 4 == 3)
-    index = build_semantic_index(corpus, "vec_id", "embedding", centroids)
+    # persist both per-vector indexes (same policy as d_incremental_dedup's
+    # corpus idx): the corpus index feeds two plan branches (cell-pruned
+    # pair side + the cell-size cap) and the batch index five (corpus-tier
+    # b side, its cell broadcast, the batch-tier SemDeDup base, the final
+    # decision join) — unpersisted, the interpreted per-vector fold block
+    # re-executes once per branch. The cached rows are the compact
+    # (doc, cell, vec, nrm, c_sim) index itself — bounded state, reclaimed
+    # by clearCache() in long-lived sessions.
+    index = build_semantic_index(corpus, "vec_id", "embedding", centroids).persist()
     res = incremental_semantic_dedup(
         batch,
         index,
@@ -424,11 +435,10 @@ def d_incremental_semantic(spark, sf_dir):
         centroids,
         threshold=_SEM_TAU,
         max_cell_size=_SEM_MAX_CELL,
-        # one-shot catalog query consuming only the ledger: persisting the
-        # batch index here would leak cache across the session (the lazy
-        # result outlives this call, so there is no safe unpersist point)
-        persist=False,
+        persist=True,
     )
+    # identical plan to the operator's internal batch index -> served from
+    # the same cache entry (CacheManager matches canonicalized plans)
     decisions = build_semantic_index(batch, "vec_id", "embedding", centroids)
     return (
         decisions.join(res.ledger, "doc", "left")
