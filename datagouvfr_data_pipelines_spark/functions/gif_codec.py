@@ -262,7 +262,15 @@ def decode_gif_frames(
     frame-history stack and is vanishingly rare in web GIFs). A 0 or 1
     centisecond delay renders as 100 ms, the documented convention every
     browser applies. ``max_frames`` bounds memory against adversarial
-    frame counts; a single-frame still is a 1-element animation."""
+    frame counts; a single-frame still is a 1-element animation.
+
+    Memory contract (round 12, ADVICE fix): every composited frame is a
+    full w*h canvas snapshot, so TOTAL retained pixels are additionally
+    budgeted — decoding stops (returning the frames composited so far)
+    once ``w*h*(n_frames+1)`` would exceed ``MAX_GIF_PIXELS``. Without
+    this a crafted ~100 KB GIF (huge logical screen x many one-pixel
+    frames) could allocate hundreds of GB and OOM the Python worker,
+    violating the module's one-None-row-not-a-dead-executor contract."""
     if (not data or len(data) < 13
             or data[:6] not in (b"GIF87a", b"GIF89a")):
         return None
@@ -289,7 +297,10 @@ def decode_gif_frames(
         transparent: int | None = None
         delay_cs = 0
         disposal = 0
-        while i < len(data) and len(frames) < max_frames:
+        # cumulative snapshot budget: frames retained so far + the next
+        # one may not exceed MAX_GIF_PIXELS total composited pixels
+        frame_budget = max(1, MAX_GIF_PIXELS // (w * h))
+        while i < len(data) and len(frames) < min(max_frames, frame_budget):
             b0 = data[i]
             if b0 == 0x3B:
                 break

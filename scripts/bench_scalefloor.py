@@ -274,6 +274,22 @@ def ratio_for(spark_sec: float, duck_sec: float | None) -> float | None:
     return round(spark_sec / duck_sec, 2)
 
 
+def jsonsafe(obj):
+    """Strict-JSON copy: float('inf') ratios become the string "inf".
+
+    ADVICE round 12: json.dumps serializes float('inf') as bare
+    Infinity, which jq/JS/strict parsers reject — the in-memory value
+    stays a float (verdict comparisons rely on inf ordering); only the
+    serialized form is marked."""
+    if isinstance(obj, float) and obj == float("inf"):
+        return "inf"
+    if isinstance(obj, dict):
+        return {k: jsonsafe(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [jsonsafe(v) for v in obj]
+    return obj
+
+
 def time_spark(spark, qs, name: str, sf_dir: str) -> float:
     from bench import _run
 
@@ -367,7 +383,7 @@ def main() -> None:
                     n: ratio_for(spark_t[n], duck_t[n]) for n in QUERIES
                 },
             })
-            print(json.dumps(points[-1]))
+            print(json.dumps(jsonsafe(points[-1])))
         finally:
             shutil.rmtree(scaled, ignore_errors=True)
             spark.stop()
@@ -411,7 +427,7 @@ def main() -> None:
         ),
     )
     with open(out, "w") as fh:
-        json.dump(result, fh, indent=1)
+        json.dump(jsonsafe(result), fh, indent=1)
     print(json.dumps({"wrote": out}))
 
 

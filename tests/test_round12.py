@@ -1,0 +1,152 @@
+"""Round-12 pinning tests: the ADVICE fixes (GIF cumulative frame
+budget, miniproto packed fixed-width decode, strict-JSON scalefloor
+ratios) and the optimization-round invariants."""
+
+from __future__ import annotations
+
+import json
+import struct
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+# ------------------------------------------------ GIF cumulative budget
+
+
+def _tiny_frame_gif(screen_w: int, screen_h: int, n_frames: int) -> bytes:
+    """Hand-built GIF89a: a huge logical screen, a global 2-color
+    palette, and ``n_frames`` 1x1 frames — the adversarial shape from
+    ADVICE (hundreds of GB of canvas snapshots from ~KBs of input)."""
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", screen_w, screen_h)
+    out += bytes([0x80, 0, 0])  # GCT present, 2 colors
+    out += bytes([0, 0, 0, 255, 255, 255])
+    for _ in range(n_frames):
+        # GCE with 10cs delay
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+        # 1 pixel, min code size 2: clear(4), index 0, end(5)
+        out += bytes([2])  # LZW minimum code size
+        from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+            gif_lzw_encode,
+        )
+
+        lzw = gif_lzw_encode(2, b"\x00")
+        out += bytes([len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_cumulative_frame_budget_bounds_memory():
+    """A crafted GIF with a 4000x4000 screen (16 MP/frame snapshot) and
+    many 1x1 frames must stop at MAX_GIF_PIXELS // (w*h) retained frames
+    (partial decode), never allocate one canvas snapshot per frame."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        MAX_GIF_PIXELS,
+        decode_gif_frames,
+    )
+
+    w, h = 4000, 4000
+    budget = MAX_GIF_PIXELS // (w * h)
+    data = _tiny_frame_gif(w, h, budget + 3)
+    out = decode_gif_frames(data)
+    assert out is not None
+    dw, dh, frames = out
+    assert (dw, dh) == (w, h)
+    assert len(frames) == budget
+    # total retained snapshot pixels stay within the documented ceiling
+    assert dw * dh * len(frames) <= MAX_GIF_PIXELS
+
+
+def test_gif_small_animation_unaffected_by_budget():
+    """Normal-size animations decode every frame (budget >> frames)."""
+    from datagouvfr_data_pipelines_spark.functions.gif_codec import (
+        decode_gif_frames,
+    )
+
+    data = _tiny_frame_gif(4, 4, 5)
+    out = decode_gif_frames(data)
+    assert out is not None
+    assert len(out[2]) == 5
+
+
+# -------------------------------------- miniproto packed fixed decoding
+
+
+def _miniproto_wire():
+    from datagouvfr_data_pipelines_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    try:
+        from google.protobuf import wire  # type: ignore[attr-defined]
+    except ImportError:
+        pytest.skip("real protobuf installed — vendored runtime dormant")
+    return wire
+
+
+def test_miniproto_decodes_packed_doubles_and_fixed32():
+    """proto3 packs repeated float/double/fixed* by default; the runtime
+    must decode them (ADVICE: they previously hit the wire-type-mismatch
+    skip and were silently dropped)."""
+    w = _miniproto_wire()
+
+    desc = w.MsgDesc("M", "test.M")
+    desc.add_field(w.FieldDesc("ds", 1, w.T_DOUBLE, True, None))
+    desc.add_field(w.FieldDesc("fs", 2, w.T_FIXED32, True, None))
+
+    cls = type("M", (w.Message,), {"DESCRIPTOR": desc})
+    desc.concrete = cls
+
+    payload = bytearray()
+    w.encode_varint(payload, (1 << 3) | 2)  # field 1, LEN
+    doubles = struct.pack("<3d", 1.5, -2.25, 1e300)
+    w.encode_varint(payload, len(doubles))
+    payload += doubles
+    w.encode_varint(payload, (2 << 3) | 2)  # field 2, LEN
+    fixed = struct.pack("<2I", 7, 4_000_000_000)
+    w.encode_varint(payload, len(fixed))
+    payload += fixed
+
+    m = cls()
+    m.ParseFromString(bytes(payload))
+    assert list(m.ds) == [1.5, -2.25, 1e300]
+    assert list(m.fs) == [7, 4_000_000_000]
+
+
+def test_miniproto_rejects_malformed_packed_fixed():
+    """A packed fixed-width payload whose length is not a multiple of
+    the element width must fail loudly, not silently truncate."""
+    w = _miniproto_wire()
+
+    desc = w.MsgDesc("M2", "test.M2")
+    desc.add_field(w.FieldDesc("ds", 1, w.T_DOUBLE, True, None))
+    cls = type("M2", (w.Message,), {"DESCRIPTOR": desc})
+    desc.concrete = cls
+
+    payload = bytearray()
+    w.encode_varint(payload, (1 << 3) | 2)
+    w.encode_varint(payload, 7)  # 7 bytes: not a multiple of 8
+    payload += b"\x00" * 7
+    with pytest.raises(w.DecodeError):
+        cls().ParseFromString(bytes(payload))
+
+
+# ------------------------------------------- scalefloor strict-JSON out
+
+
+def test_scalefloor_jsonsafe_serializes_inf_strictly():
+    sys.path.insert(0, str(REPO_ROOT / "scripts"))
+    from bench_scalefloor import jsonsafe, ratio_for
+
+    assert ratio_for(1.0, None) is None
+    assert ratio_for(1.0, 0.0) == float("inf")
+    blob = json.dumps(jsonsafe({"ratio": {"q": ratio_for(1.0, 0.0)}}))
+    # strict parsers accept it, and the marker survives round-trip
+    assert json.loads(blob) == {"ratio": {"q": "inf"}}

@@ -717,6 +717,25 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    try:
+        _run_tws_body(spark, tmp_path)
+    finally:
+        # ADVICE round 12: restore in a finally so a mid-test assertion
+        # can't leak the RocksDB provider into later tests on the shared
+        # session
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+
+
+def _run_tws_body(spark, tmp_path):
+    import glob as globmod
+    import shutil
+
+    from datagouvfr_data_pipelines_spark.streaming.stateful import (
+        running_totals_stream,
+    )
 
     src = tmp_path / "twsrc"
     src.mkdir()
@@ -767,10 +786,6 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     q2.awaitTermination(120)
     snap2 = {r["key"]: (r["n_events"], r["total"]) for r in results}
     assert snap2["a"] == (3, 7.0)
-    if old_provider is None:
-        spark.conf.unset(provider_key)
-    else:
-        spark.conf.set(provider_key, old_provider)
 
 
 def test_out_of_band_merge_preserves_replay_watermark(spark, tmp_path):
