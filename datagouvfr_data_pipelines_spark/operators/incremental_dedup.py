@@ -200,37 +200,53 @@ def incremental_dedup(
     b_bands = bidx.where(F.col("band_hashes").isNotNull()).select(
         "doc", F.posexplode("band_hashes").alias("band", "bh")
     )
-    bkeys = b_bands.select("band", "bh").distinct()
-    c_bands = index.where(F.col("band_hashes").isNotNull()).select(
-        F.col("doc").alias("cdoc"), F.posexplode("band_hashes").alias("band", "bh")
-    )
-    # broadcast the batch's band keys so only matching corpus index rows
-    # are shuffled; then cap hot buckets to the smallest max_bucket_size ids
-    capped = (
-        c_bands.join(F.broadcast(bkeys), ["band", "bh"])
-        .groupBy("band", "bh")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_set("cdoc")), 1, max_bucket_size
-            ).alias("cdocs")
-        )
-    )
-    cand = (
-        b_bands.join(capped, ["band", "bh"])
-        .select("doc", F.explode("cdocs").alias("cdoc"))
-        .distinct()
-    )
     agree = F.size(
         F.filter(
             F.zip_with("sig", "csig", lambda x, y: x == y), lambda eq: eq
         )
     )
-    near_corpus = (
-        cand.join(bidx.select("doc", "sig"), "doc")
-        .join(
-            index.select(F.col("doc").alias("cdoc"), F.col("sig").alias("csig")),
-            "cdoc",
+    # ONE (band, bh) aggregate of the batch's exploded band keys serves
+    # both the corpus-pruning key set and the within-batch buckets
+    # (previously bkeys.distinct() and nb_buckets' groupBy shuffled the
+    # same frame twice).
+    buckets_all = b_bands.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_set("doc")).alias("docs")
+    )
+    bkeys = buckets_all.select("band", "bh")
+    c_bands = index.where(F.col("band_hashes").isNotNull()).select(
+        F.col("doc").alias("cdoc"),
+        F.col("sig").alias("csig"),
+        F.posexplode("band_hashes").alias("band", "bh"),
+    )
+    # broadcast the batch's band keys so only matching corpus index
+    # rows are shuffled; cap hot buckets to the smallest
+    # max_bucket_size ids. The capped struct carries the corpus
+    # SIGNATURE alongside the id: the agreement verifier then never
+    # joins back to the full index — the only corpus signatures that
+    # ever move are the band-matched, capped ones. sort_array orders
+    # structs by cdoc (unique per bucket: one bh per doc per band),
+    # so the surviving id set is identical to the bare-cdoc form.
+    capped = (
+        c_bands.join(F.broadcast(bkeys), ["band", "bh"])
+        .groupBy("band", "bh")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set(F.struct("cdoc", "csig"))),
+                1,
+                max_bucket_size,
+            ).alias("cands")
         )
+    )
+    # buckets_all and capped are both hash-partitioned on (band, bh)
+    # by their aggregates, so this join adds no exchange. Duplicate
+    # (doc, cdoc) pairs across bands re-run only the cheap per-pair
+    # zip_with — the final distinct on doc is unchanged.
+    near_corpus = (
+        buckets_all.join(capped, ["band", "bh"])
+        .select(F.explode("docs").alias("doc"), "cands")
+        .select("doc", F.explode("cands").alias("c"))
+        .select("doc", F.col("c.csig").alias("csig"))
+        .join(bidx.select("doc", "sig"), "doc")
         .where(agree >= F.lit(int(threshold * k)))
         .select("doc")
         .distinct()
@@ -279,10 +295,9 @@ def incremental_dedup(
                 word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
             ).alias("sh"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    nb_buckets = (
-        b_bands.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
-        .where((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
+    # same grouped frame as the corpus-pruning keys — shared exchange
+    nb_buckets = buckets_all.where(
+        (F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size)
     )
     pairs_arr = F.flatten(
         F.transform(
