@@ -177,25 +177,48 @@ def incremental_dedup(
     ).persist()
 
     # -- exact tier ---------------------------------------------------------
-    exact_corpus = bidx.join(
-        index.select("content_sha").distinct(), "content_sha", "leftsemi"
-    ).select("doc")
-    intra_keep = bidx.groupBy("content_sha").agg(F.min("doc").alias("__keep"))
-    exact_batch = (
-        bidx.join(intra_keep, "content_sha")
-        .where(F.col("doc") != F.col("__keep"))
-        .select("doc")
-    )
-
-    # -- near tiers ---------------------------------------------------------
-    # threshold > 1 is unsatisfiable for both verifiers; skip the LSH and
-    # verify pipelines entirely rather than computing-then-filtering them
-    # (an exact-only ingest then costs one shingle pass + sha joins)
+    # Two equivalent forms, chosen by which tiers will run (both A/B
+    # measured; the sorted-set aggregate is an ObjectHashAggregate that
+    # only pays off when the near tiers contend for bidx too):
+    # - exact-only ingest (threshold > 1: both near verifiers are
+    #   unsatisfiable, skip their pipelines outright): min-keep groupBy +
+    #   joins back to bidx — the join exchanges reuse bidx's, and the
+    #   primitive min aggregate is cheaper than a collected doc set.
+    # - full cascade: ONE sha groupBy with the sorted doc set serves both
+    #   exact tiers (semi-join + explode; all-but-min explode) — two bidx
+    #   joins disappear. Null shas are excluded up front — the join-on-sha
+    #   form dropped them via null-unsafe equality.
     if threshold > 1.0:
+        exact_corpus = bidx.join(
+            index.select("content_sha").distinct(), "content_sha", "leftsemi"
+        ).select("doc")
+        intra_keep = bidx.groupBy("content_sha").agg(F.min("doc").alias("__keep"))
+        exact_batch = (
+            bidx.join(intra_keep, "content_sha")
+            .where(F.col("doc") != F.col("__keep"))
+            .select("doc")
+        )
         empty = bidx.select("doc").where(F.lit(False))
         return _combine(
             batch, bidx, id_col, exact_corpus, exact_batch, empty, empty
         )
+
+    shas = (
+        bidx.where(F.col("content_sha").isNotNull())
+        .groupBy("content_sha")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+    )
+    exact_corpus = shas.join(
+        index.select("content_sha").distinct(), "content_sha", "leftsemi"
+    ).select(F.explode("docs").alias("doc"))
+    # every doc in a sha group except the smallest id (the min-keep rule)
+    exact_batch = shas.select(
+        F.explode(
+            F.slice("docs", 2, F.greatest(F.size("docs") - 1, F.lit(0)))
+        ).alias("doc")
+    )
+
+    # -- near tiers ---------------------------------------------------------
 
     b_bands = bidx.where(F.col("band_hashes").isNotNull()).select(
         "doc", F.posexplode("band_hashes").alias("band", "bh")
