@@ -150,3 +150,57 @@ def test_scalefloor_jsonsafe_serializes_inf_strictly():
     blob = json.dumps(jsonsafe({"ratio": {"q": ratio_for(1.0, 0.0)}}))
     # strict parsers accept it, and the marker survives round-trip
     assert json.loads(blob) == {"ratio": {"q": "inf"}}
+
+
+# ---------------------------------- wave-2 exact-tier restructure pins
+
+
+def test_exact_tier_sha_groups_and_null_text(spark):
+    """Wave-2 pins: the shared-sha-aggregate exact tier must (a) keep
+    only the min id of a 3-doc duplicate group (the other two dropped as
+    exact_batch), and (b) never exact-match NULL-text docs — their sha
+    is NULL and the old join-on-sha form dropped them via null-unsafe
+    equality, so the aggregate form excludes them explicitly.
+
+    NULL-text docs still meet in the NEAR tier: word_shingles yields
+    [''] for empty/NULL text, so every zero-content doc carries the same
+    one-shingle signature and they near-match each other (bounded by the
+    bucket cap). That is long-standing behavior, identical before and
+    after the wave-2 restructures (verified against the pre-wave-2 tree)
+    — this test pins it so a future change is a conscious one."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datagouvfr_data_pipelines_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("body", StringType()),
+        ]
+    )
+    corpus = spark.createDataFrame([(1, "totally unrelated corpus text")], schema)
+    idx = build_dedup_index(corpus, "doc_id", "body").persist()
+    batch = spark.createDataFrame(
+        [
+            (20, "same exact content here"),
+            (21, "same exact content here"),
+            (22, "same exact content here"),  # 3-doc sha group: keep 20
+            (23, None),  # NULL text -> NULL sha
+            (24, None),  # second NULL: must NOT pair with 23
+        ],
+        schema,
+    )
+    res = incremental_dedup(batch, idx, "doc_id", "body", threshold=0.8)
+    ledger = {r["doc"]: r["reason"] for r in res.ledger.collect()}
+    assert ledger == {
+        21: "exact_batch",
+        22: "exact_batch",
+        24: "near_batch",  # the empty-doc near-pair (23, 24); 23 is kept
+    }
+    survivors = sorted(r["doc_id"] for r in res.survivors.collect())
+    assert survivors == [20, 23]
+    idx.unpersist()
