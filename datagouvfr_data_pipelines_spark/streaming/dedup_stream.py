@@ -148,8 +148,11 @@ def dedup_ingest_stream(
             )
             # index rows: stage (O(batch) bytes), rename into place,
             # advance the watermark — the accumulated index is never
-            # rewritten on the ingest path
-            write_parquet(res.index_rows.select(*index_cols), staging)
+            # rewritten on the ingest path. ONE file per batch append
+            # (same policy and reason as semantic_stream: the fanned
+            # index build otherwise scatters each tiny batch append over
+            # defaultParallelism part files).
+            write_parquet(res.index_rows.select(*index_cols).repartition(1), staging)
         finally:
             spark.catalog.clearCache()  # drop the batch fingerprint persist
         os.makedirs(index_dir, exist_ok=True)

@@ -181,8 +181,14 @@ def semantic_ingest_stream(
                 res.survivors, os.path.join(corpus_dir, f"batch={batch_id}")
             )
             # index rows: stage (O(batch) bytes), rename into place, advance
-            # the watermark — never rewrite the accumulated index
-            write_parquet(res.index_rows, staging)
+            # the watermark — never rewrite the accumulated index. ONE file
+            # per batch append: the rows are batch-bounded and tiny, and the
+            # fanned index build otherwise writes core-count ~KB part files
+            # per batch (round-12 wave 1 regressed this to defaultParallelism
+            # parts — the small-file wall compaction exists to prevent).
+            # repartition, not coalesce: the dedup compute stays parallel,
+            # only the write collapses.
+            write_parquet(res.index_rows.repartition(1), staging)
         finally:
             # a failed write must not leak one persisted frame per batch
             # across a long-lived stream
