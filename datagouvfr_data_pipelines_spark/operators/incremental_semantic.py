@@ -26,10 +26,10 @@ batch's distinct cell keys (the batch is bounded, its cell set more so),
 then capped — corpus cells larger than ``max_cell_size`` skip the
 comparison entirely with the batch member KEPT (keeping a duplicate is
 safe; dropping on partial evidence is not — same guardrail as
-``semantic_dedup``). The batch-vs-corpus join is salt-sliced exactly like
-``semantic_dedup``'s self-join (corpus side sliced by hash, batch side
-replicated) so AQE's byte-based coalescing can't serialize the
-O(batch x cell) cosine stage when k < cores.
+``semantic_dedup``). The batch-vs-corpus cosines run in one Arrow-batched
+per-cell kernel (round 12; bit-exact sequential-order dots, see
+``similarity._seq_dots_block``) — O(rows·dim) vectors shipped once
+instead of the old salt-sliced O(pairs·dim) interpreted-fold join.
 
 Centroids are a PARAMETER and must stay frozen across batches (the
 SemDeDup recipe: train k-means on a sample once, assign forever) —
@@ -46,7 +46,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from datagouvfr_data_pipelines_spark.functions.similarity import (
-    dot,
     semantic_assign_scaled,
     semantic_base,
     semantic_dedup,
@@ -130,55 +129,83 @@ def incremental_semantic_dedup(
 
     # -- corpus tier ---------------------------------------------------
     # prune the (large) corpus index to the batch's cells before anything
-    # else, then drop oversized corpus cells (members kept, cap guardrail)
+    # else (the batch is bounded, its cell set more so), then one
+    # Arrow-batched per-cell kernel over the tagged corpus-union-batch
+    # rows — the round-12 _cell_pair_candidates shape: O(rows·dim)
+    # vectors shipped once, vectorized SEQUENTIAL-order dots (bit-exact
+    # vs the JVM fold, see similarity._seq_dots_block), one row back per
+    # batch doc with any prefiltered corpus hit. round(x, 6) is monotone,
+    # so the per-doc MAX raw cosine decides the exact rounded any-hit
+    # JVM-side; oversized corpus cells (> max_cell_size) return nothing
+    # (batch members kept — the cap guardrail). The old salt-sliced
+    # interpreted-fold join needed ``n_slices``; the parameter is now
+    # accepted for API compatibility and ignored (results were always
+    # slice-invariant).
+    del n_slices
     bcells = F.broadcast(bidx.select("cell").distinct())
     corpus = index.join(bcells, "cell")
-    ok_ccells = F.broadcast(
-        corpus.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("__cn"))
-        .where(F.col("__cn") <= max_cell_size)
-        .select("cell")
+    tagged = corpus.select(
+        "cell", "doc", "vec", "nrm", F.lit("c").alias("__side")
+    ).unionByName(
+        bidx.select("cell", "doc", "vec", "nrm", F.lit("b").alias("__side"))
     )
-    a = corpus.join(ok_ccells, "cell").select(
-        "cell",
-        F.col("doc").alias("__idc"),
-        F.col("vec").alias("__vc"),
-        F.col("nrm").alias("__nc"),
-    )
-    b = bidx.select(
-        "cell",
-        F.col("doc").alias("__idb"),
-        F.col("vec").alias("__vb"),
-        F.col("nrm").alias("__nb"),
-    )
-    # salt-slice like semantic_dedup: slice the corpus side by hash,
-    # replicate the (bounded) batch side; explicit-count repartitions are
-    # exempt from AQE coalescing, and S collapses to 1 at real scale
-    target = batch.sparkSession.sparkContext.defaultParallelism
-    if n_slices is None:
-        n_slices = -(-target // max(len(centroids), 1))
-    if n_slices > 1:
-        a = a.withColumn(
-            "__slice",
-            F.pmod(F.xxhash64(F.col("__idc")), F.lit(n_slices)).cast("int"),
-        ).repartition(target, "cell", "__slice")
-        b = b.withColumn(
-            "__slice", F.explode(F.array(*[F.lit(i) for i in range(n_slices)]))
-        ).repartition(target, "cell", "__slice")
-        join_keys = ["cell", "__slice"]
-    else:
-        join_keys = ["cell"]
-    sim = F.round(
-        F.when(
-            (F.col("__nc") == 0.0) | (F.col("__nb") == 0.0), F.lit(0.0)
-        ).otherwise(dot("__vc", "__vb") / (F.col("__nc") * F.col("__nb"))),
-        6,
-    )
+    id_t = bidx.schema["doc"].dataType.simpleString()
+    pre = float(threshold) - 1e-6
+
+    def corpus_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from datagouvfr_data_pipelines_spark.functions.similarity import (
+            _PAIR_BLOCK_BYTES,
+            _seq_dots_block,
+        )
+
+        pdf = pdf[pdf["vec"].notna()]
+        c = pdf[pdf["__side"] == "c"]
+        b = pdf[pdf["__side"] == "b"]
+        empty = pd.DataFrame(
+            {
+                "doc": pd.Series([], dtype=pdf["doc"].dtype),
+                "__raw": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(b) or not len(c) or len(c) > max_cell_size:
+            return empty
+        CV = np.stack([np.asarray(v) for v in c["vec"]]).astype(np.float64)
+        BV = np.stack([np.asarray(v) for v in b["vec"]]).astype(np.float64)
+        cn = c["nrm"].to_numpy()
+        bn = b["nrm"].to_numpy()
+        docs = b["doc"].to_numpy()
+        bs = max(64, _PAIR_BLOCK_BYTES // (16 * len(c)))
+        out_docs, out_raw = [], []
+        for i0 in range(0, len(b), bs):
+            i1 = min(i0 + bs, len(b))
+            S = _seq_dots_block(BV[i0:i1], CV)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(
+                    (bn[i0:i1, None] == 0.0) | (cn[None, :] == 0.0),
+                    0.0,
+                    S / (bn[i0:i1, None] * cn[None, :]),
+                )
+            hit = sims >= pre
+            rows = hit.any(axis=1)
+            if not rows.any():
+                continue
+            mx = np.where(hit[rows], sims[rows], -np.inf).max(axis=1)
+            out_docs.append(docs[i0:i1][rows])
+            out_raw.append(mx)
+        if not out_docs:
+            return empty
+        return pd.DataFrame(
+            {"doc": np.concatenate(out_docs), "__raw": np.concatenate(out_raw)}
+        )
+
     near_corpus = (
-        a.join(b, join_keys)
-        .withColumn("__sim", sim)
-        .where(F.col("__sim") >= threshold)
-        .select(F.col("__idb").alias("doc"))
+        tagged.groupBy("cell")
+        .applyInPandas(corpus_kernel, schema=f"doc {id_t}, __raw double")
+        .where(F.round("__raw", 6) >= threshold)
+        .select("doc")
         .distinct()
     )
 
@@ -194,7 +221,6 @@ def incremental_semantic_dedup(
             centroids,
             threshold=threshold,
             max_cell_size=max_cell_size,
-            n_slices=n_slices,
             base=bidx.select(
                 F.col("doc").alias(id_col),
                 F.col("vec").alias("__v"),

@@ -204,3 +204,62 @@ def test_exact_tier_sha_groups_and_null_text(spark):
     survivors = sorted(r["doc_id"] for r in res.survivors.collect())
     assert survivors == [20, 23]
     idx.unpersist()
+
+
+def test_seq_dots_block_bit_exact_vs_jvm_fold_order():
+    """_seq_dots_block must reproduce the JVM left-to-right fold's IEEE op
+    order exactly: S[i,j] = ((0 + a0*b0) + a1*b1) + ... in float64. Checked
+    bitwise against a scalar Python loop (which is that exact order) on
+    float32-quantized random vectors — the embeddings table's element type."""
+    import struct
+
+    import numpy as np
+
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        _seq_dots_block,
+    )
+
+    rng = np.random.RandomState(7)
+    A = rng.randn(13, 64).astype(np.float32).astype(np.float64)
+    B = rng.randn(9, 64).astype(np.float32).astype(np.float64)
+    S = _seq_dots_block(A, B)
+    for i in range(A.shape[0]):
+        for j in range(B.shape[0]):
+            acc = 0.0
+            for t in range(64):
+                acc = acc + float(A[i, t]) * float(B[j, t])
+            assert struct.pack("<d", acc) == struct.pack("<d", S[i, j]), (i, j)
+
+
+def test_pair_kernel_block_invariance(spark, monkeypatch):
+    """The pair kernel's memory blocking must not change results: a cell
+    bigger than one block (forced via a 1-byte block budget -> 64-row
+    blocks) yields the same statuses as the single-block run."""
+    import numpy as np
+
+    import datagouvfr_data_pipelines_spark.functions.similarity as S
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, (rng.randn(8) * 0.05 + np.array([1.0] + [0.0] * 7)).astype("float32").tolist())
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0] + [0.0] * 7, [-1.0] + [0.0] * 7]
+
+    def run():
+        return {
+            r.vec_id: (r.cell, r.c_sim, r.status)
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", cents, threshold=0.97
+            ).collect()
+        }
+
+    base = run()
+    monkeypatch.setattr(S, "_PAIR_BLOCK_BYTES", 1)
+    blocked = run()
+    assert blocked == base
+    assert any(s == "dropped" for _, _, s in base.values())  # non-trivial

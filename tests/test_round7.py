@@ -423,21 +423,19 @@ def test_dedup_text_entry_points_fan_out(spark):
     spark.catalog.clearCache()
 
 
-def test_semantic_dedup_slice_salting_pinned(spark):
-    """When k < defaultParallelism the O(cell^2) pair join must be
-    salt-sliced wide via an EXPLICIT-COUNT repartition on (cell, __slice):
-    AQE's byte-based coalescing sees only the tiny pre-expansion map
-    output and would otherwise collapse the stage to ~1 partition,
-    serializing the sim compute (measured 3.5 s single-core at sf0.1).
-    User-numbered exchanges are exempt from AQE coalescing — pin that the
-    plan carries one so a refactor can't silently reinstate the collapse."""
+def test_semantic_dedup_pair_kernel_pinned(spark):
+    """Round 12: the O(cell^2) pair stage is one Arrow-batched per-cell
+    kernel (FlatMapGroupsInPandas over the cell key) instead of the old
+    salt-sliced interpreted-fold self-join — pin the plan node so a
+    refactor can't silently reinstate the O(pairs·dim) join, and pin that
+    the obsolete slice salt is gone. Semantics are unchanged (the kernel's
+    raw sims are bit-exact vs the JVM fold; rounding + threshold filter
+    stay JVM-side)."""
     df = _hot_cell_df(spark)
     out = semantic_dedup(df, "vec_id", "embedding", CENTS, threshold=0.9)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "__slice" in plan, plan
-    assert "REPARTITION_BY_NUM" in plan, plan
-    # semantics unchanged under salting (each unordered pair forms exactly
-    # once: x joins y only in x's slice of y's replicas)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "__slice" not in plan, plan
     res = {r.vec_id: r.status for r in out.collect()}
     assert sum(1 for s in res.values() if s == "dropped") == 4
     assert res[4] == "kept" and res[11] == "kept"
