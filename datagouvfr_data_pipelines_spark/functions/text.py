@@ -816,6 +816,11 @@ def _cross_doc_marked_positions(
     detector and the span remover."""
     from datagouvfr_data_pipelines_spark.session import fan_out
 
+    # NOTE (round 13, measured): persisting ``grams`` here — as
+    # _cross_doc_positions_with_canon now does — was A/B-measured a small
+    # LOSS for the span DETECTOR (+0.13 s pooled over 5 interleaved
+    # rounds): this plan's gram subtree already shares its exchange across
+    # the two consumers, so the cache only adds a materialization barrier.
     toks = fan_out(
         df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
             F.size("__t") >= n
@@ -861,6 +866,8 @@ def _cross_doc_positions_with_canon(
     remover splits marked vs protected positions from this single pass."""
     from datagouvfr_data_pipelines_spark.session import fan_out
 
+    from pyspark import StorageLevel
+
     toks = fan_out(
         df.select(F.col(id_col), tokens(text_col).alias("__t")).where(
             F.size("__t") >= n
@@ -871,7 +878,11 @@ def _cross_doc_positions_with_canon(
         F.col(id_col), F.posexplode(ngram_list(F.col("__t"), n)).alias("pos", "g")
     )
     key = F.col("g") if portable else F.xxhash64("g")
-    grams = grams.select(F.col(id_col), "pos", key.alias("__k"))
+    # Round 13: same two-consumer persist as _cross_doc_marked_positions —
+    # the tokenize + ngram explode otherwise runs once per plan branch.
+    grams = grams.select(F.col(id_col), "pos", key.alias("__k")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     shared = (
         grams.groupBy("__k")
         .agg(
@@ -1017,15 +1028,31 @@ def charlm_nll_scores(df, id_col: str, text_col: str):
     """
     from datagouvfr_data_pipelines_spark.session import fan_out
 
-    # NOTE (round 12, measured): do NOT key this fan on the doc id. The
-    # (doc, bigram) exchange it would eliminate is the plan's shared
-    # materialization point — global/prefix/V tables and the final doc
-    # aggregate all hang off it via exchange reuse, so removing it makes
-    # each branch re-run the bigram explode (1.02 s -> 1.23 s at sf0.1).
-    bg = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    # Round 13: the fan IS keyed on the doc id now. The round-12 NOTE here
+    # warned against that because the (doc, bigram) exchange was the plan's
+    # only shared materialization point; with doc_counts persisted (below)
+    # the sharing concern is gone, and hash(id) partitioning satisfies both
+    # the (id, bg) aggregate's and the final per-doc aggregate's clustered
+    # distribution — the fan exchange is the plan's ONLY batch shuffle of
+    # exploded rows.
+    bg = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(char_bigrams(text_col)).alias("bg")
     )
-    doc_counts = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # Round 13: persist the (doc, bigram) count table around its four plan
+    # branches. Catalyst shares only the narrow fan exchange across
+    # branches (exchange reuse), so without the persist the bigram explode
+    # + partial aggregation re-ran once per branch (doc_counts,
+    # global_counts, prefix_counts, V — 4 Generates / 2 scans in the r13
+    # before-plan). The cached table is the LM's sufficient statistic,
+    # bounded by sum over docs of distinct bigrams per doc; same persist
+    # policy as semantic_dedup(persist_base) / incremental_dedup's bidx.
+    doc_counts = (
+        bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    # (A second persist on global_counts was A/B-measured a wash — three
+    # re-aggregation passes over the cached doc_counts cost about what the
+    # extra materialization barrier does; kept unpersisted for the simpler
+    # cache lifecycle.)
     global_counts = doc_counts.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
     prefix_counts = (
         global_counts.withColumn("pre", F.substring("bg", 1, 1))
