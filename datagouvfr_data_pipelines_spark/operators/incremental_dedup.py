@@ -54,6 +54,41 @@ from datagouvfr_data_pipelines_spark.operators.dedup import (
 )
 
 
+def _hashed_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    portable: bool,
+) -> DataFrame:
+    """One fanned pass over the text: (doc, content_sha, hv) with one row
+    per exploded shingle. ``hv`` is the VERIFIER-grade shingle hash — the
+    rolling fold (already mod 2^31-1) when portable, raw xxhash64
+    otherwise — from which the minhash base hash derives as a cheap
+    column op. Shared by ``build_dedup_index`` and (round 13)
+    ``incremental_dedup``'s exact-Jaccard verifier, so the
+    tokenize + shingle + per-char hash pipeline runs ONCE per batch."""
+    base = _fanned_text(df, id_col, text_col).select(
+        F.col(id_col).alias("doc"),
+        content_hash(text_col).alias("content_sha"),
+        F.explode_outer(word_shingles(text_col, shingle_n)).alias("s"),
+    )
+    if portable:
+        from datagouvfr_data_pipelines_spark.functions.text import (
+            ROLLING_HASH_BASE,
+            ROLLING_HASH_MOD,
+        )
+
+        hv = F.aggregate(
+            F.transform(F.split(F.col("s"), ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)),
+        )
+    else:
+        hv = F.xxhash64("s")
+    return base.select("doc", "content_sha", hv.alias("hv"))
+
+
 def build_dedup_index(
     df: DataFrame,
     id_col: str,
@@ -63,6 +98,7 @@ def build_dedup_index(
     shingle_n: int = 3,
     seed: int = 42,
     portable: bool = False,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document dedup fingerprints: (doc, content_sha, sig, band_hashes).
 
@@ -81,28 +117,20 @@ def build_dedup_index(
     the whole index — and every decision derived from it — reproduces in
     a DuckDB oracle. Portable and xxhash indexes are INCOMPARABLE; an
     index must be rebuilt, not mixed.
+
+    ``base`` (round 13): a pre-built ``_hashed_base`` frame (possibly
+    persisted) to aggregate from instead of re-deriving the shingle
+    pipeline — callers that also need the verifier hash sets (the
+    incremental full cascade) share one text pass this way. Must have
+    been built with the same (shingle_n, portable).
     """
-    from datagouvfr_data_pipelines_spark.operators.dedup import _fanned_text
-
     rows = k // bands
-    base = _fanned_text(df, id_col, text_col).select(
-        F.col(id_col).alias("doc"),
-        content_hash(text_col).alias("content_sha"),
-        F.explode_outer(word_shingles(text_col, shingle_n)).alias("s"),
-    )
-    if portable:
-        from datagouvfr_data_pipelines_spark.functions.text import (
-            ROLLING_HASH_BASE,
-            ROLLING_HASH_MOD,
-        )
-
-        h = F.aggregate(
-            F.transform(F.split(F.col("s"), ""), lambda ch: F.ascii(ch).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: F.pmod(acc * ROLLING_HASH_BASE + x, F.lit(ROLLING_HASH_MOD)),
-        )
-    else:
-        h = F.pmod(F.xxhash64("s"), F.lit(MERSENNE31))
+    if base is None:
+        base = _hashed_base(df, id_col, text_col, shingle_n, portable)
+    # portable hv is already the mod-2^31-1 rolling value; the xxhash
+    # verifier hash is raw 64-bit, folded into the minhash domain here
+    # (identical to the historical pmod(xxhash64(s), M) column).
+    h = F.col("hv") if portable else F.pmod(F.col("hv"), F.lit(MERSENNE31))
     base = base.select("doc", "content_sha", h.alias("h"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(
@@ -165,6 +193,13 @@ def incremental_dedup(
     verify, ledger); callers stream-ingesting forever should clearCache()
     between batches.
     """
+    # NOTE (round 13, measured): sharing one persisted ``_hashed_base``
+    # between bidx and the verifier's shingle sets (one text pass instead
+    # of two) was A/B-measured a small LOSS at sf0.1 (+0.15 s over 3
+    # interleaved rounds): caching the EXPLODED shingle rows costs more
+    # than recomputing the fused scan->explode->hash->partial-agg stage,
+    # whose per-char hash is cheap warm (OPTIMIZATION_r12.md hypothesis
+    # #1). Kept as two passes.
     bidx = build_dedup_index(
         batch,
         id_col,
