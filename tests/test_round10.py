@@ -219,12 +219,8 @@ def test_curate_corpus_boilerplate_stage(spark):
     assert stages.get(9) == "boilerplate"
 
 
-def test_nightly_gate_rules(tmp_path):
-    """The nightly regression gate: aggregate >10%, multi-second query
-    >15%, sub-second query >50% and missing-query coverage loss all
-    fail; same-size or faster rows pass; <2 rows is a no-op pass."""
+def _load_gate():
     import importlib.util
-    import json
     from pathlib import Path
 
     spec = importlib.util.spec_from_file_location(
@@ -233,54 +229,123 @@ def test_nightly_gate_rules(tmp_path):
     )
     gate = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gate)
+    return gate
 
-    def row(ts, value, queries):
-        return {
-            "ts": ts,
-            "bench": {
-                "metric": "headline_suite_seconds",
-                "value": value,
-                "unit": "sec",
-                "queries": queries,
-                "sf": 0.1,
-            },
-        }
 
-    base = row("t0", 26.0, {"big": 2.0, "small": 0.4})
+def _gate_row(ts, value, queries, oracles=None):
+    bench = {
+        "metric": "headline_suite_seconds",
+        "value": value,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+    }
+    if oracles is not None:
+        bench["oracle_duckdb_sec"] = oracles
+        bench["oracle_total_sec"] = round(sum(oracles.values()), 3)
+        bench["oracle_comparable_spark_sec"] = round(
+            sum(v for k, v in queries.items() if k in oracles), 3
+        )
+    return {"ts": ts, "bench": bench}
 
-    # within band: aggregate +8%, multi-second +10%, sub-second +40%
-    ok = row("t1", 28.0, {"big": 2.2, "small": 0.56})
-    assert gate.compare_rows(base, ok) == []
+
+def test_nightly_gate_rules(tmp_path):
+    """The round-13 same-row-ratio gate: ambient load that inflates BOTH
+    engines passes (walls +2.5x with flat ratios), an oracle-side wobble
+    alone passes (ratio up, wall flat), a real plan regression (wall AND
+    same-row ratio both >2x) fails, missing-query coverage loss fails,
+    faster never fails, <2 rows is a no-op pass."""
+    import json
+
+    gate = _load_gate()
+    orc = {"big": 1.0, "small": 0.1}
+    base = [
+        _gate_row("t0", 26.0, {"big": 2.0, "small": 0.4}, orc),
+        _gate_row("t1", 27.0, {"big": 2.1, "small": 0.38}, orc),
+    ]
+
+    # ambient: both engines inflate 1.9x -> ratios flat -> pass (a >2x
+    # aggregate wall move trips the absolute alarm by design, so the
+    # ambient case sits under it)
+    hot = _gate_row(
+        "t2", 50.0, {"big": 3.8, "small": 0.76},
+        {"big": 1.9, "small": 0.19},
+    )
+    assert gate.compare_rows(base, hot) == []
+    # oracle-side wobble on one query: its ratio jumps 4x but the wall is
+    # flat (and the aggregate barely moves) -> pass
+    wob = _gate_row("t2", 26.0, {"big": 2.0, "small": 0.4},
+                    {"big": 1.0, "small": 0.025})
+    assert gate.compare_rows(base, wob) == []
     # faster never fails
-    assert gate.compare_rows(base, row("t1", 20.0, {"big": 1.0, "small": 0.1})) == []
+    assert gate.compare_rows(
+        base, _gate_row("t2", 20.0, {"big": 1.0, "small": 0.1}, orc)
+    ) == []
 
-    # aggregate regression
-    f = gate.compare_rows(base, row("t1", 29.0, {"big": 2.0, "small": 0.4}))
-    assert len(f) == 1 and f[0].startswith("aggregate")
-    # multi-second query regression (aggregate flat)
-    f = gate.compare_rows(base, row("t1", 26.0, {"big": 2.4, "small": 0.4}))
-    assert len(f) == 1 and "big" in f[0]
-    # sub-second query within 50% band passes, beyond fails
-    assert gate.compare_rows(base, row("t1", 26.0, {"big": 2.0, "small": 0.59})) == []
-    f = gate.compare_rows(base, row("t1", 26.0, {"big": 2.0, "small": 0.61}))
-    assert len(f) == 1 and "small" in f[0]
+    # real 2x+ plan regression: one query's wall x2.2, oracle unchanged
+    # -> wall AND same-row ratio both >2x -> fail
+    f = gate.compare_rows(
+        base, _gate_row("t2", 28.4, {"big": 4.4, "small": 0.4}, orc)
+    )
+    assert any("query big" in x and "ratio" in x for x in f)
+    assert not any("small" in x for x in f)
+    # no oracle column at all: the 2x wall alarm stands alone
+    f = gate.compare_rows(
+        [_gate_row("t0", 26.0, {"big": 2.0, "small": 0.4})],
+        _gate_row("t2", 28.4, {"big": 4.4, "small": 0.4}),
+    )
+    assert any("query big" in x for x in f)
+    assert not any("small" in x for x in f)
+    # aggregate comparable-ratio regression (+30% with flat oracle)
+    f = gate.compare_rows(
+        base, _gate_row("t2", 34.0, {"big": 3.2, "small": 0.52}, orc)
+    )
+    assert any(x.startswith("aggregate comparable ratio") for x in f)
     # dropped query = coverage loss
-    f = gate.compare_rows(base, row("t1", 26.0, {"big": 2.0}))
-    assert len(f) == 1 and "missing" in f[0]
+    f = gate.compare_rows(base, _gate_row("t2", 26.0, {"big": 2.0}, {"big": 1.0}))
+    assert any("small" in x and "missing" in x for x in f)
 
     # end-to-end main(): synthetic jsonl files
     p = tmp_path / "nb.jsonl"
-    p.write_text(
-        json.dumps(base) + "\n" + json.dumps(ok) + "\n"
-    )
+    p.write_text("\n".join(json.dumps(r) for r in base + [hot]) + "\n")
     assert gate.main(["gate", str(p)]) == 0
     p.write_text(
-        json.dumps(base) + "\n"
-        + json.dumps(row("t1", 30.0, {"big": 2.0, "small": 0.4})) + "\n"
+        "\n".join(
+            json.dumps(r)
+            for r in base
+            + [_gate_row("t2", 28.4, {"big": 4.4, "small": 0.4}, orc)]
+        )
+        + "\n"
     )
     assert gate.main(["gate", str(p)]) == 1
-    p.write_text(json.dumps(base) + "\n")
+    p.write_text(json.dumps(base[0]) + "\n")
     assert gate.main(["gate", str(p)]) == 0
+
+
+def test_nightly_gate_committed_ledger_and_synthetic_regression():
+    """VERDICT r11 #1 acceptance: the gate exits 0 on the COMMITTED
+    ledger (same-code ambient pairs that failed the old wall-based
+    rules), and a synthetic real regression injected into the newest row
+    (one query's Spark wall x3, oracle untouched) still fails."""
+    import copy
+    import json
+    from pathlib import Path
+
+    gate = _load_gate()
+    path = Path(__file__).resolve().parent.parent / "scripts" / "nightly_bench.jsonl"
+    rows = [json.loads(line) for line in path.read_text().splitlines() if line.strip()]
+    assert len(rows) >= 2
+    # every committed consecutive pair passes (ambient-only moves)
+    for i in range(1, len(rows)):
+        refs = rows[max(0, i - 3):i]
+        assert gate.compare_rows(refs, rows[i]) == [], f"pair {i} failed"
+    # synthetic single-query x3 regression must still fail
+    syn = copy.deepcopy(rows[-1])
+    syn["bench"]["queries"]["q1_pricing_summary"] = round(
+        syn["bench"]["queries"]["q1_pricing_summary"] * 3, 3
+    )
+    f = gate.compare_rows(rows[:-1][-3:], syn)
+    assert any("q1_pricing_summary" in x for x in f)
 
 
 def test_portable_id_hash_full_int64_range(spark):
