@@ -675,6 +675,87 @@ def _cell_pair_candidates(
     )
 
 
+def _cell_cosine_pairs(
+    emb: "DataFrame",
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    nrm_col: str,
+    threshold: float,
+) -> "DataFrame":
+    """Within-cell cosine candidate pairs (round 13): the
+    ``_cell_pair_candidates`` kernel shape for the IVF near-dup queries —
+    one Arrow-batched ``applyInPandas`` kernel per cell instead of the
+    O(pairs·dim) interpreted-fold self-join, no cell cap (the IVF queries
+    pair EVERY cell; per-task scratch stays blocked to
+    ``_PAIR_BLOCK_BYTES``).
+
+    Same bit-exactness contract: ``__raw`` uses ``_seq_dots_block`` (the
+    JVM left-to-right ``dot`` fold order) over float64-cast vectors and
+    the JVM-computed ``nrm_col`` norms, divided by the norm product
+    (float multiply is commutative bitwise, so pair orientation is
+    irrelevant); zero-norm pairs become 0.0 exactly like the ``cosine``
+    zero guard. The kernel prefilters at ``threshold - 1e-6``; callers
+    re-apply the EXACT ``round(__raw, 6) >= threshold`` filter JVM-side.
+    Returns (id_a, id_b, __raw) with id_a < id_b."""
+    id_t = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, __raw double"
+    pre = float(threshold) - 1e-6
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=pdf[id_col].dtype),
+                "id_b": pd.Series([], dtype=pdf[id_col].dtype),
+                "__raw": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        V = np.stack([np.asarray(v) for v in pdf[vec_col]]).astype(np.float64)
+        nrm = pdf[nrm_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        bs = max(64, _PAIR_BLOCK_BYTES // (16 * n))
+        outs = []
+        for i0 in range(0, n, bs):
+            i1 = min(i0 + bs, n)
+            S = _seq_dots_block(V[i0:i1], V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(
+                    (nrm[i0:i1, None] == 0.0) | (nrm[None, :] == 0.0),
+                    0.0,
+                    S / (nrm[i0:i1, None] * nrm[None, :]),
+                )
+            gi, gj = np.nonzero(sims >= pre)
+            keep = (gi + i0) < gj  # each unordered row pair once
+            gi, gj = gi[keep], gj[keep]
+            if not len(gi):
+                continue
+            raw = sims[gi, gj]
+            ai, bi = gi + i0, gj
+            swap = ids[ai] > ids[bi]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[np.where(swap, bi, ai)],
+                        "id_b": ids[np.where(swap, ai, bi)],
+                        "__raw": raw,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        emb.select(id_col, vec_col, cell_col, nrm_col)
+        .groupBy(cell_col)
+        .applyInPandas(cell_pairs, schema=out_schema)
+    )
+
+
 def semantic_dedup(
     df: "DataFrame",
     id_col: str,

@@ -43,11 +43,17 @@ def emb_neardup_pairs(spark, sf_dir):
     only within the same sign-bit cell (the scale path — O(n²/cells) not
     O(n²)), then exact cosine ≥ 0.35. One shuffle on the cell key.
 
-    Norms are computed per VECTOR before the self-join, not per pair:
-    higher-order folds are interpreted, so evaluating them O(pairs) times
-    instead of O(vectors) times is the dominant cost of the naive form
-    (cosine() per pair = dot + 2 norms; this form = 1 dot)."""
-    from datagouvfr_data_pipelines_spark.functions.similarity import dot, norm
+    Round 13: the within-cell pair stage is the wave-3 Arrow kernel
+    (``_cell_cosine_pairs``) instead of the interpreted-fold self-join —
+    each cell ships its O(n·dim) vectors once and pair dots run as
+    vectorized numpy in the JVM fold's exact IEEE order
+    (``_seq_dots_block``), with the rounded threshold filter re-applied
+    exactly JVM-side. Norms stay per-VECTOR, computed JVM-side before
+    the kernel (bitwise the ``cosine`` denominators)."""
+    from datagouvfr_data_pipelines_spark.functions.similarity import (
+        _cell_cosine_pairs,
+        norm,
+    )
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -55,22 +61,11 @@ def emb_neardup_pairs(spark, sf_dir):
         ivf_cell("embedding", 64).alias("cell"),
         norm("embedding").alias("nrm"),
     )
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-        "cell", F.col("nrm").alias("na"),
+    cand = _cell_cosine_pairs(emb, "vec_id", "embedding", "cell", "nrm", 0.35)
+    sim = F.round(F.col("__raw"), 6)
+    return cand.select("id_a", "id_b", sim.alias("sim")).where(
+        F.col("sim") >= 0.35
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-        "cell", F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, ["cell"]).where(F.col("id_a") < F.col("id_b"))
-    sim = F.round(
-        F.when((F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)).otherwise(
-            dot("ea", "eb") / (F.col("na") * F.col("nb"))
-        ),
-        6,
-    )
-    return pairs.select("id_a", "id_b", sim.alias("sim")).where(F.col("sim") >= 0.35)
 
 
 @register(
